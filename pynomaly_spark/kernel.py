@@ -1,0 +1,269 @@
+"""Pure-numpy LoOP (Local Outlier Probabilities) kernel.
+
+A from-scratch implementation of the LoOP dataflow (Kriegel, Kroeger,
+Schubert, Zimek, CIKM 2009): per-group kNN -> sum of squared neighbor
+distances -> standard distance -> probabilistic distance -> neighborhood
+expected value -> PLOF -> per-group E[PLOF^2] -> nPLOF -> erf map to [0,1].
+
+This module has NO Spark dependency; it is the math that both the
+library-compatible API (``pynomaly_spark.api``) and the Spark drift
+operator (``pynomaly_spark.drift``) share.  Inside Spark it runs on whole
+Arrow record batches (vectorized; no per-row Python in the engine paths).
+
+Semantics match the reference implementation (PyNomaly 0.4.0,
+``/root/reference/PyNomaly/loop.py``) to float tolerance, including its
+numeric guards:
+
+* kNN is chunked, self-distance masked to inf, k-smallest by
+  ``np.argpartition`` (unordered k-subset) — reference ``loop.py:648-694``.
+* standard distance divides by ``n_neighbors`` (not cluster size) —
+  reference ``loop.py:802``.
+* the neighborhood expected value is a NaN-dropping mean over the pdist
+  values of each row's k neighbors — reference ``loop.py:817-842``.
+* PLOF guard: if all pdist == E[pdist] the result is all zeros; zeros in
+  E[pdist] are replaced by 1e-8 — reference ``loop.py:508-511``.
+* E[PLOF^2] is a per-group mean over non-NaN members — reference
+  ``loop.py:869-904``.
+* LoOP = max(0, erf(PLOF / (nPLOF * sqrt(2)))) with an all-equal
+  short-circuit to zeros — reference ``loop.py:530-549``.
+
+The erf source follows the same fallback ladder as the reference
+(``loop.py:14-17, 546-549``): scipy.special.erf when importable, else a
+vectorized ``math.erf``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:  # pragma: no cover - environment dependent
+    from scipy.special import erf as _erf_vec
+except ImportError:  # pragma: no cover
+    _erf_vec = np.vectorize(math.erf, otypes=[np.float64])
+
+__all__ = [
+    "knn",
+    "loop_from_knn",
+    "loop_scores",
+    "LoopResult",
+]
+
+_SENTINEL = 9e10  # unfilled-slot sentinel, reference loop.py:728-733
+
+
+def _as_matrix(points: np.ndarray) -> np.ndarray:
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim == 1:
+        pts = pts.reshape(-1, 1)  # 1-D auto-column, reference loop.py:659-660
+    return pts
+
+
+def knn(
+    points: np.ndarray,
+    n_neighbors: int,
+    labels: Optional[np.ndarray] = None,
+    chunk_size: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN per group (Euclidean), never across groups.
+
+    Returns ``(distances, neighbor_ids)`` of shape ``(n, k)``; neighbor ids
+    are **global row indexes** into ``points``.  The k columns are an
+    unordered k-smallest subset (argpartition semantics), matching the
+    reference; downstream math only consumes the multiset.
+    """
+    pts = _as_matrix(points)
+    n = pts.shape[0]
+    k = int(n_neighbors)
+    dists = np.full((n, k), _SENTINEL, dtype=np.float64)
+    idxs = np.full((n, k), -1, dtype=np.int64)
+
+    if labels is None:
+        groups = [np.arange(n)]
+    else:
+        lab = np.asarray(labels)
+        groups = [np.where(lab == g)[0] for g in sorted(set(lab.tolist()))]
+
+    for gidx in groups:
+        gp = pts[gidx]
+        m = gp.shape[0]
+        if m <= k:
+            raise ValueError(
+                "group size %d requires n_neighbors < group size" % m
+            )
+        step = min(chunk_size, m)
+        for start in range(0, m, step):
+            end = min(start + step, m)
+            chunk = gp[start:end]
+            # (c, m) pairwise Euclidean distances, vectorized
+            sq = (
+                np.einsum("ij,ij->i", chunk, chunk)[:, None]
+                - 2.0 * chunk @ gp.T
+                + np.einsum("ij,ij->i", gp, gp)[None, :]
+            )
+            np.maximum(sq, 0.0, out=sq)
+            dist = np.sqrt(sq)
+            rows = np.arange(end - start)
+            dist[rows, rows + start] = np.inf  # mask self
+            knn_idx = np.argpartition(dist, k, axis=1)[:, :k]
+            knn_d = np.take_along_axis(dist, knn_idx, axis=1)
+            gsel = gidx[start:end]
+            dists[gsel] = knn_d
+            idxs[gsel] = gidx[knn_idx]
+    return dists, idxs
+
+
+class LoopResult:
+    """All per-row stage outputs of one LoOP fit (the 'store' columns)."""
+
+    __slots__ = (
+        "ssd",
+        "standard_distance",
+        "prob_distance",
+        "prob_distance_ev",
+        "plof",
+        "eplof2",
+        "nplof",
+        "scores",
+        "nplof_max",
+        "mean_prob_distance_ev",
+    )
+
+    def __init__(self, **kw):
+        for s in self.__slots__:
+            setattr(self, s, kw[s])
+
+
+def _prob_outlier_factor(pdist: np.ndarray, ev: np.ndarray) -> np.ndarray:
+    """PLOF with the reference's exact guards (loop.py:497-513)."""
+    if np.all(pdist == ev):
+        return np.zeros(np.shape(pdist))
+    ev = np.array(ev, dtype=np.float64, copy=True)
+    ev[ev == 0.0] = 1.0e-8
+    return np.divide(pdist, ev) - 1.0
+
+
+def _local_outlier_probability(plof, nplof) -> np.ndarray:
+    """Clamped erf normalization with all-equal guard (loop.py:530-549)."""
+    if np.all(plof == nplof):
+        return np.zeros(np.shape(plof))
+    plof_f = np.asarray(plof, dtype=np.float64)
+    nplof_f = np.asarray(nplof, dtype=np.float64)
+    return np.maximum(0.0, _erf_vec(plof_f / (nplof_f * np.sqrt(2.0))))
+
+
+def loop_from_knn(
+    knn_dists: np.ndarray,
+    knn_ids: np.ndarray,
+    n_neighbors: int,
+    extent: int = 3,
+    labels: Optional[np.ndarray] = None,
+) -> LoopResult:
+    """Run the LoOP pipeline given a precomputed kNN (distances + global ids).
+
+    This is the shared backend for both entry points: raw features (after
+    :func:`knn`) and user-precomputed distance/neighbor matrices.
+    """
+    d = np.asarray(knn_dists, dtype=np.float64)
+    ids = np.asarray(knn_ids)
+    n = d.shape[0]
+    k = float(n_neighbors)
+    if labels is None:
+        lab = np.zeros(n, dtype=np.int64)
+    else:
+        lab = np.asarray(labels)
+
+    ssd = np.einsum("ij,ij->i", d, d)  # A1: sum of squared neighbor dists
+    sigma = np.sqrt(ssd / k)  # A2: divisor is k, not group size
+    pdist = float(extent) * sigma  # A3
+
+    # A4: expected pdist over each row's neighborhood (NaN-dropping mean).
+    nbr = pdist[ids.astype(np.int64)]  # (n, k) gather by global row id
+    with np.errstate(invalid="ignore"):
+        ev = np.nanmean(nbr, axis=1)
+
+    plof = _prob_outlier_factor(pdist, ev)  # A5 (global guards)
+
+    # A6: per-group E[PLOF^2] over non-NaN members, broadcast to rows.
+    eplof2 = np.empty(n, dtype=np.float64)
+    for g in sorted(set(lab.tolist())):
+        sel = lab == g
+        vals = plof[sel]
+        vals = vals[~np.isnan(vals)]
+        eplof2[sel] = np.power(vals, 2).sum() / float(vals.size)
+
+    nplof = float(extent) * np.sqrt(eplof2)  # A7
+    scores = _local_outlier_probability(plof, nplof)  # A8
+
+    return LoopResult(
+        ssd=ssd,
+        standard_distance=sigma,
+        prob_distance=pdist,
+        prob_distance_ev=ev,
+        plof=plof,
+        eplof2=eplof2,
+        nplof=nplof,
+        scores=scores,
+        nplof_max=float(np.max(nplof)),  # A9 (stream normalizer)
+        mean_prob_distance_ev=float(np.mean(ev)),
+    )
+
+
+def loop_scores(
+    points: np.ndarray,
+    n_neighbors: int = 10,
+    extent: int = 3,
+    labels: Optional[np.ndarray] = None,
+) -> LoopResult:
+    """Raw-feature entry point: exact kNN then the LoOP pipeline."""
+    d, ids = knn(points, n_neighbors, labels=labels)
+    return loop_from_knn(d, ids, n_neighbors, extent=extent, labels=labels)
+
+
+def score_new_points(
+    new_points: np.ndarray,
+    fitted_points: np.ndarray,
+    n_neighbors: int,
+    extent: int,
+    mean_prob_distance_ev: float,
+    nplof_max: float,
+) -> np.ndarray:
+    """Vectorized incremental scorer (the reference ``stream()`` contract,
+    loop.py:993-1046) for a whole batch of new points at once.
+
+    Each new point is scored against the frozen fit: k nearest fitted
+    points -> ssd -> sigma -> pdist; PLOF against the fit's mean expected
+    pdist; LoOP against the fit's max nPLOF.  The model is not updated.
+    """
+    q = _as_matrix(new_points)
+    f = _as_matrix(fitted_points)
+    k = int(n_neighbors)
+    # (b, n) distances, vectorized
+    sq = (
+        np.einsum("ij,ij->i", q, q)[:, None]
+        - 2.0 * q @ f.T
+        + np.einsum("ij,ij->i", f, f)[None, :]
+    )
+    np.maximum(sq, 0.0, out=sq)
+    dist = np.sqrt(sq)
+    n = f.shape[0]
+    if n >= k:
+        part = np.partition(dist, k - 1, axis=1)[:, :k]
+    else:
+        # fewer fitted points than k: unfilled slots keep the sentinel,
+        # matching the reference's replace-max loop on a 9e10-initialized
+        # buffer (loop.py:1015, 1029-1031).
+        pad = np.full((dist.shape[0], k - n), _SENTINEL)
+        part = np.concatenate([dist, pad], axis=1)
+    ssd = np.einsum("ij,ij->i", part, part)
+    sigma = np.sqrt(ssd / float(k))
+    pdist = float(extent) * sigma
+    # The reference scores one point per stream() call, so its guards are
+    # scalar per point (loop.py:508-511, 542-543); applied row-wise here.
+    ev = float(mean_prob_distance_ev)
+    ev_safe = ev if ev != 0.0 else 1.0e-8
+    plof = np.where(pdist == ev, 0.0, pdist / ev_safe - 1.0)
+    scores = np.maximum(0.0, _erf_vec(plof / (float(nplof_max) * np.sqrt(2.0))))
+    return np.where(plof == nplof_max, 0.0, scores)
