@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+One place for the engine's Spark configuration so every job, test, and
+bench runs with the same posture:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  — the engine's answer to hot repo/lang keys alongside explicit salting
+  (:mod:`pynomaly_spark.skew`).
+* Arrow enabled and batch-sized for the grouped LoOP UDF: the kernel's
+  memory is O(batch * k), so cap Arrow batches instead of letting a whole
+  huge group arrive as one slab.
+* shuffle partitions sized to cores for local runs; on a real cluster the
+  validate job (:mod:`pynomaly_spark.jobs.validate_job`) overrides this to
+  ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for a 100 TB posture scaled to local testing; every knob
+# is overridable via extra_conf.
+_ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # grouped applyInPandas: spill-safe group assembly
+    "spark.sql.execution.pandas.udf.buffer.size": str(64 * 1024 * 1024),
+    # parquet scan: keep splits near the default 128m so partition counts
+    # track data volume, not file counts
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "pynomaly-spark",
+    cpus: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession with engine defaults.
+
+    ``cpus`` controls both ``local[N]`` and the shuffle-partition count;
+    the N-vs-4N scaling bench calls this twice with different values.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in _ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
