@@ -1,0 +1,463 @@
+"""Named engine queries over the driver test tables + DuckDB oracle SQL.
+
+Each entry pairs a Spark DataFrame builder with ANSI SQL that DuckDB runs
+on the same parquet (driver contract in ``__spark_entry__.py``).  Column
+names and rounding match exactly on both sides so the driver's
+order-insensitive value-hash agrees.
+
+These queries ARE the engine's operator surface demonstrated on neutral
+data: column stats, uniqueness, referential integrity, sha256 invariants,
+exact dedup, minhash fingerprints, token/quality text analysis, windowed
+event aggregation, ANN cosine top-k, and LoOP drift (rows-only: not
+SQL-expressible in the oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_R = 6  # default rounding for float-valued metrics
+
+
+def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark, sf_dir, name) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# column stats (checks.py V1/V10 surface on neutral tables)
+# --------------------------------------------------------------------------
+
+def q_doc_null_rate(spark, sf_dir):
+    return (
+        _doc(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(F.col("text").isNull().cast("double")), _R).alias(
+                "text_null_rate"
+            ),
+            F.round(F.avg(F.col("lang").isNull().cast("double")), _R).alias(
+                "lang_null_rate"
+            ),
+        )
+    )
+
+
+SQL_DOC_NULL_RATE = """
+SELECT source,
+       count(*) AS n_rows,
+       round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS text_null_rate,
+       round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS lang_null_rate
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    return (
+        _doc(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_lang_cardinality(spark, sf_dir):
+    return (
+        _doc(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_DOC_LANG_CARDINALITY = """
+SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_rows
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# uniqueness / referential integrity (checks.py V8/V9 surface)
+# --------------------------------------------------------------------------
+
+def q_lineitem_uniqueness(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("distinct_keys"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")
+        ).alias("duplicate_rows"),
+    )
+
+
+SQL_LINEITEM_UNIQUENESS = """
+SELECT count(*) AS total_rows,
+       count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys,
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_rows
+FROM lineitem
+"""
+
+
+def q_orders_ri_orphans(spark, sf_dir):
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    orphans = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+        on="o_custkey",
+        how="left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_orders"))
+
+
+SQL_ORDERS_RI_ORPHANS = """
+SELECT count(*) AS orphan_orders
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_lineitem_ri_orphans(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    orphans = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        on="l_orderkey",
+        how="left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+
+
+SQL_LINEITEM_RI_ORPHANS = """
+SELECT count(*) AS orphan_lineitems
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# row invariant + dedup + fingerprints (sha256/md5 shared by both engines)
+# --------------------------------------------------------------------------
+
+def q_doc_sha256(spark, sf_dir):
+    return (
+        _doc(spark, sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.sha2("text", 256).alias("text_sha256"))
+    )
+
+
+SQL_DOC_SHA256 = """
+SELECT doc_id, sha256(text) AS text_sha256
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    return (
+        _doc(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.md5("text")).alias("distinct_texts"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+                "dup_rows"
+            ),
+        )
+    )
+
+
+SQL_DOC_DEDUP_EXACT = """
+SELECT source, count(*) AS n_rows,
+       count(DISTINCT md5(text)) AS distinct_texts,
+       count(*) - count(DISTINCT md5(text)) AS dup_rows
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_minhash(spark, sf_dir):
+    """4-permutation minhash signature over word shingles, md5-keyed so the
+    oracle computes the identical signature.  (The scale path uses
+    xxhash64 permutations — same plan shape, cheaper hash.)"""
+    doc = _doc(spark, sf_dir).where(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), r"\s+")
+
+    def _minhash(seed: int):
+        # NB: the lambda must take exactly ONE arg — F.transform passes the
+        # array index to a second parameter, which would shadow the seed.
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(F.lit(str(seed)), w)))
+        ).alias(f"h{seed}")
+
+    return doc.select("doc_id", *[_minhash(s) for s in range(4)])
+
+
+SQL_DOC_MINHASH = """
+SELECT doc_id,
+       min(md5('0' || w)) AS h0,
+       min(md5('1' || w)) AS h1,
+       min(md5('2' || w)) AS h2,
+       min(md5('3' || w)) AS h3
+FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+      FROM documents WHERE doc_id < 100)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_doc_token_stats(spark, sf_dir):
+    doc = _doc(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), r"\s+")).cast("double")
+    return doc.groupBy("lang").agg(
+        F.round(F.avg(n_tokens), _R).alias("avg_tokens"),
+        F.round(F.avg(F.length("text").cast("double")), _R).alias("avg_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT lang,
+       round(avg(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)), 6) AS avg_tokens,
+       round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    doc = _doc(spark, sf_dir)
+    text_len = F.length("text").cast("double")
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+    return doc.groupBy("lang").agg(
+        F.round(F.avg(punct / F.greatest(text_len, F.lit(1.0))), _R).alias(
+            "punct_ratio"
+        ),
+        F.round(F.avg(digits / F.greatest(text_len, F.lit(1.0))), _R).alias(
+            "digit_ratio"
+        ),
+    )
+
+
+SQL_DOC_QUALITY = """
+SELECT lang,
+       round(avg(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)), 6) AS punct_ratio,
+       round(avg(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)), 6) AS digit_ratio
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# windowed event aggregation (streaming-shaped; batch semantics here)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), _R).alias("avg_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+       count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type, hour
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search: brute-force cosine top-k (the ANN baseline)
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    ne = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), (dot / (nq * ne)).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "rnk", "neighbor_id")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5)
+SELECT query_id, rnk, neighbor_id FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style pricing summary (classic agg coverage)
+# --------------------------------------------------------------------------
+
+def q_lineitem_pricing(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), _R).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# LoOP drift (rows-only: the oracle cannot express the kernel in SQL)
+# --------------------------------------------------------------------------
+
+def q_doc_drift_loop(spark, sf_dir):
+    from .checks import drift_features
+    from .drift import loop_grouped
+
+    doc = _doc(spark, sf_dir).where(F.col("text").isNotNull())
+    feats = doc.select(
+        F.col("doc_id").alias("row_id"),
+        F.col("lang").alias("partition_id"),
+        drift_features("text").alias("features"),
+    )
+    scored = loop_grouped(feats, n_neighbors=10, extent=3)
+    return scored.select(
+        "partition_id",
+        "row_id",
+        F.round("loop_score", 6).alias("loop_score"),
+        "gated",
+    )
+
+
+def q_emb_drift_loop(spark, sf_dir):
+    from .drift import loop_grouped
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.col("label").cast("string").alias("partition_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    scored = loop_grouped(feats, n_neighbors=10, extent=3)
+    return scored.select(
+        "partition_id",
+        "row_id",
+        F.round("loop_score", 6).alias("loop_score"),
+        "gated",
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_null_rate": q_doc_null_rate,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "doc_lang_cardinality": q_doc_lang_cardinality,
+    "lineitem_uniqueness": q_lineitem_uniqueness,
+    "orders_ri_orphans": q_orders_ri_orphans,
+    "lineitem_ri_orphans": q_lineitem_ri_orphans,
+    "doc_sha256": q_doc_sha256,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_minhash": q_doc_minhash,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "events_hourly": q_events_hourly,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lineitem_pricing": q_lineitem_pricing,
+    "doc_drift_loop": q_doc_drift_loop,
+    "emb_drift_loop": q_emb_drift_loop,
+}
+
+ORACLES: Dict[str, str] = {
+    "doc_null_rate": SQL_DOC_NULL_RATE,
+    "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
+    "doc_lang_cardinality": SQL_DOC_LANG_CARDINALITY,
+    "lineitem_uniqueness": SQL_LINEITEM_UNIQUENESS,
+    "orders_ri_orphans": SQL_ORDERS_RI_ORPHANS,
+    "lineitem_ri_orphans": SQL_LINEITEM_RI_ORPHANS,
+    "doc_sha256": SQL_DOC_SHA256,
+    "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+    "doc_minhash": SQL_DOC_MINHASH,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    # doc_drift_loop / emb_drift_loop: rows-only (LoOP not SQL-expressible)
+}

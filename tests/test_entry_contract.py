@@ -1,0 +1,44 @@
+"""Driver-contract replica: entry() smoke + oracle parity at sf0.001.
+
+(The driver itself runs the oracle gate at sf0.01; sf0.001 keeps the
+suite fast.  ``python tests/oracle_compare.py /root/testdata/sf0.01``
+runs the full-scale version.)
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = set(df.columns)
+    assert {"partition_id", "check_name", "metric", "value", "passed"} <= cols
+
+
+def test_queries_and_oracles_line_up():
+    import __spark_entry__ as mod
+
+    q = mod.queries()
+    o = mod.oracle_sql()
+    assert set(o) <= set(q)
+    # rows-only entries are the LoOP drift ops (documented non-SQL ops)
+    rows_only = set(q) - set(o)
+    assert rows_only == {"doc_drift_loop", "emb_drift_loop"}
+
+
+def test_oracle_parity_all(spark):
+    from tests.oracle_compare import compare_all
+
+    res = compare_all(spark, SF)
+    failures = {k: v for k, v in res.items() if not v["ok"]}
+    assert not failures, failures
