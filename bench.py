@@ -1,0 +1,128 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric", "value", "unit", "queries", "sf", ...}``.
+
+Each query executes via the noop data source (full plan execution, no
+driver collect), timed after a warm-up pass that initializes the JVM,
+Arrow, and Python worker pools.  The north metric — validated files/sec
+over the synthetic code table — is measured alongside (full constraint
+suite + LoOP drift via run_suite).
+
+The N-vs-4N scaling evidence lives in ``bench_scaling.py`` (spark-submit
+at local[8] vs local[32]); this file is the quick per-round signal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "doc_null_rate",
+    "doc_length_quantiles",
+    "lineitem_uniqueness",
+    "orders_ri_orphans",
+    "lineitem_pricing",
+    "doc_dedup_exact",
+    "doc_minhash",
+    "doc_token_stats",
+    "events_hourly",
+    "ann_cosine_topk",
+    "doc_drift_loop",
+    "emb_drift_loop",
+]
+
+CODE_TABLE_ROWS = int(os.environ.get("BENCH_CODE_ROWS", "100000"))
+
+
+def _noop_run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _code_table_dir(spark) -> str:
+    """Build (once) and cache the synthetic code table for the north metric."""
+    cache = f"/tmp/pynomaly_bench/code_{CODE_TABLE_ROWS}"
+    marker = f"{cache}/_DONE"
+    if not os.path.exists(marker):
+        from pynomaly_spark.datagen import CodeTableSpec, write_code_table
+
+        write_code_table(
+            spark, cache, CodeTableSpec(n_rows=CODE_TABLE_ROWS, seed=7)
+        )
+        open(marker, "w").write("ok")
+    return cache
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+
+    from pynomaly_spark.queries import QUERIES
+    from pynomaly_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+
+    # warm-up: exercise scan + shuffle + Arrow UDF machinery once
+    warm = QUERIES["doc_drift_loop"](spark, sf_dir)
+    _noop_run(warm.limit(1000))
+    _noop_run(QUERIES["lineitem_pricing"](spark, sf_dir))
+
+    timings = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _noop_run(df)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # north metric: validated files/sec over the synthetic code table
+    from pynomaly_spark.checks import (
+        CheckSuite,
+        Drift,
+        RowInvariant,
+        run_suite,
+    )
+
+    ct = _code_table_dir(spark)
+    files = spark.read.parquet(f"{ct}/files.parquet")
+    commits = spark.read.parquet(f"{ct}/commits.parquet")
+    oracle = spark.read.parquet(f"{ct}/sha_oracle.parquet")
+    suite = CheckSuite.default()
+    # hot-group salting keeps the LoOP stage parallel (skew handling);
+    # sub-fit approximation documented in pynomaly_spark/skew.py
+    suite.checks = [
+        Drift(max_group_rows=int(os.environ.get("BENCH_SALT_ROWS", "8000")))
+        if isinstance(c, Drift)
+        else c
+        for c in suite.checks
+    ]
+    suite.checks.append(RowInvariant())
+    n_files = files.count()
+    t0 = time.perf_counter()
+    res = run_suite(files, suite, commits=commits, sha_oracle=oracle)
+    _noop_run(res.metrics)
+    _noop_run(res.violations)
+    validate_sec = time.perf_counter() - t0
+    timings["validate_suite"] = round(validate_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "validated_files_per_sec": round(n_files / validate_sec, 1),
+        "code_table_rows": n_files,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,9 @@ class Drift:
     extent: int = 3
     score_threshold: float = 0.95
     max_violation_rate: float = 0.02
+    # groups above this row count are salted into independent sub-fits
+    # (the documented at-scale approximation; None = always exact)
+    max_group_rows: Optional[int] = None
 
     @property
     def name(self) -> str:
@@ -163,6 +166,11 @@ class CheckSuite:
 class SuiteResult:
     metrics: DataFrame
     violations: DataFrame
+    persisted: List = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.persisted:
+            df.unpersist()
 
 
 def default_partition_expr():
@@ -196,6 +204,15 @@ def run_suite(
 
     ``df`` is the code table.  ``commits`` is the RI dimension (small ->
     broadcast).  ``sha_oracle`` carries per-key expected content sha.
+
+    Physical strategy: ONE projection pass decodes the heavy ``content``
+    column into slim derived columns (null flags, lengths, token counts,
+    sha digests) — the ``enriched`` relation — which is persisted and
+    feeds every check branch.  Without this, each check family re-scans
+    and re-decodes the widest column of the table (at 100 TB, content IS
+    the table).  All metric emitters for a shared subtree collapse into a
+    single explode(array(struct...)) branch so union branches never
+    duplicate aggregation work.
     """
     part = partition_expr if partition_expr is not None else default_partition_expr()
     src = df.withColumn("partition_id", part).withColumn(
@@ -204,16 +221,49 @@ def run_suite(
 
     metric_frames: List[DataFrame] = []
     violation_frames: List[DataFrame] = []
+    _persisted: List[DataFrame] = []
+
+    # ---- 0. the single heavy-column pass ---------------------------------
+    derived: dict = {}
+
+    def _need(alias: str, expr) -> str:
+        if alias not in derived:
+            derived[alias] = expr.alias(alias)
+        return alias
+
+    drift_requested = any(isinstance(c, Drift) for c in suite.checks)
+    for chk in suite.checks:
+        if isinstance(chk, NullRate):
+            _need(f"_null_{chk.column}", F.col(chk.column).isNull())
+        elif isinstance(chk, LengthQuantiles):
+            _need(f"_len_{chk.column}", F.length(F.col(chk.column)))
+        elif isinstance(chk, Cardinality):
+            _need(f"_card_{chk.column}", F.col(chk.column))
+        elif isinstance(chk, RowInvariant):
+            _need(
+                f"_sha_{chk.content_col}", F.sha2(F.col(chk.content_col), 256)
+            )
+    if drift_requested:
+        _need("_null_content", F.col("content").isNull())
+        _need("_len_content", F.length(F.col("content")))
+        _need(
+            "_ntok_content", F.size(F.split(F.col("content"), r"\s+"))
+        )
+
+    enriched = src.select(
+        "partition_id", "row_id", "repo", "path", "commit", *derived.values()
+    ).persist()
+    _persisted.append(enriched)
 
     # ---- 1. single-pass per-partition column stats ----------------------
     agg_exprs = [F.count(F.lit(1)).alias("_rows")]
-    stat_emitters = []  # (check, metric_name, stats_col, threshold, pass_expr)
+    stat_emitters = []  # (check name, metric, stats col, threshold, op)
 
     for chk in suite.checks:
         if isinstance(chk, NullRate):
             col = f"_nr_{chk.column}"
             agg_exprs.append(
-                F.avg(F.col(chk.column).isNull().cast("double")).alias(col)
+                F.avg(F.col(f"_null_{chk.column}").cast("double")).alias(col)
             )
             stat_emitters.append(
                 (chk.name, "null_rate", col, float(chk.max_rate), "le")
@@ -223,7 +273,7 @@ def run_suite(
                 col = f"_lq_{chk.column}_{int(q*100)}"
                 agg_exprs.append(
                     F.percentile_approx(
-                        F.length(F.col(chk.column)), q, 10000
+                        F.col(f"_len_{chk.column}"), q, 10000
                     ).cast("double").alias(col)
                 )
                 thr = (
@@ -236,28 +286,39 @@ def run_suite(
                 )
         elif isinstance(chk, Cardinality):
             col = f"_cd_{chk.column}"
-            agg_exprs.append(F.approx_count_distinct(chk.column).alias(col))
+            agg_exprs.append(
+                F.approx_count_distinct(f"_card_{chk.column}").alias(col)
+            )
             thr = float(chk.max_distinct) if chk.max_distinct else None
             stat_emitters.append(
                 (chk.name, "approx_distinct", col, thr, "le" if thr else None)
             )
 
-    stats = src.groupBy("partition_id").agg(*agg_exprs)
-    for name, metric, col, thr, op in stat_emitters:
-        passed = (
-            F.lit(True)
-            if op is None
-            else (F.col(col).cast("double") <= F.lit(thr))
-        )
+    if stat_emitters:
+        stats = enriched.groupBy("partition_id").agg(*agg_exprs)
+        # ONE branch for all column stats: unpivot the wide agg row via
+        # explode(array(struct...)) so the aggregation subtree runs once,
+        # not once per metric
+        structs = []
+        for name, metric, col, thr, op in stat_emitters:
+            passed = (
+                F.lit(True)
+                if op is None
+                else (F.col(col).cast("double") <= F.lit(thr))
+            )
+            structs.append(
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.lit(metric).alias("metric"),
+                    F.col(col).cast("double").alias("value"),
+                    F.lit(thr).cast("double").alias("threshold"),
+                    passed.alias("passed"),
+                )
+            )
         metric_frames.append(
             stats.select(
-                "partition_id",
-                F.lit(name).alias("check_name"),
-                F.lit(metric).alias("metric"),
-                F.col(col).cast("double").alias("value"),
-                F.lit(thr).cast("double").alias("threshold"),
-                passed.alias("passed"),
-            )
+                "partition_id", F.explode(F.array(*structs)).alias("_m")
+            ).select("partition_id", "_m.*")
         )
 
     # ---- 2. uniqueness ---------------------------------------------------
@@ -265,11 +326,14 @@ def run_suite(
         if not isinstance(chk, Uniqueness):
             continue
         keys = list(chk.keys)
+        # consumed by both output actions; the groupBy output is only the
+        # offending keys — tiny relative to the input
         dup_groups = (
-            src.groupBy("partition_id", *keys)
+            enriched.groupBy("partition_id", *keys)
             .agg(F.count(F.lit(1)).alias("_cnt"))
             .where(F.col("_cnt") > 1)
-        )
+        ).persist()
+        _persisted.append(dup_groups)
         metric_frames.append(
             dup_groups.groupBy("partition_id")
             .agg(F.sum(F.col("_cnt") - 1).cast("double").alias("value"))
@@ -283,7 +347,7 @@ def run_suite(
             )
         )
         violation_frames.append(
-            src.join(dup_groups.drop("_cnt"), on=["partition_id"] + keys)
+            enriched.join(dup_groups.drop("_cnt"), on=["partition_id"] + keys)
             .select(
                 "partition_id",
                 F.lit(chk.name).alias("check_name"),
@@ -303,7 +367,10 @@ def run_suite(
         if commits is None:
             continue
         keys = list(chk.keys)
-        orphans = src.join(F.broadcast(commits), on=keys, how="left_anti")
+        orphans = enriched.join(
+            F.broadcast(commits), on=keys, how="left_anti"
+        ).persist()
+        _persisted.append(orphans)
         violation_frames.append(
             orphans.select(
                 "partition_id",
@@ -329,19 +396,18 @@ def run_suite(
             )
         )
 
-    # ---- 4. sha256 row invariant -----------------------------------------
+    # ---- 4. sha256 row invariant (digest precomputed in enriched) --------
     for chk in suite.checks:
         if not isinstance(chk, RowInvariant):
             continue
         if sha_oracle is None:
             continue
         keys = list(chk.join_keys)
-        joined = src.join(sha_oracle, on=keys, how="inner")
+        joined = enriched.join(sha_oracle, on=keys, how="inner")
         mismatch = joined.where(
-            ~F.sha2(F.col(chk.content_col), 256).eqNullSafe(
-                F.col(chk.oracle_col)
-            )
-        )
+            ~F.col(f"_sha_{chk.content_col}").eqNullSafe(F.col(chk.oracle_col))
+        ).persist()
+        _persisted.append(mismatch)
         violation_frames.append(
             mismatch.select(
                 "partition_id",
@@ -371,34 +437,45 @@ def run_suite(
     for chk in suite.checks:
         if not isinstance(chk, Drift):
             continue
-        feats = (
-            src.where(F.col("content").isNotNull())
-            .select(
-                "row_id",
-                "partition_id",
-                "repo",
-                "path",
-                "commit",
-                drift_features().alias("features"),
-            )
+        n_chars = F.col("_len_content").cast("double")
+        n_tokens = F.col("_ntok_content").cast("double")
+        feature_expr = F.array(
+            F.log1p(n_chars),
+            F.log1p(n_tokens),
+            F.log1p(n_chars / F.greatest(n_tokens, F.lit(1.0))),
         )
-        scored = loop_grouped(
-            feats.select("row_id", "partition_id", "features"),
+        feats = enriched.where(~F.col("_null_content")).select(
+            "row_id",
+            "partition_id",
+            "repo",
+            "path",
+            "commit",
+            feature_expr.alias("features"),
+        )
+        salt_col = None
+        if chk.max_group_rows:
+            from .skew import with_salt
+
+            feats = with_salt(feats, chk.max_group_rows)
+            salt_col = "salt"
+        # key columns ride through the Arrow UDF (no re-join); persist the
+        # slim scored output so both actions share one kernel execution
+        keyed = loop_grouped(
+            feats,
             n_neighbors=chk.n_neighbors,
             extent=chk.extent,
-        )
-        keyed = scored.join(
-            feats.select("row_id", "repo", "path", "commit"), on="row_id"
-        )
-        drift_stats = scored.groupBy("partition_id").agg(
+            carry_cols=["repo", "path", "commit"],
+            salt_col=salt_col,
+        ).persist()
+        _persisted.append(keyed)
+        drift_stats = keyed.groupBy("partition_id").agg(
             F.avg(
                 (F.col("loop_score") > chk.score_threshold).cast("double")
             ).alias("_vrate"),
             F.max(F.col("gated").cast("int")).alias("_gated"),
         )
-        metric_frames.append(
-            drift_stats.select(
-                "partition_id",
+        drift_structs = [
+            F.struct(
                 F.lit(chk.name).alias("check_name"),
                 F.lit("violation_rate").alias("metric"),
                 F.col("_vrate").alias("value"),
@@ -407,17 +484,19 @@ def run_suite(
                     (F.col("_gated") == 0)
                     & (F.col("_vrate") <= chk.max_violation_rate)
                 ).alias("passed"),
-            )
-        )
-        metric_frames.append(
-            drift_stats.select(
-                "partition_id",
+            ),
+            F.struct(
                 F.lit(chk.name).alias("check_name"),
                 F.lit("gated").alias("metric"),
                 F.col("_gated").cast("double").alias("value"),
                 F.lit(0.0).alias("threshold"),
                 (F.col("_gated") == 0).alias("passed"),
-            )
+            ),
+        ]
+        metric_frames.append(
+            drift_stats.select(
+                "partition_id", F.explode(F.array(*drift_structs)).alias("_m")
+            ).select("partition_id", "_m.*")
         )
         violation_frames.append(
             keyed.where(F.col("loop_score") > chk.score_threshold).select(
@@ -445,4 +524,4 @@ def run_suite(
             " repo string, path string, commit string, detail string,"
             " loop_score double"
         )
-    return SuiteResult(metrics=metrics, violations=violations)
+    return SuiteResult(metrics=metrics, violations=violations, persisted=_persisted)

@@ -1,0 +1,219 @@
+"""Deduplication operators for large text corpora.
+
+All plans are Catalyst-native (hashing, array ops, windows); nothing per
+row touches Python.  Four families:
+
+* :func:`exact_dedup` — hash-groupBy on content digest; keeps one
+  deterministic survivor per group.
+* :func:`minhash_signatures` / :func:`lsh_candidate_pairs` /
+  :func:`verified_near_dups` — MinHash+LSH near-dup: shingle -> per-seed
+  xxhash64 min -> band hashes -> bucket join -> exact Jaccard verify.
+* :func:`simhash64` — 64-bit SimHash from token-hash bit votes (64 JVM
+  aggregate expressions over exploded tokens).
+* :func:`ngram_jaccard` — exact n-gram Jaccard for a pair table
+  (the verify primitive, usable standalone).
+
+Scale notes: the LSH bucket join shuffles on (band, band_hash); hot
+buckets (boilerplate shingles) are bounded by ``max_bucket_size``
+filtering before the pair join — the classic guard against quadratic
+blowup on near-identical boilerplate clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "verified_near_dups",
+    "simhash64",
+    "ngram_jaccard",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "content", id_col: str = "row_id"
+) -> DataFrame:
+    """Drop exact-duplicate texts; survivor = smallest id per digest.
+
+    One shuffle (window over digest).  Null texts are all kept (a null
+    digest group would otherwise collapse distinct null rows).
+    """
+    digest = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy(digest).orderBy(F.col(id_col).asc())
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.where(F.col(text_col).isNull() | (F.col("_rn") == 1))
+        .drop("_rn")
+    )
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), built with transform over a
+    token sequence — all JVM expression code."""
+    toks = F.split(F.col(text_col), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) — per-seed min of xxhash64(shingle).
+
+    xxhash64 with distinct seeds stands in for independent permutations;
+    entirely whole-stage-codegen (transform + array_min per seed).
+    """
+    sh = shingles(text_col, shingle_n)
+    base = df.select(F.col(id_col), sh.alias("_sh")).where(F.size("_sh") > 0)
+
+    def mh(seed: int):
+        return F.array_min(
+            F.transform("_sh", lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sig = F.array(*[mh(s) for s in range(num_perm)])
+    return base.select(F.col(id_col), sig.alias("minhash_sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "row_id",
+    bands: int = 16,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate (id_a, id_b) pairs.
+
+    rows_per_band = num_perm / bands.  Buckets larger than
+    ``max_bucket_size`` are dropped (boilerplate guard) — at 100 TB a
+    single viral shingle set would otherwise yield O(n^2) pairs.
+    """
+    num_perm_row = sigs.select(F.size("minhash_sig").alias("s")).head()
+    num_perm = int(num_perm_row["s"])
+    rows_per_band = max(1, num_perm // bands)
+
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("minhash_sig").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band", "band_hash"),
+    )
+
+    counts = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ok = counts.where(F.col("_n") <= max_bucket_size).drop("_n")
+    pruned = banded.join(ok, on=["band", "band_hash"], how="inner")
+
+    a = pruned.select(
+        "band", "band_hash", F.col(id_col).alias("id_a")
+    )
+    b = pruned.select(
+        "band", "band_hash", F.col(id_col).alias("id_b")
+    )
+    pairs = (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for each candidate pair."""
+    sh = docs.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), on="id_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter / F.greatest(union, F.lit(1.0))).alias("jaccard"),
+    )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash LSH near-dup: candidates then exact verify."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    scored = ngram_jaccard(pairs, df, text_col, id_col, shingle_n)
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "content", id_col: str = "row_id"
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, signed bit votes, sign -> bit.
+
+    One explode + one groupBy; the 64 vote sums are plain aggregate
+    expressions (partial aggregation map-side, so the shuffle carries 64
+    longs per id, not per token).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    h = F.xxhash64("_tok")
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

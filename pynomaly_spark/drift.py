@@ -109,30 +109,52 @@ def loop_grouped(
     partition_col: str = "partition_id",
     features_col: str = "features",
     id_col: str = "row_id",
+    carry_cols: Optional[list] = None,
+    salt_col: Optional[str] = None,
 ) -> DataFrame:
     """Exact per-group LoOP via one grouped Arrow UDF stage.
 
     Input: ``(id_col, partition_col, features_col: array<double>)``.
-    Output: :data:`LOOP_OUTPUT_SCHEMA`.
+    Output: :data:`LOOP_OUTPUT_SCHEMA` (+ ``carry_cols`` passed through,
+    saving a re-join against the source for violation reporting).
+
+    ``salt_col``: when set, grouping is by ``(partition_col, salt_col)``
+    and each sub-group is scored independently — the documented at-scale
+    approximation for skewed hot partitions (see
+    :func:`pynomaly_spark.skew.with_salt`).  The emitted ``partition_id``
+    stays the ORIGINAL partition value.
     """
     k, ext = int(n_neighbors), int(extent)
+    carry = list(carry_cols or [])
+
+    out_schema = StructType(
+        LOOP_OUTPUT_SCHEMA.fields
+        + [df.schema[c] for c in carry]
+    )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = str(pdf[partition_col].iloc[0])
         row_ids = pdf[id_col].to_numpy()
         if len(pdf) <= k:
-            return _gated_frame(pid, row_ids)
-        pts = np.stack(pdf[features_col].to_numpy())
-        res = kernel.loop_scores(pts, n_neighbors=k, extent=ext)
-        return _result_frame(pid, row_ids, res)
+            out = _gated_frame(pid, row_ids)
+        else:
+            pts = np.stack(pdf[features_col].to_numpy())
+            res = kernel.loop_scores(pts, n_neighbors=k, extent=ext)
+            out = _result_frame(pid, row_ids, res)
+        for c in carry:
+            out[c] = pdf[c].to_numpy()
+        return out
 
     slim = df.select(
         F.col(id_col).alias(id_col),
         F.col(partition_col).cast("string").alias(partition_col),
         F.col(features_col).alias(features_col),
+        *[F.col(c) for c in carry],
+        *([F.col(salt_col)] if salt_col else []),
     )
-    return slim.groupBy(partition_col).applyInPandas(
-        score_group, schema=LOOP_OUTPUT_SCHEMA
+    group_keys = [partition_col] + ([salt_col] if salt_col else [])
+    return slim.groupBy(*group_keys).applyInPandas(
+        score_group, schema=out_schema
     )
 
 

@@ -1,0 +1,121 @@
+"""spark-submit entry point: validate a code table end-to-end.
+
+Cluster form (north rule)::
+
+    spark-submit --master <cluster> --py-files pynomaly_spark.zip \
+        validate_job.py --input /data/code_table --ckpt /data/ckpt \
+        --salt-rows 100000
+
+Sandbox form (scaling evidence, see bench_scaling.py)::
+
+    spark-submit --master local[8]  ... ; spark-submit --master local[32] ...
+
+Prints ONE JSON line: rows validated, wall seconds, files/sec, partitions
+committed/skipped.  Resumable: rerunning with the same --ckpt skips
+committed partitions (per-partition manifests carry lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="dir with files.parquet [+ commits/sha_oracle]")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir (enables resume)")
+    p.add_argument("--out", default=None, help="plain output dir (no resume)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--extent", type=int, default=3)
+    p.add_argument("--salt-rows", type=int, default=100_000,
+                   help="salt drift groups above this row count (0 = never)")
+    p.add_argument("--snapshot-id", default="local")
+    args = p.parse_args(argv)
+
+    # import after arg parsing so --help is instant under spark-submit
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from pyspark.sql import SparkSession
+
+    from pynomaly_spark.checks import (
+        Cardinality,
+        CheckSuite,
+        Drift,
+        LengthQuantiles,
+        NullRate,
+        ReferentialIntegrity,
+        RowInvariant,
+        Uniqueness,
+        run_suite,
+    )
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    files = spark.read.parquet(f"{args.input}/files.parquet")
+    commits = sha_oracle = None
+    if os.path.exists(f"{args.input}/commits.parquet"):
+        commits = spark.read.parquet(f"{args.input}/commits.parquet")
+    if os.path.exists(f"{args.input}/sha_oracle.parquet"):
+        sha_oracle = spark.read.parquet(f"{args.input}/sha_oracle.parquet")
+
+    checks = [
+        NullRate("content", max_rate=0.01),
+        NullRate("lang", max_rate=0.02),
+        LengthQuantiles("content"),
+        Cardinality("lang", max_distinct=64),
+        Uniqueness(),
+        Drift(
+            n_neighbors=args.k,
+            extent=args.extent,
+            max_group_rows=args.salt_rows or None,
+        ),
+    ]
+    if commits is not None:
+        checks.append(ReferentialIntegrity())
+    if sha_oracle is not None:
+        checks.append(RowInvariant())
+    suite = CheckSuite(checks=checks)
+
+    n_rows = files.count()
+    t0 = time.perf_counter()
+    if args.ckpt:
+        from pynomaly_spark.checkpoint import validate_resumable
+
+        summary = validate_resumable(
+            spark,
+            files,
+            suite,
+            args.ckpt,
+            commits=commits,
+            sha_oracle=sha_oracle,
+            input_snapshot_id=args.snapshot_id,
+        )
+    else:
+        res = run_suite(files, suite, commits=commits, sha_oracle=sha_oracle)
+        out = args.out or "/tmp/pynomaly_validate_out"
+        res.metrics.write.mode("overwrite").parquet(f"{out}/metrics.parquet")
+        res.violations.write.mode("overwrite").parquet(f"{out}/violations.parquet")
+        res.unpersist()
+        summary = {"out": out}
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "wall_sec": round(wall, 3),
+                "files_per_sec": round(n_rows / wall, 1),
+                "suite_hash": suite.suite_hash(),
+                "parallelism": spark.sparkContext.defaultParallelism,
+                **summary,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One Spark task = one Python worker = one kernel invocation.  numpy's
+# BLAS would otherwise spawn a thread pool PER worker (32 workers x N
+# threads thrashes the box); task-level parallelism is Spark's job.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 # Defaults chosen for a 100 TB posture scaled to local testing; every knob
 # is overridable via extra_conf.
 _ENGINE_CONF = {

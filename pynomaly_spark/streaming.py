@@ -1,0 +1,162 @@
+"""Frozen-model incremental scoring (the reference ``stream()`` contract).
+
+The reference scores one point at a time against a frozen fit
+(loop.py:993-1046): brute-force kNN to the fitted points, then
+ssd -> sigma -> pdist, PLOF against the fit's MEAN expected pdist, LoOP
+against the fit's MAX nPLOF; the model is never updated between refits
+(docs/user-guide.md:173-176).
+
+The engine keeps those semantics but vectorizes per micro-batch:
+
+* :class:`ModelSnapshot` — the frozen state (fitted points + two scalars
+  + k/extent), saved/loaded as parquet + JSON; small enough to broadcast.
+* :func:`score_batch` — ``mapInPandas`` scorer: whole Arrow batches
+  against the broadcast snapshot (kernel.score_new_points).
+* :func:`score_stream` — the same scorer attached to a Structured
+  Streaming source; no watermark or state store needed because the model
+  is frozen — late rows simply score against the current snapshot, and
+  "refit periodically" = swap the snapshot path between micro-batches.
+
+Accuracy contracts carried over from the reference suite: stream-vs-batch
+RMSE < 0.35 (tests/test_loop.py:741).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from . import kernel
+
+__all__ = ["ModelSnapshot", "fit_snapshot", "score_batch", "score_stream"]
+
+
+@dataclass
+class ModelSnapshot:
+    points: np.ndarray  # fitted feature matrix (n, d)
+    n_neighbors: int
+    extent: int
+    mean_prob_distance_ev: float
+    nplof_max: float
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "points.npy"), self.points)
+        with open(os.path.join(path, "model.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_neighbors": self.n_neighbors,
+                    "extent": self.extent,
+                    "mean_prob_distance_ev": self.mean_prob_distance_ev,
+                    "nplof_max": self.nplof_max,
+                },
+                fh,
+            )
+
+    @staticmethod
+    def load(path: str) -> "ModelSnapshot":
+        pts = np.load(os.path.join(path, "points.npy"))
+        with open(os.path.join(path, "model.json")) as fh:
+            meta = json.load(fh)
+        return ModelSnapshot(points=pts, **meta)
+
+
+def fit_snapshot(
+    points: np.ndarray, n_neighbors: int = 10, extent: int = 3
+) -> ModelSnapshot:
+    """Batch-fit the model state the scorer needs (single group)."""
+    res = kernel.loop_scores(points, n_neighbors=n_neighbors, extent=extent)
+    return ModelSnapshot(
+        points=np.asarray(points, dtype=np.float64),
+        n_neighbors=n_neighbors,
+        extent=extent,
+        mean_prob_distance_ev=res.mean_prob_distance_ev,
+        nplof_max=res.nplof_max,
+    )
+
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("row_id", LongType(), False),
+        StructField("loop_score", DoubleType(), True),
+    ]
+)
+
+
+def _scorer(snapshot_bc, id_col: str, features_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        snap: ModelSnapshot = snapshot_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pts = np.stack(pdf[features_col].to_numpy())
+            scores = kernel.score_new_points(
+                pts,
+                snap.points,
+                n_neighbors=snap.n_neighbors,
+                extent=snap.extent,
+                mean_prob_distance_ev=snap.mean_prob_distance_ev,
+                nplof_max=snap.nplof_max,
+            )
+            yield pd.DataFrame(
+                {"row_id": pdf[id_col].to_numpy(), "loop_score": scores}
+            )
+
+    return fn
+
+
+def score_batch(
+    df: DataFrame,
+    snapshot: ModelSnapshot,
+    id_col: str = "row_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Score a (static or streaming) DataFrame against a frozen snapshot.
+
+    Whole-batch Arrow transfer; the snapshot is broadcast once per
+    executor, not per row.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(snapshot)
+    slim = df.select(F.col(id_col).alias(id_col), F.col(features_col))
+    return slim.mapInPandas(_scorer(bc, id_col, features_col), _SCORE_SCHEMA)
+
+
+def score_stream(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    trigger_once: bool = True,
+):
+    """Attach the frozen-model scorer to a streaming source.
+
+    ``foreachBatch`` reloads the snapshot path at each micro-batch, so a
+    periodic batch refit can atomically swap the model without restarting
+    the stream.  Returns the started StreamingQuery.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        snap = ModelSnapshot.load(snapshot_path)
+        scored = score_batch(batch_df, snap, id_col, features_col)
+        scored.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,73 @@
+"""Resumable validation: commit manifests, skip committed partitions,
+idempotent rerun."""
+
+import json
+import os
+
+import pytest
+
+from pynomaly_spark.checkpoint import CheckpointManager, validate_resumable
+from pynomaly_spark.checks import CheckSuite, NullRate, Uniqueness
+from pynomaly_spark.datagen import CodeTableSpec, generate_code_table
+
+
+@pytest.fixture(scope="module")
+def files_df(spark):
+    files_pd, _, _ = generate_code_table(CodeTableSpec(n_rows=800))
+    return spark.createDataFrame(files_pd.drop(columns=["content_sha"]))
+
+
+def _suite():
+    return CheckSuite(checks=[NullRate("content", 0.01), Uniqueness()])
+
+
+def test_first_run_commits_all(spark, files_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    summary = validate_resumable(
+        spark, files_df, _suite(), ckpt, input_snapshot_id="snap1"
+    )
+    assert summary["skipped_committed"] == 0
+    assert summary["committed_now"] == summary["total_partitions"] > 0
+
+    mgr = CheckpointManager(ckpt)
+    manifests = mgr.manifests()
+    assert len(manifests) == summary["total_partitions"]
+    m = manifests[0]
+    assert m["input_snapshot_id"] == "snap1"
+    assert m["suite_hash"] == _suite().suite_hash()
+    assert m["engine_version"]
+
+    metrics = mgr.read_metrics(spark)
+    assert metrics.count() > 0
+    assert set(metrics.columns) >= {"check_name", "metric", "value", "passed"}
+
+
+def test_rerun_skips_committed(spark, files_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    s1 = validate_resumable(spark, files_df, _suite(), ckpt)
+    s2 = validate_resumable(spark, files_df, _suite(), ckpt)
+    assert s2["skipped_committed"] == s1["total_partitions"]
+    assert s2["committed_now"] == 0
+    assert s2["rows_validated"] == 0
+
+
+def test_partial_resume(spark, files_df, tmp_path):
+    """Simulate a crash: delete one manifest, rerun -> only that partition
+    is revalidated and recommitted."""
+    ckpt = str(tmp_path / "ckpt3")
+    validate_resumable(spark, files_df, _suite(), ckpt)
+    mdir = os.path.join(ckpt, "manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, victim)) as fh:
+        victim_pid = json.load(fh)["partition_id"]
+    os.remove(os.path.join(mdir, victim))
+
+    s = validate_resumable(spark, files_df, _suite(), ckpt)
+    assert s["committed_now"] == 1
+    mgr = CheckpointManager(ckpt)
+    assert victim_pid in mgr.committed_partitions()
+    # verdicts for the recommitted partition are present and readable
+    metrics = mgr.read_metrics(spark).where(
+        f"partition_id = '{victim_pid}'"
+    )
+    assert metrics.count() > 0

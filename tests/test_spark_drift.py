@@ -158,3 +158,23 @@ def test_distributed_gates_small_groups(spark):
     )
     assert all(g for _, _, g in res["tiny"]) and len(res["tiny"]) == 4
     assert not any(g for _, _, g in res["big"])
+
+
+def test_salted_grouped_path(spark):
+    """Salting splits a hot group into independent sub-fits: all rows come
+    back exactly once, outliers still rank above inliers in each sub-fit."""
+    import pandas as pd
+    from pynomaly_spark.skew import with_salt
+
+    rng = np.random.RandomState(13)
+    pts = np.vstack([0.3 * rng.randn(300, 2), rng.uniform(-5, 5, (12, 2))])
+    feats = _feature_df(spark, {"hot": pts})
+    salted = with_salt(feats, max_group_rows=80)
+    out = loop_grouped(salted, 10, 3, salt_col="salt").toPandas()
+    assert len(out) == 312
+    assert out.row_id.is_unique
+    assert not out.gated.any()
+    assert (out.partition_id == "hot").all()
+    inlier = out[out.row_id < 300].loop_score
+    outlier = out[out.row_id >= 300].loop_score
+    assert outlier.mean() > inlier.mean() + 0.3

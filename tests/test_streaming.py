@@ -1,0 +1,93 @@
+"""Frozen-model scorer tests: batch parity + a real Structured Streaming
+micro-batch run (file source -> foreachBatch -> parquet sink)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pynomaly_spark.api import LocalOutlierProbability
+from pynomaly_spark.streaming import (
+    ModelSnapshot,
+    fit_snapshot,
+    score_batch,
+    score_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def train_test():
+    rng2 = np.random.RandomState(2)
+    X_n120 = 0.3 * rng2.randn(120, 2)
+    rng = np.random.RandomState(0)
+    rng.permutation(150)
+    X = np.r_[X_n120, rng.uniform(low=-4, high=4, size=(20, 2))]
+    return X[0:100], X[100:140]
+
+
+def _feature_df(spark, pts, start_id=0):
+    pdf = pd.DataFrame(
+        {
+            "row_id": np.arange(len(pts)) + start_id,
+            "features": [list(map(float, p)) for p in pts],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_score_batch_matches_reference_stream(spark, train_test):
+    X_train, X_test = train_test
+    m = LocalOutlierProbability(X_train).fit()
+    expected = np.array([float(m.stream(X_test[i])) for i in range(40)])
+
+    snap = fit_snapshot(X_train, n_neighbors=10, extent=3)
+    got = (
+        score_batch(_feature_df(spark, X_test), snap)
+        .orderBy("row_id")
+        .toPandas()
+    )
+    np.testing.assert_array_almost_equal(got.loop_score.to_numpy(), expected, 10)
+
+
+def test_snapshot_roundtrip(tmp_path, train_test):
+    X_train, _ = train_test
+    snap = fit_snapshot(X_train, 10, 3)
+    snap.save(str(tmp_path / "model"))
+    back = ModelSnapshot.load(str(tmp_path / "model"))
+    assert back.n_neighbors == 10 and back.extent == 3
+    assert back.nplof_max == snap.nplof_max
+    np.testing.assert_array_equal(back.points, snap.points)
+
+
+def test_structured_stream_end_to_end(spark, tmp_path, train_test):
+    """Real readStream over a file source; scorer applied per micro-batch."""
+    X_train, X_test = train_test
+    snap_dir = str(tmp_path / "model")
+    fit_snapshot(X_train, 10, 3).save(snap_dir)
+
+    # write part files at the stream dir root (the file source does not
+    # recurse into nested dataset directories)
+    in_dir = str(tmp_path / "incoming")
+    _feature_df(spark, X_test).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    schema = "row_id long, features array<double>"
+    stream_df = spark.readStream.schema(schema).parquet(in_dir)
+    out_dir = str(tmp_path / "scores")
+    q = score_stream(
+        stream_df,
+        snapshot_path=snap_dir,
+        out_path=out_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    scored = spark.read.parquet(out_dir).orderBy("row_id").toPandas()
+    assert len(scored) == 40
+    m = LocalOutlierProbability(X_train).fit()
+    expected = np.array([float(m.stream(X_test[i])) for i in range(40)])
+    np.testing.assert_array_almost_equal(
+        scored.loop_score.to_numpy(), expected, 10
+    )
+    assert (scored.batch_id == 0).all()
