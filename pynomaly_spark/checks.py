@@ -25,6 +25,7 @@ repo, path, commit, detail, loop_score)``.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -199,6 +200,7 @@ def run_suite(
     commits: Optional[DataFrame] = None,
     sha_oracle: Optional[DataFrame] = None,
     partition_expr=None,
+    stage_dir: Optional[str] = None,
 ) -> SuiteResult:
     """Evaluate the suite; returns lazy metrics + violations DataFrames.
 
@@ -252,8 +254,19 @@ def run_suite(
 
     enriched = src.select(
         "partition_id", "row_id", "repo", "path", "commit", *derived.values()
-    ).persist()
-    _persisted.append(enriched)
+    )
+    if stage_dir:
+        # Stage the heavy-column pass as parquet (tmpfs/NVMe): the metrics
+        # union has one branch per check family, and concurrent stages
+        # racing a lazily-populated Spark cache each recompute the full
+        # sha256+tokenize pass.  A staged table runs that pass exactly
+        # once, and each branch re-scans it with column pruning.
+        path = os.path.join(stage_dir, f"enriched_{suite.suite_hash()}.parquet")
+        enriched.write.mode("overwrite").parquet(path)
+        enriched = df.sparkSession.read.parquet(path)
+    else:
+        enriched = enriched.persist()
+        _persisted.append(enriched)
 
     # ---- 1. single-pass per-partition column stats ----------------------
     agg_exprs = [F.count(F.lit(1)).alias("_rows")]

@@ -1,0 +1,77 @@
+"""Sources and sinks for the code table (SURVEY.md §2.1).
+
+The reference coerces arbitrary ndarray/DataFrame/list input with warnings
+(``_convert_to_array``, loop.py:176-200).  The engine's equivalent is a
+schema-ENFORCED scan with explicit bad-row policy:
+
+* ``PERMISSIVE`` (default): malformed rows land with nulls + the raw
+  record in ``_corrupt_record`` — the null-rate check then surfaces them
+  as verdicts (the warning analog, but as data);
+* ``DROPMALFORMED`` / ``FAILFAST`` passthroughs for stricter pipelines.
+
+Parquet is the sandbox stand-in for Iceberg; ``read_code_table`` keeps the
+same contract over either (format param), and the writer partitions by
+lang — the Iceberg-style identity partition the checks group by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import CODE_TABLE_SCHEMA
+
+__all__ = ["read_code_table", "read_code_table_json", "write_partitioned"]
+
+
+def read_code_table(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Schema-enforced scan of the code table.
+
+    Parquet carries its own schema; we still project through the canonical
+    ``StructType`` so downstream plans bind to stable names/types and the
+    scan prunes to exactly the declared columns.
+    """
+    df = spark.read.format(fmt).load(path)
+    cols = []
+    for f in CODE_TABLE_SCHEMA.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def read_code_table_json(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Text-format ingest with explicit malformed-row policy.
+
+    PERMISSIVE keeps bad rows (schema-null + ``_corrupt_record``) so the
+    constraint suite can count and quarantine them instead of crashing —
+    the engine's version of the reference's coerce-and-warn behavior.
+    """
+    schema = CODE_TABLE_SCHEMA.add("_corrupt_record", "string")
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "lang"
+) -> None:
+    """Identity-partitioned sink (Iceberg-style layout on plain parquet)."""
+    (
+        df.withColumn(
+            "_part", F.coalesce(F.col(partition_col), F.lit("__null__"))
+        )
+        .write.mode("overwrite")
+        .partitionBy("_part")
+        .parquet(path)
+    )

@@ -34,6 +34,9 @@ def main(argv=None) -> None:
     p.add_argument("--salt-rows", type=int, default=100_000,
                    help="salt drift groups above this row count (0 = never)")
     p.add_argument("--snapshot-id", default="local")
+    p.add_argument("--stage-dir", default="auto",
+                   help="dir for the staged heavy-column pass; 'auto' picks"
+                        " tmpfs when available, 'none' disables staging")
     args = p.parse_args(argv)
 
     # import after arg parsing so --help is instant under spark-submit
@@ -54,6 +57,14 @@ def main(argv=None) -> None:
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    stage_dir = args.stage_dir
+    if stage_dir == "auto":
+        stage_dir = "/dev/shm/pynomaly-stage" if os.path.isdir("/dev/shm") else None
+        if stage_dir:
+            os.makedirs(stage_dir, exist_ok=True)
+    elif stage_dir == "none":
+        stage_dir = None
 
     files = spark.read.parquet(f"{args.input}/files.parquet")
     commits = sha_oracle = None
@@ -95,7 +106,10 @@ def main(argv=None) -> None:
             input_snapshot_id=args.snapshot_id,
         )
     else:
-        res = run_suite(files, suite, commits=commits, sha_oracle=sha_oracle)
+        res = run_suite(
+            files, suite, commits=commits, sha_oracle=sha_oracle,
+            stage_dir=stage_dir,
+        )
         out = args.out or "/tmp/pynomaly_validate_out"
         res.metrics.write.mode("overwrite").parquet(f"{out}/metrics.parquet")
         res.violations.write.mode("overwrite").parquet(f"{out}/violations.parquet")

@@ -48,6 +48,24 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_local_dir() -> str | None:
+    """Prefer RAM-backed shuffle space in this sandbox.
+
+    The sandbox's virtual disk serializes concurrent shuffle writers
+    (measured: 3-4x slowdown at 32 tasks); production clusters put
+    spark.local.dir on striped NVMe, for which tmpfs is the honest local
+    stand-in.  An explicit SPARK_LOCAL_DIRS always wins.
+    """
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "pynomaly-spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
 def get_spark(
     app_name: str = "pynomaly-spark",
     cpus: int | None = None,
@@ -66,6 +84,9 @@ def get_spark(
         .config("spark.default.parallelism", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in _ENGINE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,92 @@
+"""IO contract + physical-plan hygiene (the .explain checks).
+
+The plan tests pin the optimizations the engine depends on at scale:
+filter/column pushdown into the parquet scan, broadcast for the RI dim,
+and whole-stage codegen around the JVM-side expression work.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pynomaly_spark.io import read_code_table, read_code_table_json, write_partitioned
+from pynomaly_spark.datagen import CodeTableSpec, generate_code_table
+
+
+@pytest.fixture(scope="module")
+def code_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("io") / "files.parquet")
+    files_pd, _, _ = generate_code_table(CodeTableSpec(n_rows=500))
+    spark.createDataFrame(files_pd.drop(columns=["content_sha"])).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_read_code_table_schema(spark, code_dir):
+    df = read_code_table(spark, code_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "repo", "path", "commit", "lang", "content",
+    ]
+    assert df.count() == 500 + 25 + 40  # rows + dups + orphans
+
+
+def test_permissive_json_ingest(spark, tmp_path):
+    p = str(tmp_path / "rows.json")
+    with open(p, "w") as fh:
+        fh.write('{"repo":"a/b","path":"x.py","commit":"c1","lang":"python","content":"ok"}\n')
+        fh.write("this is not json at all\n")
+        fh.write('{"repo":"a/b","path":"y.py","commit":"c2","lang":null,"content":null}\n')
+    df = read_code_table_json(spark, p)
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["repo"] is None
+
+
+def test_partitioned_write_layout(spark, code_dir, tmp_path):
+    df = read_code_table(spark, code_dir)
+    out = str(tmp_path / "out")
+    write_partitioned(df, out)
+    parts = {d for d in os.listdir(out) if d.startswith("_part=")}
+    assert "_part=python" in parts and "_part=__null__" in parts
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+
+
+def test_filter_pushdown_reaches_scan(spark, code_dir):
+    df = read_code_table(spark, code_dir).where(F.col("lang") == "python").select(
+        "repo", "path"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan
+    # column pruning: content must NOT be read for a repo/path projection
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "content" not in read_schema
+
+
+def test_ri_join_is_broadcast(spark, code_dir):
+    from pynomaly_spark.checks import CheckSuite, ReferentialIntegrity, run_suite
+
+    files = read_code_table(spark, code_dir)
+    commits = files.select("repo", "commit").distinct().limit(50)
+    res = run_suite(
+        files, CheckSuite(checks=[ReferentialIntegrity()]), commits=commits
+    )
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_suite_plan_has_codegen(spark, code_dir):
+    from pynomaly_spark.checks import CheckSuite, run_suite
+
+    files = read_code_table(spark, code_dir)
+    res = run_suite(files, CheckSuite.default())
+    res.metrics.collect()  # AQE only materializes final plans on execution
+    plan = res.metrics._jdf.queryExecution().executedPlan().toString()
+    # "*(n) " prefixes mark whole-stage-codegen spans in the tree string
+    assert "*(" in plan
+    res.unpersist()
