@@ -38,7 +38,7 @@ HEADLINE = [
     "emb_drift_loop",
 ]
 
-CODE_TABLE_ROWS = int(os.environ.get("BENCH_CODE_ROWS", "100000"))
+CODE_TABLE_ROWS = int(os.environ.get("BENCH_CODE_ROWS", "1000000"))
 
 
 def _noop_run(df) -> None:
@@ -47,14 +47,12 @@ def _noop_run(df) -> None:
 
 def _code_table_dir(spark) -> str:
     """Build (once) and cache the synthetic code table for the north metric."""
-    cache = f"/tmp/pynomaly_bench/code_{CODE_TABLE_ROWS}"
+    cache = f"/tmp/pynomaly_bench/scode_{CODE_TABLE_ROWS}"
     marker = f"{cache}/_DONE"
     if not os.path.exists(marker):
-        from pynomaly_spark.datagen import CodeTableSpec, write_code_table
+        from pynomaly_spark.datagen_spark import write_code_table_spark
 
-        write_code_table(
-            spark, cache, CodeTableSpec(n_rows=CODE_TABLE_ROWS, seed=7)
-        )
+        write_code_table_spark(spark, cache, CODE_TABLE_ROWS, seed=7)
         open(marker, "w").write("ok")
     return cache
 
@@ -96,7 +94,7 @@ def main() -> None:
     # hot-group salting keeps the LoOP stage parallel (skew handling);
     # sub-fit approximation documented in pynomaly_spark/skew.py
     suite.checks = [
-        Drift(max_group_rows=int(os.environ.get("BENCH_SALT_ROWS", "8000")))
+        Drift(max_group_rows=int(os.environ.get("BENCH_SALT_ROWS", "1000")))
         if isinstance(c, Drift)
         else c
         for c in suite.checks
@@ -104,7 +102,12 @@ def main() -> None:
     suite.checks.append(RowInvariant())
     n_files = files.count()
     t0 = time.perf_counter()
-    res = run_suite(files, suite, commits=commits, sha_oracle=oracle)
+    stage = "/dev/shm/pynomaly-stage" if os.path.isdir("/dev/shm") else None
+    if stage:
+        os.makedirs(stage, exist_ok=True)
+    res = run_suite(
+        files, suite, commits=commits, sha_oracle=oracle, stage_dir=stage
+    )
     _noop_run(res.metrics)
     _noop_run(res.violations)
     validate_sec = time.perf_counter() - t0

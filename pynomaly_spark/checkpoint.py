@@ -116,6 +116,7 @@ def validate_resumable(
     sha_oracle: Optional[DataFrame] = None,
     input_snapshot_id: str = "unknown",
     partition_expr=None,
+    stage_dir: Optional[str] = None,
 ) -> dict:
     """Run the suite, skipping partitions already committed in ``ckpt_dir``.
 
@@ -149,6 +150,7 @@ def validate_resumable(
         commits=commits,
         sha_oracle=sha_oracle,
         partition_expr=part,
+        stage_dir=stage_dir,
     )
     n_rows = remaining.count()
     metrics = res.metrics.persist()

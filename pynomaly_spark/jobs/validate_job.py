@@ -104,6 +104,7 @@ def main(argv=None) -> None:
             commits=commits,
             sha_oracle=sha_oracle,
             input_snapshot_id=args.snapshot_id,
+            stage_dir=stage_dir,
         )
     else:
         res = run_suite(

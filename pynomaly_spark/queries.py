@@ -380,6 +380,70 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized md5 fingerprint (whitespace-collapsed, lowercased) —
+    md5 is identical across engines, so fully oracle-checked."""
+    doc = _doc(spark, sf_dir).where(F.col("doc_id") < 200)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return doc.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_doc_near_dups(spark, sf_dir):
+    """MinHash-LSH verified near-duplicate pairs (rows-only; the banded
+    LSH bucketing is not oracle-SQL-expressible)."""
+    from .dedup import verified_near_dups
+
+    doc = _doc(spark, sf_dir).select(
+        F.col("doc_id").alias("row_id"), F.col("text").alias("content")
+    )
+    pairs = verified_near_dups(
+        doc, threshold=0.8, num_perm=32, bands=8, shingle_n=3
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    from .dedup import simhash64
+
+    doc = _doc(spark, sf_dir).select(
+        F.col("doc_id").alias("row_id"), F.col("text").alias("content")
+    )
+    return simhash64(doc).select("row_id", "simhash")
+
+
+def q_doc_lang_guess(spark, sf_dir):
+    from .textops import language_id
+
+    return (
+        _doc(spark, sf_dir)
+        .groupBy("lang", language_id("text").alias("lang_guess"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (rows-only; hyperplane hashing is not
+    expressible in the DuckDB oracle)."""
+    from .similarity import rp_lsh_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rp_lsh_topk(emb, q, k=5, n_planes=6).select(
+        "query_id", "rnk", "neighbor_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # LoOP drift (rows-only: the oracle cannot express the kernel in SQL)
 # --------------------------------------------------------------------------
@@ -442,6 +506,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing": q_lineitem_pricing,
     "doc_drift_loop": q_doc_drift_loop,
     "emb_drift_loop": q_emb_drift_loop,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_near_dups": q_doc_near_dups,
+    "doc_simhash": q_doc_simhash,
+    "doc_lang_guess": q_doc_lang_guess,
+    "emb_ann_lsh": q_emb_ann_lsh,
 }
 
 ORACLES: Dict[str, str] = {
@@ -459,5 +528,9 @@ ORACLES: Dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
-    # doc_drift_loop / emb_drift_loop: rows-only (LoOP not SQL-expressible)
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    # rows-only (not oracle-SQL-expressible): doc_drift_loop,
+    # emb_drift_loop (LoOP kernel), doc_near_dups (banded LSH),
+    # doc_simhash (xxhash bit votes), doc_lang_guess (stopword argmax),
+    # emb_ann_lsh (hyperplane hashing)
 }

@@ -33,7 +33,10 @@ def test_queries_and_oracles_line_up():
     assert set(o) <= set(q)
     # rows-only entries are the LoOP drift ops (documented non-SQL ops)
     rows_only = set(q) - set(o)
-    assert rows_only == {"doc_drift_loop", "emb_drift_loop"}
+    assert rows_only == {
+        "doc_drift_loop", "emb_drift_loop", "doc_near_dups",
+        "doc_simhash", "doc_lang_guess", "emb_ann_lsh",
+    }
 
 
 def test_oracle_parity_all(spark):
