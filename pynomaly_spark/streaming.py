@@ -130,6 +130,40 @@ def score_batch(
     return slim.mapInPandas(_scorer(bc, id_col, features_col), _SCORE_SCHEMA)
 
 
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    The reference has no late-data story (SURVEY.md §2.7); the engine's
+    general streaming surface handles it the Spark way: a watermark
+    bounds state, late rows beyond it are dropped, rows within it update
+    their window.  Returns an aggregating streaming DataFrame suitable
+    for ``outputMode("update"|"append")``.
+    """
+    # watermarks require TIMESTAMP (tz-aware); parquet often carries NTZ
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def score_stream(
     stream_df: DataFrame,
     snapshot_path: str,
