@@ -90,16 +90,39 @@ def generate_code_table_spark(
         40,
     )
 
-    # content: seeded pseudo-code, exponential length; lang=c drifts 15%
+    # content: seeded pseudo-code, exponential length.  The drifted
+    # partition (lang=c) plants anomalies at TWO grains:
+    #  - 0.2% individually-extreme rows (two orders of magnitude outside
+    #    the length cloud).  Kept RARER THAN k per drift sub-fit so they
+    #    stay LOCAL outliers at any scale — a denser anomalous
+    #    subpopulation forms its own mode at 10^5+ rows and LoOP
+    #    (correctly) stops calling its members outliers;
+    #  - a moderate shift on another 10% of rows that moves the
+    #    partition's length QUANTILES (caught by the quantile check).
     u_len = _u(rid, seed + 6)
     n_words = (
         F.lit(10) + F.floor(-60.0 * F.log(u_len + F.lit(1e-9)))
     ).cast("int")
-    drifted = (lang == "c") & (_u(rid, seed + 7) < 0.15)
-    n_words = F.when(
-        drifted,
-        (F.lit(400) + F.floor(-300.0 * F.log(_u(rid, seed + 8) + F.lit(1e-9)))).cast("int"),
-    ).otherwise(n_words)
+    u_drift = _u(rid, seed + 7)
+    extreme = (lang == "c") & (u_drift < 0.002)
+    shifted = (lang == "c") & (u_drift >= 0.002) & (u_drift < 0.102)
+    n_words = (
+        F.when(
+            extreme,
+            (
+                F.lit(20000)
+                + F.floor(-5000.0 * F.log(_u(rid, seed + 8) + F.lit(1e-9)))
+            ).cast("int"),
+        )
+        .when(
+            shifted,
+            (
+                F.lit(150)
+                + F.floor(-120.0 * F.log(_u(rid, seed + 8) + F.lit(1e-9)))
+            ).cast("int"),
+        )
+        .otherwise(n_words)
+    )
     words_arr = F.array(*[F.lit(w) for w in _WORDS])
     content = F.array_join(
         F.transform(
