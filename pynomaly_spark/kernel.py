@@ -106,6 +106,13 @@ def knn(
         # union == min-k of per-block min-k's).  Final distances are full
         # float64; a wrong candidate set would need ~k ties within float32
         # eps, which the parity suite shows never bites.
+        # Center the group first: Euclidean distances are translation-
+        # invariant, and float32 squared norms lose ~all precision when
+        # the data sits far from the origin (norms ~offset^2 swamp the
+        # inter-point structure).  Found by the hypothesis translation-
+        # invariance property; centering makes selection accuracy depend
+        # on the data SPREAD only.
+        gp = gp - gp.mean(axis=0)
         gp32 = gp.astype(np.float32)
         sq_norms32 = np.einsum("ij,ij->i", gp32, gp32)
         n_cand = min(2 * k, m - 1)

@@ -39,26 +39,52 @@ def _cell_expr(features_col: str, dim: int, cell_size: float):
 
 
 def estimate_cell_size(
-    df: DataFrame, features_col: str, k: int, sample_rows: int = 2000
+    df: DataFrame,
+    features_col: str,
+    k: int,
+    sample_rows: int = 4000,
+    total_rows: int | None = None,
+    n_grid_dims: int = 2,
 ) -> float:
-    """Estimate a cell size >= typical kNN radius from a driver-side sample.
+    """Estimate a cell size ~ the true kNN radius from a measured sample.
 
-    Heuristic: on a uniform-ish density, the kNN radius scales with
-    (k / n)^(1/d) times the data extent; we take a generous multiple so the
-    +/-1-cell neighborhood almost always contains the true k neighbors.
+    Measures the k-th-neighbor distance distribution on a driver-side
+    sample with the exact kernel, then scales it to the full table by the
+    density law r_k(n) ~ r_k(m) * (m/n)^(1/d) (d = the gridded dims).
+    The p90 radius with a 2x safety factor keeps the +/-1-cell probe
+    exact for the vast majority of rows; :func:`knn_self_join` retries
+    under-filled rows with a wider cell, so stragglers in the radius
+    tail cost a second small pass, not correctness.
+
+    (The naive span*(k/n)^(1/d) heuristic overestimates by ~100x on
+    dense clustered data and blows the bucket join fan-in — measured.)
     """
-    sample = df.select(features_col).limit(sample_rows).collect()
     import numpy as np
 
+    from . import kernel
+
+    if total_rows is None:
+        total_rows = df.count()
+    frac = min(1.0, (sample_rows * 2.0) / max(total_rows, 1))
+    sample = (
+        df.select(features_col)
+        .sample(fraction=frac, seed=7)
+        .limit(sample_rows)
+        .collect()
+    )
     pts = np.asarray([r[0] for r in sample], dtype=float)
     if pts.ndim == 1:
         pts = pts.reshape(-1, 1)
-    n, d = pts.shape
-    span = float(np.median(pts.max(axis=0) - pts.min(axis=0)))
-    if span == 0.0:
+    m, d = pts.shape
+    if m <= k + 1:
         return 1.0
-    frac = min(1.0, (float(k + 1) / max(n, 1)) ** (1.0 / min(d, 3)))
-    return max(span * frac * 2.0, span / 64.0)
+    dists, _ = kernel.knn(pts, min(k, m - 1))
+    rk = float(np.quantile(dists.max(axis=1), 0.90))
+    if rk == 0.0:
+        rk = float(dists.max()) or 1e-6
+    # density scaling from sample size to full size
+    scale = (float(m) / max(total_rows, m)) ** (1.0 / max(min(d, n_grid_dims), 1))
+    return max(rk * scale * 2.0, 1e-9)
 
 
 def knn_self_join(
@@ -69,26 +95,85 @@ def knn_self_join(
     partition_col: str | None = None,
     cell_size: float | None = None,
     n_grid_dims: int = 2,
+    max_retries: int = 2,
 ) -> DataFrame:
     """Return ``(id_col [, partition_col], knn_dists, knn_ids)`` arrays per row.
 
     ``partition_col`` scopes the join (never compares across groups, like
     the reference's per-cluster blocks).  Output arrays are ordered by
     distance ascending; downstream LoOP math only consumes the multiset.
+
+    Adaptive exactness: the cell size targets the p90 kNN radius, so rows
+    in the radius tail can come back with fewer than k neighbors; those
+    rows are re-probed with a 4x wider cell (up to ``max_retries``
+    passes).  Each retry touches only the under-filled rows — the fan-in
+    stays bounded by the dense majority's cell size.  NOTE: retries
+    trigger actions (this builder materializes intermediate results).
     """
     if cell_size is None:
         cell_size = estimate_cell_size(df, features_col, k)
 
+    result = _knn_pass(
+        df, k, features_col, id_col, partition_col, cell_size, n_grid_dims
+    )
+    if max_retries <= 0:
+        return result
+
+    base_keep = [id_col, features_col] + (
+        [partition_col] if partition_col else []
+    )
+    for attempt in range(max_retries):
+        result = result.persist()
+        short_ids = result.where(F.size("knn_dists") < k).select(id_col)
+        # rows the bucket join missed entirely also count as short
+        missing = df.select(id_col).join(
+            result.select(id_col), on=id_col, how="left_anti"
+        )
+        redo_ids = short_ids.unionByName(missing).distinct().persist()
+        n_redo = redo_ids.count()
+        if n_redo == 0:
+            redo_ids.unpersist()
+            break
+        cell_size *= 4.0
+        redo_probe = df.select(*base_keep).join(redo_ids, on=id_col)
+        redo = _knn_pass(
+            redo_probe,
+            k,
+            features_col,
+            id_col,
+            partition_col,
+            cell_size,
+            n_grid_dims,
+            build_df=df.select(*base_keep),
+        )
+        kept = result.join(redo_ids, on=id_col, how="left_anti")
+        result = kept.unionByName(redo)
+    return result
+
+
+def _knn_pass(
+    df: DataFrame,
+    k: int,
+    features_col: str,
+    id_col: str,
+    partition_col: str | None,
+    cell_size: float,
+    n_grid_dims: int,
+    build_df: DataFrame | None = None,
+) -> DataFrame:
+    """One bucketed probe/build pass (probe = ``df``, build = full table)."""
+    build_src = build_df if build_df is not None else df
     dim_count_row = df.select(F.size(features_col).alias("d")).head()
     dims = min(int(dim_count_row["d"]), n_grid_dims)
 
     keep = [id_col, features_col] + ([partition_col] if partition_col else [])
     base = df.select(*keep)
+    build_base = build_src.select(*keep)
 
     cell_cols = [
         _cell_expr(features_col, i, cell_size).alias(f"_c{i}") for i in range(dims)
     ]
-    build = base.select(*keep, *cell_cols).withColumn(
+    build = build_base.select(*keep, *cell_cols).withColumn(
         "_cell", F.concat_ws(":", *[F.col(f"_c{i}") for i in range(dims)])
     ).drop(*[f"_c{i}" for i in range(dims)])
 
