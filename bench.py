@@ -47,7 +47,9 @@ def _noop_run(df) -> None:
 
 def _code_table_dir(spark) -> str:
     """Build (once) and cache the synthetic code table for the north metric."""
-    cache = f"/tmp/pynomaly_bench/scode_{CODE_TABLE_ROWS}"
+    from pynomaly_spark.datagen_spark import DATAGEN_VERSION
+
+    cache = f"/tmp/pynomaly_bench/scode_v{DATAGEN_VERSION}_{CODE_TABLE_ROWS}"
     marker = f"{cache}/_DONE"
     if not os.path.exists(marker):
         from pynomaly_spark.datagen_spark import write_code_table_spark

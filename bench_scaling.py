@@ -39,7 +39,10 @@ def make_pyfiles_zip(path: str) -> str:
 
 
 def ensure_input(rows: int) -> str:
-    cache = f"/tmp/pynomaly_bench/code_{rows}"
+    sys.path.insert(0, REPO)
+    from pynomaly_spark.datagen_spark import DATAGEN_VERSION
+
+    cache = f"/tmp/pynomaly_bench/code_v{DATAGEN_VERSION}_{rows}"
     if not os.path.exists(f"{cache}/_DONE"):
         sys.path.insert(0, REPO)
         from pynomaly_spark.session import get_spark

@@ -185,8 +185,10 @@ def default_partition_expr():
 
 def drift_features(content_col: str = "content"):
     """Numeric drift features from content — all built-in functions
-    (length, token count via split, mean token length).  Log-scaled so the
-    LoOP Euclidean metric treats size ratios, not absolutes."""
+    (length, whitespace token count, mean token length).  Log-scaled so
+    the LoOP Euclidean metric treats size ratios, not absolutes.
+    (run_suite's enriched pass computes the same features from its
+    precomputed length/fast-token columns.)"""
     c = F.col(content_col)
     n_chars = F.length(c).cast("double")
     n_tokens = F.size(F.split(c, r"\s+")).cast("double")

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from .datagen import _LANGS, _WORDS
 
-__all__ = ["generate_code_table_spark", "write_code_table_spark"]
+__all__ = ["generate_code_table_spark", "write_code_table_spark", "DATAGEN_VERSION"]
+
+# bump when generated content/defect planting changes so benchmark caches
+# keyed on (version, rows) regenerate instead of serving stale tables
+DATAGEN_VERSION = 2
 
 
 def _u(col, seed: int):
