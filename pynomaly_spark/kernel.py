@@ -66,6 +66,7 @@ def knn(
     n_neighbors: int,
     labels: Optional[np.ndarray] = None,
     chunk_size: int = 256,
+    col_block: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN per group (Euclidean), never across groups.
 
@@ -116,7 +117,8 @@ def knn(
         gp32 = gp.astype(np.float32)
         sq_norms32 = np.einsum("ij,ij->i", gp32, gp32)
         n_cand = min(2 * k, m - 1)
-        col_block = max(n_cand + 1, 65536)
+        blk = col_block if col_block else max(n_cand + 1, 65536)
+        blk = max(blk, 1)
         step = min(chunk_size, m)
         for start in range(0, m, step):
             end = min(start + step, m)
@@ -124,7 +126,7 @@ def knn(
             chunk32 = gp32[start:end]
             rows = np.arange(c)
 
-            if m <= col_block:
+            if m <= blk:
                 # one-shot fast path (the overwhelmingly common case)
                 sq32 = (
                     sq_norms32[start:end, None]
@@ -141,8 +143,9 @@ def knn(
             else:
                 best_sq = np.full((c, n_cand), np.inf, dtype=np.float32)
                 best_id = np.full((c, n_cand), -1, dtype=np.int64)
-                for b0 in range(0, m, col_block):
-                    b1 = min(b0 + col_block, m)
+                for b0 in range(0, m, blk):
+                    b1 = min(b0 + blk, m)
+                    w = b1 - b0
                     sq32 = (
                         sq_norms32[start:end, None]
                         - 2.0 * chunk32 @ gp32[b0:b1].T
@@ -154,10 +157,21 @@ def knn(
                     if lo < hi:
                         r = np.arange(lo, hi)
                         sq32[r - start, r - b0] = np.inf
-                    bidx = np.argpartition(sq32, n_cand - 1, axis=1)[
-                        :, :n_cand
-                    ]
-                    bsq = np.take_along_axis(sq32, bidx, axis=1)
+                    if w > n_cand:
+                        # block wider than the candidate margin: select
+                        bidx = np.argpartition(sq32, n_cand - 1, axis=1)[
+                            :, :n_cand
+                        ]
+                        bsq = np.take_along_axis(sq32, bidx, axis=1)
+                    else:
+                        # narrow tail block (w <= n_cand): every column is
+                        # a candidate; argpartition(kth=n_cand-1) would be
+                        # out of bounds here.  The running min-k merge
+                        # below handles variable-width candidate sets.
+                        bidx = np.broadcast_to(
+                            np.arange(w, dtype=np.int64), (c, w)
+                        )
+                        bsq = sq32
                     # running exact min-k merge (min-k of a union equals
                     # min-k over per-block min-k's)
                     merged_sq = np.concatenate([best_sq, bsq], axis=1)

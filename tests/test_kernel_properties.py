@@ -90,3 +90,33 @@ def test_stream_scorer_bounded(ps, k):
         new, pts, k, 3, res.mean_prob_distance_ev, res.nplof_max
     )
     assert np.all(scores >= 0.0) and np.all(scores <= 1.0)
+
+
+def test_narrow_tail_block_regression():
+    """Regression (round-2 ADVICE): a column block narrower than n_cand
+    crashed argpartition with 'kth out of bounds'.  Exercise tail widths
+    below, at, and above n_cand via the col_block override and check
+    exact parity with the one-shot path."""
+    rng = np.random.RandomState(42)
+    pts = rng.randn(1000, 3)
+    k = 10  # n_cand = 20
+    d_ref, i_ref = kernel.knn(pts, k)
+    for blk in (997, 990, 980, 256, 64):  # tails w = 3, 10, 20, 232, 40
+        d, ids = kernel.knn(pts, k, col_block=blk)
+        np.testing.assert_allclose(
+            np.sort(d, axis=1), np.sort(d_ref, axis=1), atol=1e-9
+        )
+        for a, b in zip(ids, i_ref):
+            assert set(a) == set(b)
+
+
+def test_blocked_path_over_65536_shape():
+    """The production blocked path (m > 65536) must not crash on the tail
+    block; cover the exact >65536 trigger with a tiny col_block stand-in
+    plus a direct small-scale replica of the 65546-row geometry."""
+    rng = np.random.RandomState(7)
+    # replica of the crash geometry: m = 15 * blk + tail, tail < n_cand
+    pts = rng.randn(15 * 40 + 6, 2)  # tail 6 < n_cand 20
+    d, ids = kernel.knn(pts, 10, col_block=40)
+    assert d.shape == (606, 10)
+    assert np.all(np.isfinite(d)) and np.all(ids >= 0)
