@@ -71,3 +71,54 @@ def test_partial_resume(spark, files_df, tmp_path):
         f"partition_id = '{victim_pid}'"
     )
     assert metrics.count() > 0
+
+
+def test_manifest_names_collision_free(tmp_path):
+    """Distinct partition ids that sanitize to the same safe string must
+    commit distinct manifests (round-2 ADVICE: 'lang=a/b' vs 'lang=a:b'
+    both sanitized to 'lang=a_b')."""
+    mgr = CheckpointManager(str(tmp_path / "c"))
+    mgr.commit_manifest("lang=a/b", {"x": 1})
+    mgr.commit_manifest("lang=a:b", {"x": 2})
+    committed = mgr.committed_partitions()
+    assert sorted(committed) == ["lang=a/b", "lang=a:b"]
+    mdir = os.path.join(str(tmp_path / "c"), "manifest")
+    assert len([f for f in os.listdir(mdir) if f.endswith(".json")]) == 2
+
+
+def test_orphan_payload_cleaned_on_resume(spark, files_df, tmp_path):
+    """A crashed run's orphan payload dir (payload written, no manifest)
+    must be dropped before the rerun writes, so stale rows can't leak
+    into the committed result."""
+    ckpt = str(tmp_path / "ckpt4")
+    validate_resumable(spark, files_df, _suite(), ckpt)
+    mdir = os.path.join(ckpt, "manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, victim)) as fh:
+        victim_pid = json.load(fh)["partition_id"]
+    os.remove(os.path.join(mdir, victim))
+    # plant a stale marker row in the victim's metrics dir
+    mroot = os.path.join(ckpt, "metrics")
+    from urllib.parse import unquote
+    vdir = next(
+        d for d in os.listdir(mroot)
+        if d.startswith("partition_id=")
+        and unquote(d[len("partition_id="):]) == victim_pid
+    )
+    stale = spark.createDataFrame(
+        [("STALE_CHECK", "stale", 1.0, 0.0, False)],
+        "check_name string, metric string, value double, threshold double, passed boolean",
+    )
+    stale.write.mode("append").parquet(os.path.join(mroot, vdir))
+    s = validate_resumable(spark, files_df, _suite(), ckpt)
+    assert s["committed_now"] == 1
+    mgr = CheckpointManager(ckpt)
+    names = [
+        r[0]
+        for r in mgr.read_metrics(spark)
+        .where(f"partition_id = '{victim_pid}'")
+        .select("check_name")
+        .distinct()
+        .collect()
+    ]
+    assert "STALE_CHECK" not in names and len(names) > 0
