@@ -279,12 +279,17 @@ def loop_distributed(
     )
 
     # A4: neighborhood EV — explode neighbor ids, join back pdist, mean.
+    # The lookup joins on (neighbor id, partition): neighbors never cross
+    # partitions, and an id-only join would merge same-id rows of
+    # different partitions (round-2 ADVICE).
     nbr = t.select(id_col, partition_col, F.explode("knn_ids").alias("_nid"))
     pd_lookup = t.select(
-        F.col(id_col).alias("_nid"), F.col("pdist").alias("_nbr_pdist")
+        F.col(id_col).alias("_nid"),
+        F.col(partition_col),
+        F.col("pdist").alias("_nbr_pdist"),
     )
     ev = (
-        nbr.join(pd_lookup, on="_nid", how="left")
+        nbr.join(pd_lookup, on=["_nid", partition_col], how="left")
         .groupBy(id_col, partition_col)
         .agg(F.avg("_nbr_pdist").alias("ev_pdist"))
     )
@@ -329,5 +334,16 @@ def loop_distributed(
         F.col("plof"),
         F.col("nplof"),
         F.lit(False).alias("gated"),
+    )
+
+    # Row-conservation guard (round-2 ADVICE): rows the bucketed kNN join
+    # never matched even after retries would otherwise vanish from the
+    # output — neither scored nor gated.  Left-join the scored rows back
+    # onto the gate-passing universe and emit unmatched rows as gated
+    # (null scores), so the constraint layer always sees every row.
+    universe = base.select(partition_col, id_col)
+    out = (
+        universe.join(out, on=[partition_col, id_col], how="left")
+        .withColumn("gated", F.coalesce(F.col("gated"), F.lit(True)))
     )
     return out.unionByName(gated_rows)

@@ -328,14 +328,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     scored = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), (dot / (nq * ne)).alias("_cos")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .select("query_id", "rnk", "neighbor_id")
-    )
+    from .similarity import two_phase_topk
+
+    return two_phase_topk(
+        scored,
+        ["query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id").asc()],
+        5,
+    ).select("query_id", "rnk", "neighbor_id")
 
 
 SQL_ANN_COSINE_TOPK = """
