@@ -316,7 +316,23 @@ class LocalOutlierProbability:
                     UserWarning,
                 )
             self.points_vector = _to_array(self.data)
-            d, ids = knn(self.points_vector, self.n_neighbors, labels=labels)
+            progress_cb = None
+            if self.progress_bar:
+                # chunked progress during the distance loop, matching the
+                # reference's emission points (loop.py:692, 715)
+                state = {"progress": "="}
+
+                def progress_cb(completed, total):
+                    state["progress"] = Utils.emit_progress_bar(
+                        state["progress"], completed, total
+                    )
+
+            d, ids = knn(
+                self.points_vector,
+                self.n_neighbors,
+                labels=labels,
+                progress_cb=progress_cb,
+            )
             self.distance_matrix = d
             self.neighbor_matrix = ids.astype(float)  # ref stores float ids
         res = loop_from_knn(

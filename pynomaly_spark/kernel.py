@@ -67,6 +67,7 @@ def knn(
     labels: Optional[np.ndarray] = None,
     chunk_size: int = 256,
     col_block: Optional[int] = None,
+    progress_cb=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN per group (Euclidean), never across groups.
 
@@ -74,6 +75,10 @@ def knn(
     are **global row indexes** into ``points``.  The k columns are an
     unordered k-smallest subset (argpartition semantics), matching the
     reference; downstream math only consumes the multiset.
+
+    ``progress_cb(completed_rows, total_rows)`` is invoked after each
+    chunk — the hook the library API uses for the reference's chunked
+    progress bar (loop.py:692-694); the Spark engine leaves it None.
     """
     pts = _as_matrix(points)
     n = pts.shape[0]
@@ -87,6 +92,7 @@ def knn(
         lab = np.asarray(labels)
         groups = [np.where(lab == g)[0] for g in sorted(set(lab.tolist()))]
 
+    completed = 0
     for gidx in groups:
         gp = pts[gidx]
         m = gp.shape[0]
@@ -193,6 +199,9 @@ def knn(
             gsel = gidx[start:end]
             dists[gsel] = np.sqrt(knn_sq)
             idxs[gsel] = gidx[np.take_along_axis(cand, knn_local, axis=1)]
+            completed += c
+            if progress_cb is not None:
+                progress_cb(completed, n)
     return dists, idxs
 
 
