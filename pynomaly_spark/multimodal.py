@@ -2,11 +2,21 @@
 
 Images/audio/video ride Spark as ``binary`` columns with a metadata
 struct; decode/feature-extraction runs as Arrow-batched ``mapInPandas``.
-The image/audio codec libraries are NOT in this container, so the decode
-step is STUBBED — ``decode_fn=None`` uses a deterministic fake
-(sha-seeded feature vector) and a real codec plugs in by passing
-``decode_fn``.  Everything Spark-side — schema, batch iteration,
-partition sizing, UDF signature — is real and tested.
+
+Decode is PLUGGABLE, with one REAL built-in codec: binary PPM/PGM
+(P6/P5) images decode with pure numpy — no external libraries — into
+pixel arrays, from which :func:`image_features` computes channel
+moments + a luminance histogram + shape features.  Compressed formats
+(JPEG/PNG/audio) need their codec libraries, which are NOT in this
+container: payloads with those magic bytes fall back to
+:func:`deterministic_fake_features` (documented stand-in), and a
+production deployment passes ``decode_fn`` (PIL/librosa/ffmpeg).
+
+The per-payload Python call is inherent to a codec boundary (every
+decoder consumes one independent byte blob — exactly as PIL does);
+everything around it is vectorized: byte lengths are computed JVM-side
+(``octet_length``) before the UDF, and feature math runs on numpy
+arrays per decoded image.
 
 Scale notes: binary payloads dominate row width, so the operators
 aggressively project metadata-only before shuffles and repartition by
@@ -38,6 +48,9 @@ __all__ = [
     "attach_media_metadata",
     "repartition_by_bytes",
     "extract_features",
+    "decode_ppm",
+    "image_features",
+    "builtin_codec",
     "deterministic_fake_features",
 ]
 
@@ -53,12 +66,15 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+FEATURE_DIM = 16
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), True),
         StructField("features", ArrayType(DoubleType()), True),
+        StructField("decoder", StringType(), True),  # ppm | fake | error
     ]
 )
 
@@ -87,10 +103,77 @@ def repartition_by_bytes(
     return df.repartition(n)
 
 
-def deterministic_fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB decode: a reproducible pseudo-feature vector seeded by the
-    payload digest.  Stands in for image-embedding/audio-fingerprint
-    models absent from this container; replace via ``decode_fn``."""
+# --------------------------------------------------------------------------
+# codecs
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary PPM (P6) / PGM (P5) images.
+
+    Returns ``(height, width, channels)`` uint8.  Handles '#' comments
+    and arbitrary whitespace in the header per the netpbm spec; raises
+    ``ValueError`` on malformed input (truncated pixel data, bad magic,
+    maxval > 255).
+    """
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+
+    # header tokenizer: magic, width, height, maxval — comments stripped
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if not (0 < maxval <= 255):
+        raise ValueError("only 8-bit PPM supported")
+    n = width * height * channels
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+
+
+def image_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Fixed-width feature vector from a decoded pixel array (vectorized):
+    per-channel mean/std (3+3, gray-broadcast), an 8-bin luminance
+    histogram, log-area and aspect ratio."""
+    px = pixels.astype(np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    means = px.mean(axis=(0, 1)) / 255.0
+    stds = px.std(axis=(0, 1)) / 255.0
+    lum = px.mean(axis=2).ravel()
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 255.0))
+    hist = hist / max(lum.size, 1)
+    h, w = pixels.shape[0], pixels.shape[1]
+    shape_feats = np.array([np.log1p(h * w) / 20.0, w / max(h, 1)])
+    out = np.concatenate([means, stds, hist, shape_feats])
+    if out.size < dim:
+        out = np.pad(out, (0, dim - out.size))
+    return out[:dim]
+
+
+def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """STAND-IN decode for formats whose codec libraries are absent here
+    (JPEG/PNG/audio): a reproducible pseudo-feature vector seeded by the
+    payload digest.  Replace via ``decode_fn`` in production."""
     seed = int.from_bytes(
         hashlib.sha256(payload or b"").digest()[:4], "big"
     )
@@ -98,46 +181,67 @@ def deterministic_fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return rng.rand(dim)
 
 
+def builtin_codec(payload: bytes, kind: str, dim: int = FEATURE_DIM):
+    """Default codec: REAL decode for PPM/PGM, documented fake for
+    compressed formats.  Returns ``(features, decoder_tag)``."""
+    if payload[:2] in (b"P5", b"P6"):
+        return image_features(decode_ppm(payload), dim), "ppm"
+    return deterministic_fake_features(payload, dim), "fake"
+
+
 def extract_features(
     df: DataFrame,
     decode_fn: Optional[Callable[[bytes, str], np.ndarray]] = None,
-    dim: int = 16,
+    dim: int = FEATURE_DIM,
     id_col: str = "media_id",
     payload_col: str = "payload",
     kind_col: str = "kind",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decode_fn(payload_bytes, kind) -> np.ndarray`` is the real-codec
-    hook (PIL/librosa/ffmpeg in production images).  Without one, the
-    deterministic stub keeps the plumbing testable here.
+    ``decode_fn(payload_bytes, kind) -> np.ndarray`` overrides the
+    built-in codec (PIL/librosa/ffmpeg in production images).  Rows
+    whose decode raises come back with null features and
+    ``decoder='error'`` — a corrupt payload must not kill a 10^12-row
+    job.  Byte lengths are computed JVM-side; the Python loop contains
+    ONLY the per-payload codec call (inherent to a codec boundary).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = decode_fn or (
-            lambda payload, kind: deterministic_fake_features(payload, dim)
-        )
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats, nbytes = [], []
+            feats: list = []
+            tags: list = []
             for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
                 if payload is None:
                     feats.append(None)
-                    nbytes.append(None)
-                else:
-                    feats.append([float(v) for v in fn(bytes(payload), kind)])
-                    nbytes.append(len(payload))
+                    tags.append(None)
+                    continue
+                try:
+                    if decode_fn is not None:
+                        vec, tag = decode_fn(bytes(payload), kind), "custom"
+                    else:
+                        vec, tag = builtin_codec(bytes(payload), kind, dim)
+                    feats.append(np.asarray(vec, dtype=np.float64).tolist())
+                    tags.append(tag)
+                except Exception:
+                    feats.append(None)
+                    tags.append("error")
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),
                     "kind": pdf[kind_col].to_numpy(),
-                    "n_bytes": nbytes,
+                    "n_bytes": pdf["_n_bytes"].to_numpy(),
                     "features": feats,
+                    "decoder": tags,
                 }
             )
 
     slim = df.select(
-        F.col(id_col), F.col(kind_col), F.col(payload_col)
+        F.col(id_col),
+        F.col(kind_col),
+        F.col(payload_col),
+        F.octet_length(F.col(payload_col)).alias("_n_bytes"),
     )
     return slim.mapInPandas(run, FEATURE_SCHEMA)

@@ -167,3 +167,61 @@ def test_multimodal_feature_plumbing(spark):
         df, decode_fn=lambda b, k: np.array([float(len(b))]), dim=1
     ).orderBy("media_id").toPandas()
     assert [f[0] for f in got.features] == [100.0 + i for i in range(6)]
+
+
+def _make_ppm(w, h, seed, comment=False, gray=False):
+    rng = np.random.RandomState(seed)
+    channels = 1 if gray else 3
+    raster = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+    magic = b"P5" if gray else b"P6"
+    header = magic + b"\n"
+    if comment:
+        header += b"# synthetic test image\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + raster.tobytes(), raster
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """REAL bytes -> pixels -> features through the full Spark plumbing:
+    the built-in pure-numpy PPM codec must reproduce the local decode,
+    corrupt payloads must surface as decoder='error' (not kill the job),
+    and null payloads pass through as nulls."""
+    images = [
+        _make_ppm(8, 6, seed=1),
+        _make_ppm(16, 16, seed=2, comment=True),
+        _make_ppm(5, 9, seed=3, gray=True),
+    ]
+    rows = [
+        {"media_id": i, "kind": "image", "payload": p}
+        for i, (p, _) in enumerate(images)
+    ]
+    truncated = images[0][0][:-7]  # chop raster bytes -> malformed
+    rows.append({"media_id": 90, "kind": "image", "payload": truncated})
+    rows.append({"media_id": 91, "kind": "image", "payload": None})
+    rows.append({"media_id": 92, "kind": "image", "payload": b"\x89PNG junk"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    out = (
+        multimodal.extract_features(multimodal.repartition_by_bytes(df))
+        .orderBy("media_id")
+        .toPandas()
+        .set_index("media_id")
+    )
+    for i, (payload, raster) in enumerate(images):
+        assert out.loc[i, "decoder"] == "ppm"
+        assert out.loc[i, "n_bytes"] == len(payload)
+        expected = multimodal.image_features(
+            multimodal.decode_ppm(payload)
+        )
+        np.testing.assert_allclose(out.loc[i, "features"], expected, atol=1e-12)
+    # decoded pixels themselves round-trip exactly
+    np.testing.assert_array_equal(
+        multimodal.decode_ppm(images[0][0]), images[0][1]
+    )
+    assert out.loc[90, "decoder"] == "error"
+    assert out.loc[90, "features"] is None
+    assert out.loc[91, "decoder"] is None
+    assert out.loc[92, "decoder"] == "fake"  # compressed format stand-in
+    # distinguishable images -> distinguishable features
+    f0, f1 = out.loc[0, "features"], out.loc[1, "features"]
+    assert not np.allclose(f0, f1)
