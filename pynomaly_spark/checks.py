@@ -216,36 +216,37 @@ def drift_features(content_col: str = "content"):
     )
 
 
-def drift_scores(feats: DataFrame, chk: Drift) -> DataFrame:
+def drift_scores(
+    feats: DataFrame,
+    chk: Drift,
+    carry: tuple = ("repo", "path", "commit"),
+    feature_cols: Optional[list] = None,
+) -> DataFrame:
     """Score drift features per the check's routing policy.
 
-    ``feats``: ``(row_id, partition_id, repo, path, commit, features)``.
+    ``feats``: ``(row_id, partition_id, [carry...], features)`` — or
+    flat per-dimension double columns named by ``feature_cols`` (the
+    cheap Arrow transport; ``run_suite`` uses this and joins key columns
+    back onto the violating subset only).
     Groups at or under ``max_group_rows`` always take the exact grouped
     kernel (golden single-fit semantics).  Oversized groups take salted
     sub-fits (default, throughput) or the distributed exact kernel
-    (``exact_oversized=True``, fidelity).  Key columns ride through the
-    grouped UDF; the distributed path re-joins them (its stages are pure
-    DataFrame ops and carry no extra columns).
+    (``exact_oversized=True``, fidelity).
     """
-    carry = ["repo", "path", "commit"]
+    carry = list(carry)
+    kw = dict(
+        n_neighbors=chk.n_neighbors,
+        extent=chk.extent,
+        carry_cols=carry,
+        feature_cols=feature_cols,
+    )
     if not chk.max_group_rows:
-        return loop_grouped(
-            feats,
-            n_neighbors=chk.n_neighbors,
-            extent=chk.extent,
-            carry_cols=carry,
-        )
+        return loop_grouped(feats, **kw)
     if not chk.exact_oversized:
         from .skew import with_salt
 
         salted = with_salt(feats, chk.max_group_rows)
-        return loop_grouped(
-            salted,
-            n_neighbors=chk.n_neighbors,
-            extent=chk.extent,
-            carry_cols=carry,
-            salt_col="salt",
-        )
+        return loop_grouped(salted, salt_col="salt", **kw)
     from .drift import loop_distributed
     from .skew import group_sizes
 
@@ -258,20 +259,22 @@ def drift_scores(feats: DataFrame, chk: Drift) -> DataFrame:
     )
     small = routed.where(~F.col("_oversized")).drop("_oversized")
     big = routed.where(F.col("_oversized")).drop("_oversized")
-    small_scored = loop_grouped(
-        small,
-        n_neighbors=chk.n_neighbors,
-        extent=chk.extent,
-        carry_cols=carry,
+    small_scored = loop_grouped(small, **kw)
+    feature_expr = (
+        F.array(*[F.col(c) for c in feature_cols])
+        if feature_cols
+        else F.col("features")
     )
     big_scored = loop_distributed(
-        big.select("row_id", "partition_id", "features"),
+        big.select("row_id", "partition_id", feature_expr.alias("features")),
         n_neighbors=chk.n_neighbors,
         extent=chk.extent,
-    ).join(
-        big.select("partition_id", "row_id", *carry),
-        on=["partition_id", "row_id"],
     )
+    if carry:
+        big_scored = big_scored.join(
+            big.select("partition_id", "row_id", *carry),
+            on=["partition_id", "row_id"],
+        )
     return small_scored.unionByName(big_scored)
 
 
@@ -550,20 +553,20 @@ def run_suite(
             continue
         n_chars = F.col("_len_content").cast("double")
         n_tokens = F.col("_ntok_content").cast("double")
-        feature_expr = F.array(
-            F.log1p(n_chars),
-            F.log1p(n_tokens),
-            F.log1p(n_chars / F.greatest(n_tokens, F.lit(1.0))),
-        )
+        # flat per-dimension transport into the Arrow UDF (no per-row
+        # array objects), and NO key strings through the kernel — they
+        # join back onto the violating subset below (tiny; AQE turns it
+        # into a broadcast join at runtime)
         feats = enriched.where(~F.col("_null_content")).select(
             "row_id",
             "partition_id",
-            "repo",
-            "path",
-            "commit",
-            feature_expr.alias("features"),
+            F.log1p(n_chars).alias("_df0"),
+            F.log1p(n_tokens).alias("_df1"),
+            F.log1p(n_chars / F.greatest(n_tokens, F.lit(1.0))).alias("_df2"),
         )
-        keyed = drift_scores(feats, chk).persist()
+        keyed = drift_scores(
+            feats, chk, carry=(), feature_cols=["_df0", "_df1", "_df2"]
+        ).persist()
         _persisted.append(keyed)
         drift_stats = keyed.groupBy("partition_id").agg(
             F.avg(
@@ -596,7 +599,14 @@ def run_suite(
             ).select("partition_id", "_m.*")
         )
         violation_frames.append(
-            keyed.where(F.col("loop_score") > chk.score_threshold).select(
+            keyed.where(F.col("loop_score") > chk.score_threshold)
+            .join(
+                enriched.select(
+                    "partition_id", "row_id", "repo", "path", "commit"
+                ),
+                on=["partition_id", "row_id"],
+            )
+            .select(
                 "partition_id",
                 F.lit(chk.name).alias("check_name"),
                 "row_id",

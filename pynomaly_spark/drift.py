@@ -111,12 +111,20 @@ def loop_grouped(
     id_col: str = "row_id",
     carry_cols: Optional[list] = None,
     salt_col: Optional[str] = None,
+    feature_cols: Optional[list] = None,
 ) -> DataFrame:
     """Exact per-group LoOP via one grouped Arrow UDF stage.
 
-    Input: ``(id_col, partition_col, features_col: array<double>)``.
+    Input: ``(id_col, partition_col, features_col: array<double>)`` — or,
+    with ``feature_cols``, one scalar double column per dimension, which
+    ships through Arrow as flat columns and loads into the kernel as one
+    vectorized copy instead of a million per-row array objects (the same
+    transport trick as the cell-cogrouped kNN; measurably faster at 1M+
+    rows).
     Output: :data:`LOOP_OUTPUT_SCHEMA` (+ ``carry_cols`` passed through,
-    saving a re-join against the source for violation reporting).
+    saving a re-join against the source for violation reporting — prefer
+    joining carry columns back onto the FILTERED output when only
+    violations need them).
 
     ``salt_col``: when set, grouping is by ``(partition_col, salt_col)``
     and each sub-group is scored independently — the documented at-scale
@@ -126,6 +134,7 @@ def loop_grouped(
     """
     k, ext = int(n_neighbors), int(extent)
     carry = list(carry_cols or [])
+    fcols = list(feature_cols or [])
 
     out_schema = StructType(
         LOOP_OUTPUT_SCHEMA.fields
@@ -138,17 +147,25 @@ def loop_grouped(
         if len(pdf) <= k:
             out = _gated_frame(pid, row_ids)
         else:
-            pts = np.stack(pdf[features_col].to_numpy())
+            if fcols:
+                pts = pdf[fcols].to_numpy(dtype=np.float64)
+            else:
+                pts = np.stack(pdf[features_col].to_numpy())
             res = kernel.loop_scores(pts, n_neighbors=k, extent=ext)
             out = _result_frame(pid, row_ids, res)
         for c in carry:
             out[c] = pdf[c].to_numpy()
         return out
 
+    feat_sel = (
+        [F.col(c) for c in fcols]
+        if fcols
+        else [F.col(features_col).alias(features_col)]
+    )
     slim = df.select(
         F.col(id_col).alias(id_col),
         F.col(partition_col).cast("string").alias(partition_col),
-        F.col(features_col).alias(features_col),
+        *feat_sel,
         *[F.col(c) for c in carry],
         *([F.col(salt_col)] if salt_col else []),
     )
