@@ -91,6 +91,10 @@ def run_once(cores: int, input_dir: str, zip_path: str, salt_rows: int) -> dict:
         os.path.join(REPO, "pynomaly_spark", "jobs", "validate_job.py"),
         "--input", input_dir,
         "--salt-rows", str(salt_rows),
+        # verdict outputs on tmpfs: the sandbox virtual disk serializes
+        # concurrent writers (same rationale as the shuffle dirs) — a
+        # real cluster writes to a parallel DFS
+        "--out", "/dev/shm/pynomaly-validate-out",
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, timeout=1800
