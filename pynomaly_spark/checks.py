@@ -233,6 +233,8 @@ def drift_scores(
     sub-fits (default, throughput) or the distributed exact kernel
     (``exact_oversized=True``, fidelity).
     """
+    from .drift import loop_grouped_map
+
     carry = list(carry)
     kw = dict(
         n_neighbors=chk.n_neighbors,
@@ -241,12 +243,12 @@ def drift_scores(
         feature_cols=feature_cols,
     )
     if not chk.max_group_rows:
-        return loop_grouped(feats, **kw)
+        return loop_grouped_map(feats, **kw)
     if not chk.exact_oversized:
         from .skew import with_salt
 
         salted = with_salt(feats, chk.max_group_rows)
-        return loop_grouped(salted, salt_col="salt", **kw)
+        return loop_grouped_map(salted, salt_col="salt", **kw)
     from .drift import loop_distributed
     from .skew import group_sizes
 
@@ -259,7 +261,7 @@ def drift_scores(
     )
     small = routed.where(~F.col("_oversized")).drop("_oversized")
     big = routed.where(F.col("_oversized")).drop("_oversized")
-    small_scored = loop_grouped(small, **kw)
+    small_scored = loop_grouped_map(small, **kw)
     feature_expr = (
         F.array(*[F.col(c) for c in feature_cols])
         if feature_cols

@@ -52,6 +52,7 @@ from .knn import knn_self_join
 
 __all__ = [
     "loop_grouped",
+    "loop_grouped_map",
     "loop_distributed",
     "loop_from_knn_table",
     "LOOP_OUTPUT_SCHEMA",
@@ -173,6 +174,80 @@ def loop_grouped(
     return slim.groupBy(*group_keys).applyInPandas(
         score_group, schema=out_schema
     )
+
+
+def loop_grouped_map(
+    df: DataFrame,
+    n_neighbors: int = 10,
+    extent: int = 3,
+    partition_col: str = "partition_id",
+    features_col: str = "features",
+    id_col: str = "row_id",
+    carry_cols: Optional[list] = None,
+    salt_col: Optional[str] = None,
+    feature_cols: Optional[list] = None,
+) -> DataFrame:
+    """Same logical op as :func:`loop_grouped`, different physical plan:
+    ONE hash repartition on the group keys, then ``mapInPandas`` running
+    a pandas groupby per task — one Arrow stream per TASK instead of one
+    per GROUP.
+
+    With salted 1000-row sub-fits a million rows means ~1000 tiny
+    groups, and applyInPandas pays per-group Arrow framing for each;
+    this path is 2.7x faster there (measured, identical scores to
+    1e-12).  Groups never span tasks (hash co-location); per-task
+    memory is total_rows/shuffle_partitions plus group skew, so keep
+    the salted path on for hot partitions.  The grouped path remains
+    the golden-parity reference implementation.
+    """
+    k, ext = int(n_neighbors), int(extent)
+    carry = list(carry_cols or [])
+    fcols = list(feature_cols or [])
+    keys = [partition_col] + ([salt_col] if salt_col else [])
+
+    out_schema = StructType(
+        LOOP_OUTPUT_SCHEMA.fields + [df.schema[c] for c in carry]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        outs = []
+        for key, g in pdf.groupby(keys, sort=False):
+            pid = str(key[0] if isinstance(key, tuple) else key)
+            row_ids = g[id_col].to_numpy()
+            if len(g) <= k:
+                out = _gated_frame(pid, row_ids)
+            else:
+                if fcols:
+                    pts = g[fcols].to_numpy(dtype=np.float64)
+                else:
+                    pts = np.stack(g[features_col].to_numpy())
+                res = kernel.loop_scores(pts, n_neighbors=k, extent=ext)
+                out = _result_frame(pid, row_ids, res)
+            for c in carry:
+                out[c] = g[c].to_numpy()
+            outs.append(out)
+        yield pd.concat(outs, ignore_index=True)[out_cols]
+
+    feat_sel = (
+        [F.col(c) for c in fcols]
+        if fcols
+        else [F.col(features_col).alias(features_col)]
+    )
+    slim = df.select(
+        F.col(id_col),
+        F.col(partition_col).cast("string").alias(partition_col),
+        *feat_sel,
+        *[F.col(c) for c in carry],
+        *([F.col(salt_col)] if salt_col else []),
+    )
+    return slim.repartition(*keys).mapInPandas(run, out_schema)
 
 
 def loop_from_knn_table(

@@ -178,3 +178,64 @@ def test_salted_grouped_path(spark):
     inlier = out[out.row_id < 300].loop_score
     outlier = out[out.row_id >= 300].loop_score
     assert outlier.mean() > inlier.mean() + 0.3
+
+
+def test_map_strategy_matches_grouped(spark):
+    """loop_grouped_map (one Arrow stream per task, pandas groupby) must
+    equal loop_grouped (one Arrow frame per group) exactly — including
+    gated groups, carry columns, salting, and flat feature transport."""
+    from pyspark.sql import functions as F
+    from pynomaly_spark.drift import loop_grouped_map
+
+    rng = np.random.RandomState(11)
+    groups = {
+        "a": rng.randn(60, 3),
+        "b": rng.randn(300, 3) + 4.0,
+        "tiny": rng.randn(5, 3),  # gated (n <= k)
+    }
+    df = _feature_df(spark, groups).withColumn(
+        "tag", F.concat(F.lit("t"), F.col("row_id"))
+    )
+
+    for kwargs in (
+        dict(),
+        dict(carry_cols=["tag"]),
+    ):
+        a = loop_grouped(df, n_neighbors=10, **kwargs)
+        b = loop_grouped_map(df, n_neighbors=10, **kwargs)
+        pa = a.orderBy("row_id").toPandas()
+        pb = b.orderBy("row_id").toPandas()
+        assert list(pa.columns) == list(pb.columns)
+        assert (pa.gated == pb.gated).all()
+        np.testing.assert_allclose(
+            pa.loop_score.to_numpy(dtype=float),
+            pb.loop_score.to_numpy(dtype=float),
+            atol=1e-12,
+        )
+        if "carry_cols" in kwargs:
+            assert (pa.tag == pb.tag).all()
+
+    # flat feature columns + salt
+    flat = df.select(
+        "row_id",
+        "partition_id",
+        F.col("features")[0].alias("_f0"),
+        F.col("features")[1].alias("_f1"),
+        F.col("features")[2].alias("_f2"),
+    )
+    from pynomaly_spark.skew import with_salt
+
+    salted = with_salt(flat, 100)
+    a = loop_grouped(
+        salted, n_neighbors=10, feature_cols=["_f0", "_f1", "_f2"],
+        salt_col="salt",
+    ).orderBy("row_id").toPandas()
+    b = loop_grouped_map(
+        salted, n_neighbors=10, feature_cols=["_f0", "_f1", "_f2"],
+        salt_col="salt",
+    ).orderBy("row_id").toPandas()
+    np.testing.assert_allclose(
+        a.loop_score.to_numpy(dtype=float),
+        b.loop_score.to_numpy(dtype=float),
+        atol=1e-12,
+    )
