@@ -530,6 +530,21 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def q_emb_ann_ivf(spark, sf_dir):
+    """Inverted-file ANN (rows-only; the sampled k-means cells are not
+    expressible in the DuckDB oracle — recall is pytest-verified against
+    the exact baseline instead)."""
+    from .similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "rnk", "neighbor_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # LoOP drift (rows-only: the oracle cannot express the kernel in SQL)
 # --------------------------------------------------------------------------
@@ -598,6 +613,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_guess": q_doc_lang_guess,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ann_ivf": q_emb_ann_ivf,
 }
 
 ORACLES: Dict[str, str] = {
@@ -620,5 +636,6 @@ ORACLES: Dict[str, str] = {
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     # rows-only (not oracle-SQL-expressible): doc_drift_loop,
     # emb_drift_loop (LoOP kernel), doc_near_dups (banded LSH bucketing),
-    # doc_simhash (xxhash bit votes), emb_ann_lsh (hyperplane hashing)
+    # doc_simhash (xxhash bit votes), emb_ann_lsh (hyperplane hashing),
+    # emb_ann_ivf (sampled k-means cells)
 }

@@ -1,16 +1,23 @@
 """Similarity search over embedding columns (``array<float>``).
 
 * :func:`cosine_topk` — brute-force exact top-k: broadcast the query set,
-  JVM-side dot products (``zip_with`` + ``aggregate``), per-query window
-  top-k.  The baseline and the verifier for the approximate path.
+  JVM-side dot products (``zip_with`` + ``aggregate``), salted two-phase
+  top-k.  The baseline and the verifier for the approximate paths.
 * :func:`rp_lsh_topk` — random-hyperplane LSH: a fixed seeded set of
   hyperplanes (driver-side literals), JVM-side sign bits -> bucket id,
   candidates restricted to the same bucket (optionally multi-probe to
-  Hamming-1 neighbors), exact cosine + window top-k inside buckets.
+  Hamming-1 neighbors), exact cosine + top-k inside buckets.
   At scale the bucket join replaces the O(n*q) cross product with
   O(n*q / 2^planes) expected pairs.
+* :func:`ivf_topk` — inverted-file ANN: coarse centroids from a
+  driver-side k-means over a bounded sample, JVM-side nearest-centroid
+  assignment (literal centroid arrays), queries probe their ``nprobe``
+  nearest lists.  Recall degrades gracefully with ``nprobe``; candidate
+  count ~ n * nprobe / n_centroids.  The standard IVF trade on the
+  LSH alternative: data-adaptive cells (better for clustered
+  embeddings) at the cost of a training sample.
 
-No Python executes per row; the hyperplane dot products compile to
+No Python executes per row; centroid/hyperplane dot products compile to
 whole-stage-codegen expressions.
 """
 
@@ -20,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "rp_lsh_topk", "two_phase_topk"]
+__all__ = ["cosine_topk", "rp_lsh_topk", "ivf_topk", "two_phase_topk"]
 
 
 def two_phase_topk(
@@ -171,6 +178,113 @@ def rp_lsh_topk(
     )
 
     pairs = it.join(F.broadcast(q), on="_bucket").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    cos = _dot("_qv", vec_col) / (_norm("_qv") * _norm(vec_col))
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    return two_phase_topk(
+        scored,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def _sample_matrix(df, vec_col: str, sample_rows: int, seed: int) -> np.ndarray:
+    """Bounded plan-time training sample (control plane, not row data)."""
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    pts = np.asarray([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts / np.maximum(norms, 1e-12)
+
+
+def _spherical_kmeans(pts: np.ndarray, n_centroids: int, iters: int, seed: int):
+    """Lloyd iterations on unit vectors (cosine cells)."""
+    rng = np.random.RandomState(seed)
+    n = pts.shape[0]
+    centroids = pts[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    for _ in range(iters):
+        sims = pts @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(centroids.shape[0]):
+            members = pts[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # dead cell: reseed on the farthest point
+                centroids[c] = pts[sims.max(axis=1).argmin()]
+    return centroids
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 4000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine via inverted-file (IVF) cells.
+
+    Coarse centroids are trained driver-side on a bounded sample
+    (spherical k-means) and enter the plan as literals; every item is
+    assigned to its nearest centroid with whole-stage-codegen dot
+    products (ONE scan, no shuffle for assignment), and each query
+    probes its ``nprobe`` nearest cells.  Expected candidates per query
+    ~ n * nprobe / n_centroids.  At 100 TB the items-side assignment is
+    a map-only pass and the join shuffles on cell id only.
+    """
+    sample = _sample_matrix(items, vec_col, sample_rows, seed)
+    cents = _spherical_kmeans(sample, n_centroids, kmeans_iters, seed)
+    n_cells = cents.shape[0]
+
+    vec_norm = _norm(vec_col)
+
+    def cent_dot(i):
+        lit = F.array(*[F.lit(float(v)) for v in cents[i]])
+        return _dot(lit, vec_col) / F.greatest(vec_norm, F.lit(1e-12))
+
+    dots = [cent_dot(i) for i in range(n_cells)]
+
+    # items: argmax cell (chained when on the max — ties to lowest index)
+    best = F.greatest(*dots) if n_cells > 1 else dots[0]
+    cell = F.lit(0)
+    for i in range(n_cells - 1, -1, -1):
+        cell = F.when(dots[i] == best, F.lit(i)).otherwise(cell)
+    it = items.select(F.col(id_col), F.col(vec_col), cell.alias("_cell"))
+
+    # queries: top-nprobe cells via sorted literal struct array
+    probe_structs = F.array(
+        *[
+            F.struct((-dots[i]).alias("d"), F.lit(i).alias("i"))
+            for i in range(n_cells)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(probe_structs), 1, min(nprobe, n_cells)),
+        lambda s: s["i"],
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes).alias("_cell"),
+    )
+
+    pairs = it.join(F.broadcast(q), on="_cell").where(
         F.col(id_col) != F.col(query_id_col)
     )
     cos = _dot("_qv", vec_col) / (_norm("_qv") * _norm(vec_col))

@@ -225,3 +225,36 @@ def test_multimodal_real_ppm_decode(spark):
     # distinguishable images -> distinguishable features
     f0, f1 = out.loc[0, "features"], out.loc[1, "features"]
     assert not np.allclose(f0, f1)
+
+
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """IVF cells must recover the exact top-k for clustered embeddings
+    (planted twin sits in the query's own cell); recall vs the exact
+    baseline stays high at nprobe=4/16 cells."""
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, 12) * 5
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(40):
+            rows.append((vid, list(map(float, c + rng.randn(12) * 0.3))))
+            vid += 1
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).persist()
+    q = emb.where(F.col("vec_id").isin([0, 40, 80])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, q, k=5).toPandas()
+    approx = similarity.ivf_topk(
+        emb, q, k=5, n_centroids=16, nprobe=4, sample_rows=320
+    ).toPandas()
+    assert set(approx.query_id) == {0, 40, 80}
+    hits = 0
+    for qid in (0, 40, 80):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        assert len(a) == 5
+        hits += len(e & a)
+    assert hits >= 12  # >=80% recall on well-separated clusters
+    emb.unpersist()

@@ -38,7 +38,7 @@ def test_queries_and_oracles_line_up():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_drift_loop", "emb_drift_loop", "doc_near_dups",
-        "doc_simhash", "emb_ann_lsh",
+        "doc_simhash", "emb_ann_lsh", "emb_ann_ivf",
     }
 
 

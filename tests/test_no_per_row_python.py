@@ -20,6 +20,7 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 COLLECT_ALLOWLIST = {
     "checkpoint.py",  # distinct partition ids (thousands, not rows)
     "knn.py",  # plan-time cell-size sampling (bounded 2000 rows)
+    "similarity.py",  # plan-time IVF centroid training sample (bounded)
 }
 
 
