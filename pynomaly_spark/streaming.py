@@ -32,11 +32,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from . import kernel
 
-__all__ = ["ModelSnapshot", "fit_snapshot", "score_batch", "score_stream"]
+__all__ = [
+    "ModelSnapshot",
+    "fit_snapshot",
+    "score_batch",
+    "score_stream",
+    "running_violation_rate",
+]
 
 
 @dataclass
@@ -160,6 +172,81 @@ def windowed_event_counts(
             key_col,
             "n_events",
             "avg_value",
+        )
+    )
+
+
+_RATE_SCHEMA = StructType(
+    [
+        StructField("partition_id", StringType(), False),
+        StructField("rows_in_batch", LongType(), False),
+        StructField("rows_total", LongType(), False),
+        StructField("violations_total", LongType(), False),
+        StructField("violation_rate", DoubleType(), False),
+    ]
+)
+
+_RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("rows", LongType(), False),
+        StructField("violations", LongType(), False),
+    ]
+)
+
+
+def running_violation_rate(
+    scored_stream: DataFrame,
+    score_threshold: float = 0.95,
+    partition_col: str = "partition_id",
+    score_col: str = "loop_score",
+) -> DataFrame:
+    """Custom STATEFUL operator: cumulative per-partition violation rate.
+
+    The reference has no cross-batch state at all (its ``stream()`` is
+    stateless against a frozen fit); a production drift monitor needs
+    "how is this partition trending across micro-batches", which is
+    exactly Structured Streaming's arbitrary-state surface:
+    ``applyInPandasWithState`` keeps ``(rows, violations)`` per
+    partition in the state store (fault-tolerant via the stream
+    checkpoint — restarts resume the counts), and each micro-batch
+    emits the updated cumulative rate per touched partition.
+
+    Input: a scored stream ``(partition_col, score_col, ...)``.
+    Output (update mode): one row per touched partition per batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    thr = float(score_threshold)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        rows = 0
+        viol = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            scores = pdf[score_col].astype(float)
+            viol += int((scores > thr).sum())
+        prev_rows, prev_viol = state.get if state.exists else (0, 0)
+        total_rows = prev_rows + rows
+        total_viol = prev_viol + viol
+        state.update((total_rows, total_viol))
+        yield pd.DataFrame(
+            {
+                "partition_id": [str(key[0])],
+                "rows_in_batch": [rows],
+                "rows_total": [total_rows],
+                "violations_total": [total_viol],
+                "violation_rate": [total_viol / max(total_rows, 1)],
+            }
+        )
+
+    return (
+        scored_stream.groupBy(partition_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RATE_SCHEMA,
+            stateStructType=_RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -136,3 +136,63 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     )
     assert len(merged) == len(got)
     assert (merged.n_events_s == merged.n_events_b).all()
+
+
+def test_running_violation_rate_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps cumulative per-partition counts in
+    the state store: a restarted stream (same checkpoint) must resume
+    the counts from batch 1 when scoring batch 2."""
+    import pandas as pd
+
+    from pynomaly_spark.streaming import running_violation_rate
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["partition_id", "loop_score"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, name))
+
+    def run_stream():
+        schema = "partition_id string, loop_score double"
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(in_dir)
+        rates = running_violation_rate(stream, score_threshold=0.9)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            rates.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a = 10 rows / 2 violations, b = 5 rows / 0 violations
+    write_batch(
+        "b1",
+        [("a", 0.95)] * 2 + [("a", 0.1)] * 8 + [("b", 0.2)] * 5,
+    )
+    run_stream()
+    out1 = spark.read.parquet(out_dir).toPandas().set_index("partition_id")
+    assert out1.loc["a", "rows_total"] == 10
+    assert out1.loc["a", "violations_total"] == 2
+    assert abs(out1.loc["a", "violation_rate"] - 0.2) < 1e-12
+    assert out1.loc["b", "violations_total"] == 0
+
+    # batch 2 (restart, same checkpoint): a += 10 rows / 3 violations
+    write_batch("b2", [("a", 0.99)] * 3 + [("a", 0.3)] * 7)
+    run_stream()
+    out2 = spark.read.parquet(out_dir).toPandas()
+    a2 = out2[(out2.partition_id == "a") & (out2.rows_total == 20)]
+    assert len(a2) == 1, out2.to_string()
+    assert a2.iloc[0].violations_total == 5
+    assert abs(a2.iloc[0].violation_rate - 0.25) < 1e-12
