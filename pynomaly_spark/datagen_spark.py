@@ -73,8 +73,9 @@ def generate_code_table_spark(
 
     # lang with a dominant-python boost (skew for the salting story)
     langs_arr = F.array(*[F.lit(l) for l in _LANGS])
-    lang_pick = langs_arr.getItem(
-        F.pmod(F.xxhash64(rid, F.lit(seed + 3)), F.lit(len(_LANGS))).cast("int")
+    lang_pick = F.get(
+        langs_arr,
+        F.pmod(F.xxhash64(rid, F.lit(seed + 3)), F.lit(len(_LANGS))).cast("int"),
     )
     lang = F.when(_u(rid, seed + 4) < 0.4, F.lit("python")).otherwise(lang_pick)
 
@@ -131,10 +132,11 @@ def generate_code_table_spark(
     content = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n_words),
-            lambda i: words_arr.getItem(
+            lambda i: F.get(
+                words_arr,
                 F.pmod(F.xxhash64(rid, i.cast("long")), F.lit(len(_WORDS))).cast(
                     "int"
-                )
+                ),
             ),
         ),
         " ",
