@@ -586,6 +586,79 @@ def q_emb_drift_loop(spark, sf_dir):
     )
 
 
+def q_emb_loop_stages(spark, sf_dir):
+    """The LoOP pipeline through nPLOF, fully ORACLE-CHECKED.
+
+    DuckDB lacks ``erf`` so the final [0,1] map stays rows-only
+    (``emb_drift_loop``), but every stage before it — per-group kNN,
+    ssd, standard distance, probabilistic distance, neighborhood EV,
+    PLOF, per-group E[PLOF^2], nPLOF — is plain SQL on the tie-free
+    float embeddings, so the kernel's dataflow itself is hash-verified
+    against an independent engine.  (Tie-free matters: argpartition's
+    unordered k-subset is only deterministic when no distances tie —
+    SURVEY.md §2.3.)"""
+    from .drift import loop_grouped
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.col("label").cast("string").alias("partition_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    scored = loop_grouped(feats, n_neighbors=10, extent=3)
+    return scored.select(
+        "partition_id",
+        "row_id",
+        F.round("prob_distance", 6).alias("pdist"),
+        F.round("prob_distance_ev", 6).alias("ev_pdist"),
+        F.round("plof", 6).alias("plof"),
+        F.round("nplof", 6).alias("nplof"),
+    )
+
+
+SQL_EMB_LOOP_STAGES = """
+WITH base AS (
+  SELECT vec_id, CAST(label AS VARCHAR) AS partition_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, a.partition_id, b.vec_id AS nid,
+         list_distance(a.v, b.v) AS dist
+  FROM base a JOIN base b
+    ON a.partition_id = b.partition_id AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT qid, partition_id, nid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+  FROM pairs
+),
+pd AS (
+  SELECT qid, partition_id, 3.0 * sqrt(sum(dist * dist) / 10.0) AS pdist
+  FROM knn WHERE rn <= 10 GROUP BY qid, partition_id
+),
+ev AS (
+  SELECT k.qid, avg(p.pdist) AS ev_pdist
+  FROM knn k JOIN pd p ON p.qid = k.nid
+  WHERE k.rn <= 10 GROUP BY k.qid
+),
+plof AS (
+  SELECT pd.qid, pd.partition_id, pd.pdist, ev.ev_pdist,
+         pd.pdist / (CASE WHEN ev.ev_pdist = 0.0 THEN 1e-8
+                          ELSE ev.ev_pdist END) - 1.0 AS plof
+  FROM pd JOIN ev ON ev.qid = pd.qid
+)
+SELECT partition_id,
+       qid AS row_id,
+       round(pdist, 6) AS pdist,
+       round(ev_pdist, 6) AS ev_pdist,
+       round(plof, 6) AS plof,
+       round(3.0 * sqrt(avg(plof * plof)
+             OVER (PARTITION BY partition_id)), 6) AS nplof
+FROM plof
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -607,6 +680,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing": q_lineitem_pricing,
     "doc_drift_loop": q_doc_drift_loop,
     "emb_drift_loop": q_emb_drift_loop,
+    "emb_loop_stages": q_emb_loop_stages,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_near_dups": q_doc_near_dups,
     "doc_simhash": q_doc_simhash,
@@ -634,6 +708,7 @@ ORACLES: Dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_lang_guess": _lang_guess_sql(),
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+    "emb_loop_stages": SQL_EMB_LOOP_STAGES,
     # rows-only (not oracle-SQL-expressible): doc_drift_loop,
     # emb_drift_loop (LoOP kernel), doc_near_dups (banded LSH bucketing),
     # doc_simhash (xxhash bit votes), emb_ann_lsh (hyperplane hashing),
