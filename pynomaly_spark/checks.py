@@ -221,6 +221,7 @@ def drift_scores(
     chk: Drift,
     carry: tuple = ("repo", "path", "commit"),
     feature_cols: Optional[list] = None,
+    caches_out: Optional[list] = None,
 ) -> DataFrame:
     """Score drift features per the check's routing policy.
 
@@ -271,6 +272,7 @@ def drift_scores(
         big.select("row_id", "partition_id", feature_expr.alias("features")),
         n_neighbors=chk.n_neighbors,
         extent=chk.extent,
+        caches_out=caches_out,
     )
     if carry:
         big_scored = big_scored.join(
@@ -567,14 +569,30 @@ def run_suite(
             F.log1p(n_chars / F.greatest(n_tokens, F.lit(1.0))).alias("_df2"),
         )
         keyed = drift_scores(
-            feats, chk, carry=(), feature_cols=["_df0", "_df1", "_df2"]
+            feats,
+            chk,
+            carry=(),
+            feature_cols=["_df0", "_df1", "_df2"],
+            caches_out=_persisted,  # kNN retry caches released with the suite
         ).persist()
         _persisted.append(keyed)
-        drift_stats = keyed.groupBy("partition_id").agg(
-            F.avg(
-                (F.col("loop_score") > chk.score_threshold).cast("double")
-            ).alias("_vrate"),
-            F.max(F.col("gated").cast("int")).alias("_gated"),
+        # left-join onto the partition universe: a partition whose rows
+        # are ALL null-content has nothing to score — that must surface
+        # as an explicit gated FAIL row, not as a missing metric
+        # (the same absence-as-pass defect the count checks fixed)
+        drift_stats = partition_universe.join(
+            keyed.groupBy("partition_id").agg(
+                F.avg(
+                    (F.col("loop_score") > chk.score_threshold).cast("double")
+                ).alias("_vrate"),
+                F.max(F.col("gated").cast("int")).alias("_gated"),
+            ),
+            on="partition_id",
+            how="left",
+        ).select(
+            "partition_id",
+            F.coalesce(F.col("_vrate"), F.lit(0.0)).alias("_vrate"),
+            F.coalesce(F.col("_gated"), F.lit(1)).alias("_gated"),
         )
         drift_structs = [
             F.struct(

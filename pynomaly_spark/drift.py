@@ -72,6 +72,17 @@ LOOP_OUTPUT_SCHEMA = StructType(
 )
 
 
+def _pid_str(value) -> str:
+    """Null partition keys surface as NaN through Arrow; normalize to
+    'None' so both grouped paths emit the same id for null groups."""
+    try:
+        if value is None or pd.isna(value):
+            return "None"
+    except (TypeError, ValueError):
+        pass
+    return str(value)
+
+
 def _result_frame(pid, row_ids, res: "kernel.LoopResult") -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -143,7 +154,7 @@ def loop_grouped(
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = str(pdf[partition_col].iloc[0])
+        pid = _pid_str(pdf[partition_col].iloc[0])
         row_ids = pdf[id_col].to_numpy()
         if len(pdf) <= k:
             out = _gated_frame(pid, row_ids)
@@ -218,8 +229,11 @@ def loop_grouped_map(
         if not len(pdf):
             return
         outs = []
-        for key, g in pdf.groupby(keys, sort=False):
-            pid = str(key[0] if isinstance(key, tuple) else key)
+        # dropna=False: null group keys must be scored (as pid 'None'),
+        # exactly like the grouped path — pandas' default silently drops
+        # them (round-2 review finding)
+        for key, g in pdf.groupby(keys, sort=False, dropna=False):
+            pid = _pid_str(key[0] if isinstance(key, tuple) else key)
             row_ids = g[id_col].to_numpy()
             if len(g) <= k:
                 out = _gated_frame(pid, row_ids)
@@ -233,7 +247,8 @@ def loop_grouped_map(
             for c in carry:
                 out[c] = g[c].to_numpy()
             outs.append(out)
-        yield pd.concat(outs, ignore_index=True)[out_cols]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)[out_cols]
 
     feat_sel = (
         [F.col(c) for c in fcols]
@@ -313,6 +328,7 @@ def loop_distributed(
     id_col: str = "row_id",
     knn_table: Optional[DataFrame] = None,
     cell_size: Optional[float] = None,
+    caches_out: Optional[list] = None,
 ) -> DataFrame:
     """Distributed LoOP: every stage a DataFrame op; Python only for erf.
 
@@ -362,6 +378,7 @@ def loop_distributed(
             id_col=id_col,
             partition_col=partition_col,
             cell_size=cell_size,
+            caches_out=caches_out,
         )
 
     # A1-A3: per-row array math, all JVM-side

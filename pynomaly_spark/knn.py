@@ -72,12 +72,14 @@ def estimate_cell_size(
     """Estimate a cell size ~ the true kNN radius from a measured sample.
 
     Measures the k-th-neighbor distance distribution on a driver-side
-    sample with the exact kernel, then scales it to the full table by the
-    density law r_k(n) ~ r_k(m) * (m/n)^(1/d) (d = the gridded dims).
-    The p90 radius with a 2x safety factor keeps the +/-1-cell probe
-    exact for the vast majority of rows; :func:`knn_self_join` retries
-    under-filled rows with a wider cell, so stragglers in the radius
-    tail cost a second small pass, not correctness.
+    sample with the exact kernel, then scales it to the full table by
+    the density law r_k(n) ~ r_k(m) * (m/n)^alpha with alpha CALIBRATED
+    from two sample sizes (see inline note).  The radius quantile is
+    chosen so the expected short tail stays ~``target_short_rows``
+    (p90 at 100k rows, ~p99.9 at 10M+), with a 1.2x noise margin;
+    :func:`knn_self_join` resolves the tail with a brute-force or
+    wider-cell retry, so tail rows cost a small second pass, not
+    correctness.
 
     (The naive span*(k/n)^(1/d) heuristic overestimates by ~100x on
     dense clustered data and blows the bucket join fan-in — measured.)
@@ -147,6 +149,7 @@ def knn_self_join(
     max_retries: int = 2,
     strategy: str = "cells",
     brute_threshold: int = 16384,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """Return ``(id_col [, partition_col], knn_dists, knn_ids)`` arrays per row.
 
@@ -154,12 +157,16 @@ def knn_self_join(
     the reference's per-cluster blocks).  Output arrays are ordered by
     distance ascending; downstream LoOP math only consumes the multiset.
 
-    Adaptive exactness: the cell size targets the p90 kNN radius, so rows
-    in the radius tail can come back with fewer than k neighbors; those
-    rows are re-probed with a 4x wider cell (up to ``max_retries``
-    passes).  Each retry touches only the under-filled rows — the fan-in
-    stays bounded by the dense majority's cell size.  NOTE: retries
-    trigger actions (this builder materializes intermediate results).
+    Adaptive exactness: the cell size targets a high radius quantile
+    (scale-aware, see :func:`estimate_cell_size`), so rows in the radius
+    tail can come back with fewer than k neighbors; small residual sets
+    (<= ``brute_threshold``) are finished EXACTLY by a broadcast
+    brute-force map pass, larger ones re-probe with a 4x wider cell (up
+    to ``max_retries`` passes).  Each retry touches only the
+    under-filled rows — the fan-in stays bounded by the dense majority's
+    cell size.  NOTE: retries trigger actions (this builder materializes
+    intermediate results); pass ``caches_out`` to own the persisted
+    frames the returned plan reads.
     """
     if cell_size is None:
         cell_size = estimate_cell_size(df, features_col, k)
@@ -240,7 +247,11 @@ def knn_self_join(
         # it once, or every caller action re-runs the retry pass
         result = _materialize(result)
     # the returned plan reads the last persisted pass; at most one
-    # (result, redo_ids) pair stays cached — no growth across retries
+    # (result, redo_ids) pair stays cached — no growth across retries.
+    # Callers that outlive the result should pass ``caches_out`` and
+    # unpersist its frames when done (run_suite does, via SuiteResult).
+    if caches_out is not None:
+        caches_out.extend(caches)
     return result
 
 
@@ -453,6 +464,21 @@ def _cross_topk(
     return out_d, out_i
 
 
+def _empty_knn_result(
+    df: DataFrame, id_col: str, partition_col: str | None
+) -> DataFrame:
+    """Typed empty result for an empty input (head() returns None)."""
+    schema = StructType(
+        [df.schema[id_col]]
+        + ([df.schema[partition_col]] if partition_col else [])
+        + [
+            StructField("knn_dists", ArrayType(DoubleType()), False),
+            StructField("knn_ids", ArrayType(LongType()), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def _knn_pass_cells(
     df: DataFrame,
     k: int,
@@ -469,9 +495,15 @@ def _knn_pass_cells(
     all 3^D neighboring cells, so every probe meets exactly the
     candidates within +/-1 cell — the same candidate set as the SQL
     join strategy, without materializing pair rows.
+
+    ``id_col`` must be an integral type (engine row ids are xxhash64
+    longs): ids travel through the numpy kernel as int64.
     """
     build_src = build_df if build_df is not None else df
-    d_full = int(df.select(F.size(features_col).alias("d")).head()["d"])
+    dim_count_row = df.select(F.size(features_col).alias("d")).head()
+    if dim_count_row is None:  # empty probe side (e.g. routing split)
+        return _empty_knn_result(df, id_col, partition_col)
+    d_full = int(dim_count_row["d"])
     dims = min(d_full, n_grid_dims)
     radius = float(cell_size)
 
@@ -592,6 +624,8 @@ def _knn_pass_sql(
     """One bucketed probe/build pass (probe = ``df``, build = full table)."""
     build_src = build_df if build_df is not None else df
     dim_count_row = df.select(F.size(features_col).alias("d")).head()
+    if dim_count_row is None:  # empty probe side
+        return _empty_knn_result(df, id_col, partition_col)
     dims = min(int(dim_count_row["d"]), n_grid_dims)
 
     keep = [id_col, features_col] + ([partition_col] if partition_col else [])

@@ -471,9 +471,6 @@ FROM scored GROUP BY 1, 2
 """
 
 
-SQL_DOC_LANG_GUESS = None  # filled below (needs textops import at call time)
-
-
 def q_doc_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram shingle Jaccard on a FIXED candidate-pair table
     (consecutive doc ids under 60) — the verify primitive of the

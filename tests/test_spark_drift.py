@@ -239,3 +239,24 @@ def test_map_strategy_matches_grouped(spark):
         b.loop_score.to_numpy(dtype=float),
         atol=1e-12,
     )
+
+
+def test_map_strategy_scores_null_partition_keys(spark):
+    """Null group keys must be scored (pid 'None'), not silently dropped
+    by pandas groupby's dropna default (round-2 review finding)."""
+    from pynomaly_spark.drift import loop_grouped_map
+
+    rng = np.random.RandomState(3)
+    groups = {"a": rng.randn(40, 2)}
+    df = _feature_df(spark, groups)
+    from pyspark.sql import functions as F
+
+    # half the rows get a NULL partition id
+    df = df.withColumn(
+        "partition_id",
+        F.when(F.col("row_id") % 2 == 0, F.col("partition_id")),
+    )
+    out = loop_grouped_map(df, n_neighbors=5).toPandas()
+    assert len(out) == 40
+    assert set(out.partition_id) == {"a", "None"}
+    assert out.loop_score.notna().all()
