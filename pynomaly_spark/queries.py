@@ -527,6 +527,45 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def q_doc_media_features(spark, sf_dir):
+    """Multimodal plumbing demonstrated end-to-end (rows-only: binary
+    codec work is not oracle-SQL-expressible).  Deterministic 8x4 P6
+    images are synthesized JVM-side from document digests (ASCII-hex
+    raster = 96 bytes), then decoded by the REAL pure-numpy PPM codec in
+    multimodal.extract_features — payload build, byte-budget transport,
+    decode, and feature math all exercised on the driver tables."""
+    from .multimodal import extract_features
+
+    doc = _doc(spark, sf_dir).where(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
+    raster = F.rpad(
+        F.concat(
+            F.md5("text"),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ),
+        96,
+        "0",
+    )
+    payload = F.concat(
+        F.lit(b"P6\n8 4\n255\n"), F.encode(raster, "utf-8")
+    )
+    media = doc.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+    )
+    feats = extract_features(media)
+    first6 = [
+        F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+        for i in range(6)
+    ]
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "decoder", "n_bytes", *first6
+    )
+
+
 def q_emb_ann_ivf(spark, sf_dir):
     """Inverted-file ANN (rows-only; the sampled k-means cells are not
     expressible in the DuckDB oracle — recall is pytest-verified against
@@ -685,6 +724,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "doc_media_features": q_doc_media_features,
 }
 
 ORACLES: Dict[str, str] = {

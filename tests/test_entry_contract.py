@@ -39,6 +39,7 @@ def test_queries_and_oracles_line_up():
     assert rows_only == {
         "doc_drift_loop", "emb_drift_loop", "doc_near_dups",
         "doc_simhash", "emb_ann_lsh", "emb_ann_ivf",
+        "doc_media_features",
     }
 
 
