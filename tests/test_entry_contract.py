@@ -31,14 +31,15 @@ def test_queries_and_oracles_line_up():
     q = mod.queries()
     o = mod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only entries are the documented non-SQL-expressible ops
-    # (LoOP kernel, banded LSH bucketing, xxhash bit votes, hyperplane
-    # hashing); doc_lang_guess and the fixed-pair Jaccard verify were
-    # flipped to oracle-checked in round 2
+    # rows-only entries are the documented non-SQL-expressible ops:
+    # the erf map of the LoOP kernel (all prior stages hash-verified via
+    # emb_loop_stages), banded xxhash64 LSH bucketing, and binary codec
+    # work.  Round 3 flipped doc_simhash / emb_ann_lsh / emb_ann_ivf to
+    # oracle-checked (md5 twin + injected plane/centroid literals) and
+    # added the oracle-checked emb_ann_recall gate.
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_drift_loop", "emb_drift_loop", "doc_near_dups",
-        "doc_simhash", "emb_ann_lsh", "emb_ann_ivf",
         "doc_media_features",
     }
 
