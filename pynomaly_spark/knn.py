@@ -48,7 +48,6 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -272,22 +271,32 @@ def _brute_force_small_probe(
     map pass, numpy distances, a running per-input-partition top-k, and
     a final tiny merge — no build shuffle at all.  Exact, radius-free,
     so it also terminates the retry loop.
+
+    Round-2 ADVICE fixes: the partition column keeps the INPUT schema's
+    type (it used to come back StringType and fail the unionByName with
+    the grid pass for non-string partitions), and probes with zero
+    candidate pairs (e.g. a singleton partition) come back as explicit
+    empty-array rows instead of silently dropping out.
     """
     pcols = [id_col, features_col] + ([partition_col] if partition_col else [])
     rows = probe_df.select(*pcols).collect()  # bounded by caller threshold
     by_part: dict = {}
+    orig_vals: dict = {}  # str key -> original-typed partition value
     for r in rows:
         key = str(r[partition_col]) if partition_col else ""
         by_part.setdefault(key, ([], []))
         by_part[key][0].append(int(r[id_col]))
         by_part[key][1].append(np.asarray(r[features_col], dtype=np.float64))
+        orig_vals[key] = r[partition_col] if partition_col else None
     probes = {
         key: (np.asarray(ids, dtype=np.int64), np.stack(feats))
         for key, (ids, feats) in by_part.items()
     }
 
     part_fields = (
-        [StructField("_qp", StringType(), True)] if partition_col else []
+        [StructField("_qp", probe_df.schema[partition_col].dataType, True)]
+        if partition_col
+        else []
     )
     pair_schema = StructType(
         [StructField("_qid", LongType(), False)]
@@ -333,7 +342,9 @@ def _brute_force_small_probe(
                 "_dist": np.sqrt(np.maximum(sq, 0.0)).ravel()[mask],
             }
             if partition_col:
-                frame["_qp"] = np.full(int(mask.sum()), key, dtype=object)
+                frame["_qp"] = np.full(
+                    int(mask.sum()), orig_vals[key], dtype=object
+                )
             frames.append(pd.DataFrame(frame))
         if frames:
             out = pd.concat(frames, ignore_index=True)
@@ -356,19 +367,34 @@ def _brute_force_small_probe(
     pairs = build_src.select(*bcols).mapInPandas(scan, schema=pair_schema)
 
     agg_keys = ["_qid"] + (["_qp"] if partition_col else [])
-    return (
-        pairs.groupBy(*agg_keys)
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("_dist", "_nid"))), 1, k
-            ).alias("_pairs")
-        )
-        .select(
-            F.col("_qid").alias(id_col),
-            *([F.col("_qp").alias(partition_col)] if partition_col else []),
-            F.transform("_pairs", lambda s: s["_dist"]).alias("knn_dists"),
-            F.transform("_pairs", lambda s: s["_nid"]).alias("knn_ids"),
-        )
+    topk = pairs.groupBy(*agg_keys).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_dist", "_nid"))), 1, k
+        ).alias("_pairs")
+    )
+    # left-join onto the full probe list (already collected above): a
+    # probe with no candidate pairs anywhere must surface as an explicit
+    # empty-array row, like the cells pass emits
+    universe = probe_df.sparkSession.createDataFrame(
+        [
+            (int(r[id_col]),)
+            + ((r[partition_col],) if partition_col else ())
+            for r in rows
+        ],
+        StructType([StructField("_qid", LongType(), False)] + part_fields),
+    )
+    filled = universe.join(topk, on=agg_keys, how="left")
+    return filled.select(
+        F.col("_qid").alias(id_col),
+        *([F.col("_qp").alias(partition_col)] if partition_col else []),
+        F.coalesce(
+            F.transform("_pairs", lambda s: s["_dist"]),
+            F.array().cast("array<double>"),
+        ).alias("knn_dists"),
+        F.coalesce(
+            F.transform("_pairs", lambda s: s["_nid"]),
+            F.array().cast("array<bigint>"),
+        ).alias("knn_ids"),
     )
 
 
@@ -507,12 +533,14 @@ def _knn_pass_cells(
     dims = min(d_full, n_grid_dims)
     radius = float(cell_size)
 
-    part_prefix = [F.col(partition_col).cast("string")] if partition_col else []
-
+    # The cell string is built from GRID COORDINATES ONLY; the partition
+    # column is a separate group key below.  Round-2 ADVICE: folding the
+    # partition value into the concat_ws(":") key let a value containing
+    # ':' (arbitrary user data) collide with another partition's
+    # (partition, cell) pair and silently merge their neighbor scopes.
     def cell_at(offset):
         return F.concat_ws(
             ":",
-            *part_prefix,
             *[
                 (_cell_expr(features_col, i, cell_size) + F.lit(offset[i]))
                 .cast("long")
@@ -552,12 +580,13 @@ def _knn_pass_cells(
         ).alias("_cell"),
         F.lit(False).alias("_probe"),
     )
+    group_keys = ([partition_col] if partition_col else []) + ["_cell"]
     if build_df is not None:
         # retry pass: probes are a small subset — keep only candidate
-        # replicas landing in cells that actually contain a probe,
-        # instead of re-shuffling the whole build table
-        probe_cells = probe.select("_cell").distinct()
-        cand = cand.join(F.broadcast(probe_cells), on="_cell", how="leftsemi")
+        # replicas landing in (partition, cell) groups that actually
+        # contain a probe, instead of re-shuffling the whole build table
+        probe_cells = probe.select(*group_keys).distinct()
+        cand = cand.join(F.broadcast(probe_cells), on=group_keys, how="leftsemi")
     both = probe.unionByName(cand)
 
     id_field = df.schema[id_col]
@@ -608,7 +637,7 @@ def _knn_pass_cells(
             out[partition_col] = probes[partition_col].to_numpy()
         return pd.DataFrame(out)[[f.name for f in out_schema.fields]]
 
-    return both.groupBy("_cell").applyInPandas(score_cell, schema=out_schema)
+    return both.groupBy(*group_keys).applyInPandas(score_cell, schema=out_schema)
 
 
 def _knn_pass_sql(
