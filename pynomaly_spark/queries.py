@@ -481,8 +481,9 @@ def q_doc_lang_guess(spark, sf_dir):
 
 def _lang_guess_sql() -> str:
     """DuckDB twin of textops.language_id: stopword-hit argmax with the
-    same tie order (later languages win ties, 'und' under 2 hits)."""
-    from .textops import _STOPWORDS
+    same tie order (later languages win ties, 'und' under 2 hits) and
+    the SAME tokenizer charset (imported, never copied)."""
+    from .textops import _STOPWORDS, _TOKEN_SPLIT
 
     hit_cols = ",\n         ".join(
         "len(list_intersect(toks, [{}])) AS s_{}".format(
@@ -501,7 +502,7 @@ def _lang_guess_sql() -> str:
 WITH tok AS (
   SELECT lang,
          list_distinct(string_split_regex(lower(text),
-                       '[^a-záéíóúüäöñç]+')) AS toks
+                       '{_TOKEN_SPLIT}')) AS toks
   FROM documents
 ), hits AS (
   SELECT lang, {hit_cols}

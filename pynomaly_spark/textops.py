@@ -16,15 +16,153 @@ __all__ = [
     "fingerprint",
 ]
 
-# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
-# Deliberately small: the operator pattern (array_intersect against a
-# literal array, argmax across languages) is the point; lists are easily
-# extended.
+# Tokenizer charset shared by the Spark expression AND the generated
+# DuckDB oracle SQL (queries._lang_guess_sql) — keep the two in sync by
+# importing THESE constants, never by copying the pattern.  Ranges cover
+# Latin-1 letters (skipping U+00F7 '÷'); the explicit tail adds the
+# Latin-Extended letters the stopword lists below use (Polish, Czech,
+# Slovak, Romanian, Turkish, Hungarian, Croatian).
+_TOKEN_CHARS = "a-zà-öø-ÿąćęłńśźżčďěňřšťůžĺľŕășşțţğıőűđ"
+_TOKEN_SPLIT = f"[^{_TOKEN_CHARS}]+"
+
+# Per-language stopword lists (~50 high-frequency function words each,
+# standard public lists) for the stopword-hit argmax heuristic.  All
+# words are lowercase and draw only on _TOKEN_CHARS so tokenization can
+# produce them (asserted in tests).
 _STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
-    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
-    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "on", "are", "as", "with", "his", "they", "be", "at", "one",
+           "have", "this", "from", "or", "had", "by", "not", "but", "what",
+           "all", "were", "we", "when", "your", "can", "said", "there",
+           "use", "an", "each", "which", "she", "do", "how", "their", "if",
+           "will", "up", "other", "about", "out"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf",
+           "zu", "den", "dem", "des", "sie", "er", "es", "ich", "wir",
+           "sind", "war", "für", "von", "bei", "aus", "nach", "über",
+           "unter", "durch", "gegen", "ohne", "um", "auch", "noch", "nur",
+           "schon", "wenn", "aber", "oder", "als", "wie", "kein", "mein",
+           "sein", "alle", "man", "haben", "werden", "kann", "sehr",
+           "dann"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que",
+           "dans", "un", "des", "du", "de", "il", "elle", "nous", "vous",
+           "ils", "je", "tu", "ne", "se", "ce", "cette", "ces", "mais",
+           "ou", "où", "donc", "car", "si", "sur", "sous", "avec", "sans",
+           "être", "avoir", "fait", "plus", "moins", "très", "bien",
+           "tout", "tous", "son", "sa", "ses", "leur", "aux"],
+    "es": ["el", "la", "los", "las", "de", "que", "es", "en", "un", "una",
+           "por", "con", "para", "no", "se", "su", "sus", "lo", "le",
+           "del", "al", "y", "o", "pero", "más", "como", "cuando", "donde",
+           "quien", "sin", "sobre", "entre", "hasta", "desde", "este",
+           "esta", "estos", "estas", "ese", "esa", "aquel", "todo",
+           "todos", "nada", "ser", "estar", "hay", "fue", "son", "era"],
+    "pt": ["o", "a", "os", "as", "de", "que", "é", "em", "um", "uma",
+           "por", "com", "para", "não", "se", "seu", "sua", "do", "da",
+           "dos", "das", "no", "na", "nos", "nas", "ao", "aos", "e", "ou",
+           "mas", "mais", "como", "quando", "onde", "quem", "sem",
+           "sobre", "entre", "até", "desde", "este", "esta", "isso",
+           "isto", "todo", "todos", "nada", "ser", "foi", "são"],
+    "it": ["il", "lo", "la", "i", "gli", "le", "di", "che", "è", "in",
+           "un", "una", "per", "con", "non", "si", "suo", "sua", "del",
+           "della", "dei", "delle", "nel", "nella", "e", "o", "ma", "più",
+           "come", "quando", "dove", "chi", "senza", "sopra", "tra",
+           "fra", "fino", "da", "questo", "questa", "quello", "quella",
+           "tutto", "tutti", "niente", "essere", "sono", "era", "anche",
+           "se"],
+    "nl": ["de", "het", "een", "en", "van", "in", "is", "dat", "die",
+           "niet", "met", "op", "voor", "aan", "bij", "uit", "naar",
+           "over", "onder", "door", "zonder", "om", "ook", "nog", "maar",
+           "of", "als", "zo", "dan", "wel", "geen", "mijn", "zijn",
+           "haar", "ons", "jullie", "zij", "wij", "ik", "je", "hij",
+           "ze", "we", "er", "hier", "daar", "wat", "wie", "hoe",
+           "heeft"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "han", "hon", "de", "vi",
+           "ni", "jag", "du", "ett", "men", "var", "sig", "från", "ut",
+           "när", "efter", "under", "över", "mellan", "utan", "mot",
+           "vid", "kan", "ska", "har", "hade", "alla", "andra", "någon",
+           "något", "där", "här", "vad", "vem", "hur", "nu", "då"],
+    "da": ["og", "at", "det", "som", "en", "på", "er", "af", "for",
+           "med", "den", "til", "ikke", "om", "han", "hun", "de", "vi",
+           "i", "jeg", "du", "et", "men", "var", "sig", "fra", "ud",
+           "når", "efter", "under", "over", "mellem", "uden", "mod",
+           "ved", "kan", "skal", "har", "havde", "alle", "andre",
+           "nogen", "noget", "der", "her", "hvad", "hvem", "hvordan",
+           "nu", "så"],
+    "no": ["og", "at", "det", "som", "en", "på", "er", "av", "for",
+           "med", "den", "til", "ikke", "om", "han", "hun", "de", "vi",
+           "jeg", "du", "et", "men", "var", "seg", "fra", "ut", "når",
+           "etter", "under", "over", "mellom", "uten", "mot", "ved",
+           "kan", "skal", "har", "hadde", "alle", "andre", "noen",
+           "noe", "der", "her", "hva", "hvem", "hvordan", "nå", "da",
+           "være"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "ovat", "minä",
+           "sinä", "me", "te", "he", "tämä", "tuo", "joka", "kun", "jos",
+           "mutta", "tai", "myös", "vain", "vielä", "jo", "niin", "kuin",
+           "mitä", "kuka", "missä", "miten", "nyt", "sitten", "koska",
+           "ennen", "jälkeen", "ilman", "kanssa", "mukaan", "kaikki",
+           "muut", "joku", "jokin", "siellä", "täällä", "olla", "voi",
+           "pitää", "hyvin", "paljon", "mikä"],
+    "pl": ["i", "w", "na", "nie", "to", "jest", "się", "że", "z", "do",
+           "o", "jak", "po", "ale", "za", "od", "przez", "przy", "bez",
+           "dla", "czy", "tak", "już", "tylko", "jeszcze", "może",
+           "być", "był", "była", "było", "są", "ma", "mają", "ten",
+           "ta", "te", "tego", "tej", "kiedy", "gdzie", "kto", "co",
+           "wszystko", "nic", "bardzo", "teraz", "tutaj", "oraz",
+           "lub", "więc"],
+    "cs": ["a", "v", "na", "není", "to", "je", "se", "že", "s", "do",
+           "o", "jak", "po", "ale", "za", "od", "přes", "při", "bez",
+           "pro", "zda", "tak", "už", "jen", "ještě", "může", "být",
+           "byl", "byla", "bylo", "jsou", "má", "mají", "ten", "ta",
+           "ty", "toho", "té", "kdy", "kde", "kdo", "co", "všechno",
+           "nic", "velmi", "teď", "tady", "nebo", "když", "i"],
+    "sk": ["a", "v", "na", "nie", "to", "je", "sa", "že", "s", "do",
+           "o", "ako", "po", "ale", "za", "od", "cez", "pri", "bez",
+           "pre", "či", "tak", "už", "len", "ešte", "môže", "byť",
+           "bol", "bola", "bolo", "sú", "má", "majú", "ten", "tá",
+           "tie", "toho", "tej", "kedy", "kde", "kto", "čo", "všetko",
+           "nič", "veľmi", "teraz", "tu", "alebo", "keď", "aj"],
+    "ro": ["și", "în", "la", "nu", "este", "pe", "cu", "un", "o", "că",
+           "de", "se", "din", "pentru", "dar", "sau", "dacă", "mai",
+           "când", "unde", "cine", "ce", "tot", "toate", "nimic",
+           "foarte", "acum", "aici", "fi", "fost", "sunt", "era", "au",
+           "are", "acest", "această", "acel", "acea", "după",
+           "înainte", "fără", "între", "prin", "peste", "sub", "ca",
+           "așa", "atunci", "doar", "încă"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "ez", "egy", "van",
+           "volt", "lesz", "de", "ha", "mert", "mint", "már", "még",
+           "csak", "nagyon", "itt", "ott", "most", "akkor", "aki",
+           "ami", "mi", "ki", "hol", "mikor", "hogyan", "minden",
+           "semmi", "valami", "vagy", "sem", "el", "fel", "le", "meg",
+           "be", "után", "előtt", "alatt", "felett", "között",
+           "nélkül", "által", "ezek", "azok", "lehet"],
+    "tr": ["bir", "bu", "ve", "de", "da", "ne", "için", "ile", "olarak",
+           "daha", "çok", "en", "gibi", "kadar", "sonra", "önce", "ama",
+           "fakat", "veya", "ya", "hem", "hiç", "her", "şey", "o",
+           "ben", "sen", "biz", "siz", "onlar", "var", "yok", "olan",
+           "oldu", "olur", "mi", "mı", "mu", "mü", "değil", "ise",
+           "diye", "üzere", "bütün", "bazı", "kendi", "şu", "nasıl",
+           "neden", "zaman"],
+    "hr": ["i", "u", "na", "ne", "to", "je", "se", "da", "s", "do",
+           "o", "kako", "nakon", "ali", "za", "od", "kroz", "pri",
+           "bez", "ili", "tako", "već", "samo", "još", "može", "biti",
+           "bio", "bila", "bilo", "su", "ima", "imaju", "taj", "ta",
+           "te", "toga", "kad", "gdje", "tko", "što", "sve", "ništa",
+           "vrlo", "sada", "ovdje", "koji", "koja", "koje", "njegov",
+           "njihov"],
+    "ca": ["el", "la", "els", "les", "de", "que", "és", "en", "un",
+           "una", "per", "amb", "no", "es", "seu", "seva", "del", "al",
+           "i", "o", "però", "més", "com", "quan", "on", "qui", "sense",
+           "sobre", "entre", "fins", "des", "aquest", "aquesta", "això",
+           "tot", "tots", "res", "ser", "estar", "hi", "ha", "va",
+           "són", "era", "també", "si", "molt", "ja", "sempre", "cap"],
+    "id": ["yang", "dan", "di", "ke", "dari", "untuk", "dengan", "pada",
+           "adalah", "ini", "itu", "tidak", "ada", "akan", "sudah",
+           "telah", "bisa", "dapat", "harus", "dalam", "atas", "bawah",
+           "antara", "tanpa", "karena", "jika", "ketika", "dimana",
+           "siapa", "apa", "semua", "tiada", "sangat", "sekarang",
+           "sini", "situ", "atau", "tetapi", "juga", "hanya", "masih",
+           "lagi", "pernah", "kami", "kita", "mereka", "dia", "saya",
+           "anda", "begitu"],
 }
 
 
@@ -105,11 +243,13 @@ def quality_score(text_col: str = "content"):
 
 
 def language_id(text_col: str = "content"):
-    """Stopword-hit argmax across languages; 'und' (undetermined) when no
-    list scores at least 2 hits.  One array_intersect per language against
-    a literal array — no shuffle, no UDF."""
+    """Stopword-hit argmax across ~20 languages; 'und' (undetermined)
+    when no list scores at least 2 hits.  One array_intersect per
+    language against a literal array — no shuffle, no UDF; ties resolve
+    to the LAST matching language in ``_STOPWORDS`` order (the DuckDB
+    twin in queries.py mirrors this exactly)."""
     toks = F.array_distinct(
-        F.split(F.lower(F.col(text_col)), r"[^a-záéíóúüäöñç]+")
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
     )
     scores = [
         (
