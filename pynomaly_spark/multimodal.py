@@ -3,12 +3,15 @@
 Images/audio/video ride Spark as ``binary`` columns with a metadata
 struct; decode/feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-Decode is PLUGGABLE, with one REAL built-in codec: binary PPM/PGM
-(P6/P5) images decode with pure numpy — no external libraries — into
-pixel arrays, from which :func:`image_features` computes channel
-moments + a luminance histogram + shape features.  Compressed formats
-(JPEG/PNG/audio) need their codec libraries, which are NOT in this
-container: payloads with those magic bytes fall back to
+Decode is PLUGGABLE, with REAL built-in codecs for two modalities:
+binary PPM/PGM (P6/P5) images decode with pure numpy — no external
+libraries — into pixel arrays, from which :func:`image_features`
+computes channel moments + a luminance histogram + shape features; and
+RIFF/WAVE PCM audio decodes via :func:`decode_wav` into sample frames,
+from which :func:`audio_features` computes duration/RMS/zero-crossing
+rate and FFT spectral features (centroid, rolloff, 8-band spectrum).
+Compressed formats (JPEG/PNG/MP3) need their codec libraries, which are
+NOT in this container: payloads with those magic bytes fall back to
 :func:`deterministic_fake_features` (documented stand-in), and a
 production deployment passes ``decode_fn`` (PIL/librosa/ffmpeg).
 
@@ -50,6 +53,8 @@ __all__ = [
     "extract_features",
     "decode_ppm",
     "image_features",
+    "decode_wav",
+    "audio_features",
     "builtin_codec",
     "deterministic_fake_features",
 ]
@@ -170,6 +175,94 @@ def image_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return out[:dim]
 
 
+def decode_wav(payload: bytes):
+    """Pure-numpy decoder for RIFF/WAVE PCM audio (8- or 16-bit).
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/fact
+    and odd-size padding per the spec), validates the fmt chunk, and
+    returns ``(samples, sample_rate)`` where ``samples`` is a
+    ``(n_frames, channels)`` float64 array scaled to [-1, 1].  Raises
+    ``ValueError`` on malformed input — a corrupt payload must surface
+    as an isolated ``decoder='error'`` row, never kill the job.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or channels < 1 or rate < 1:
+        raise ValueError("only 8/16-bit integer PCM supported")
+    bytes_per_frame = (bits // 8) * channels
+    n = len(data) // bytes_per_frame
+    if n == 0:
+        raise ValueError("empty PCM data")
+    if bits == 16:
+        raw = np.frombuffer(data[: n * bytes_per_frame], dtype="<i2")
+        samples = raw.astype(np.float64) / 32768.0
+    else:  # 8-bit WAV PCM is unsigned, midpoint 128
+        raw = np.frombuffer(data[: n * bytes_per_frame], dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    return samples.reshape(n, channels), rate
+
+
+def audio_features(
+    samples: np.ndarray, rate: int, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """Fixed-width feature vector from decoded PCM (vectorized numpy):
+    log-duration, RMS, zero-crossing rate, spectral centroid + rolloff
+    (via ``np.fft.rfft``), an 8-band normalized log-spectrum, and the
+    channel count."""
+    mono = samples.mean(axis=1)
+    n = mono.size
+    duration = n / float(rate)
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    if n > 1:
+        signs = np.signbit(mono).astype(np.int8)
+        zcr = float(np.abs(np.diff(signs)).mean())
+    else:
+        zcr = 0.0
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    power = spec * spec
+    total = float(power.sum())
+    nyquist = rate / 2.0
+    if total > 0.0:
+        centroid = float((freqs * power).sum() / total) / nyquist
+        cumulative = np.cumsum(power)
+        rolloff_idx = int(np.searchsorted(cumulative, 0.85 * total))
+        rolloff = float(freqs[min(rolloff_idx, len(freqs) - 1)]) / nyquist
+    else:
+        centroid = rolloff = 0.0
+    # 8 equal-width frequency bands, L1-normalized log energies
+    bands = np.array_split(power, 8)
+    band_e = np.array([float(b.sum()) for b in bands])
+    band_e = np.log1p(band_e)
+    band_e = band_e / max(float(band_e.sum()), 1e-12)
+    head = np.array(
+        [np.log1p(duration), rms, zcr, centroid, rolloff, samples.shape[1]]
+    )
+    out = np.concatenate([head, band_e])
+    if out.size < dim:
+        out = np.pad(out, (0, dim - out.size))
+    return out[:dim]
+
+
 def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """STAND-IN decode for formats whose codec libraries are absent here
     (JPEG/PNG/audio): a reproducible pseudo-feature vector seeded by the
@@ -182,10 +275,13 @@ def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.nd
 
 
 def builtin_codec(payload: bytes, kind: str, dim: int = FEATURE_DIM):
-    """Default codec: REAL decode for PPM/PGM, documented fake for
-    compressed formats.  Returns ``(features, decoder_tag)``."""
+    """Default codec: REAL decode for PPM/PGM images and RIFF/WAVE PCM
+    audio; documented fake for compressed formats whose libraries are
+    absent here (JPEG/PNG/MP3...).  Returns ``(features, decoder_tag)``."""
     if payload[:2] in (b"P5", b"P6"):
         return image_features(decode_ppm(payload), dim), "ppm"
+    if payload[:4] == b"RIFF":
+        return audio_features(*decode_wav(payload), dim=dim), "wav"
     return deterministic_fake_features(payload, dim), "fake"
 
 

@@ -40,7 +40,7 @@ def test_queries_and_oracles_line_up():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_drift_loop", "emb_drift_loop", "doc_near_dups",
-        "doc_media_features",
+        "doc_media_features", "doc_media_wav",
     }
 
 
