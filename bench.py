@@ -112,8 +112,10 @@ def main() -> None:
     res = run_suite(
         files, suite, commits=commits, sha_oracle=oracle, stage_dir=stage
     )
-    _noop_run(res.metrics)
-    _noop_run(res.violations)
+    # ONE fused action for both outputs (kind-tagged union): run_suite
+    # pre-materializes the shared mid-frames, so this single job reads
+    # hot caches — one driver sync instead of two
+    _noop_run(res.unified())
     validate_sec = time.perf_counter() - t0
     timings["validate_suite"] = round(validate_sec, 4)
 

@@ -39,7 +39,7 @@ def test_queries_and_oracles_line_up():
     # added the oracle-checked emb_ann_recall gate.
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "doc_drift_loop", "emb_drift_loop", "doc_near_dups",
+        "doc_drift_loop", "emb_drift_loop",
         "doc_media_features", "doc_media_wav",
     }
 

@@ -21,6 +21,7 @@ COLLECT_ALLOWLIST = {
     "checkpoint.py",  # distinct partition ids (thousands, not rows)
     "knn.py",  # plan-time cell-size sampling (bounded 2000 rows)
     "similarity.py",  # plan-time IVF centroid training sample (bounded)
+    "checks.py",  # partition universe (one row per partition, not rows)
 }
 
 
