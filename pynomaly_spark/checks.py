@@ -534,8 +534,31 @@ def run_suite(
         keys = list(chk.keys)
         # consumed by both output actions; the groupBy output is only the
         # offending keys — tiny relative to the input
+        if tuple(keys) == ("repo", "path", "commit"):
+            # row_id IS xxhash64(repo, path, commit): shuffle the 8-byte
+            # hash instead of the 3-string tuple (narrow exchange +
+            # cheap long sort — at 10^12 rows the string-tuple shuffle
+            # dominates this check), then verify EXACTLY on the true
+            # keys over the candidate subset only.  Hash collisions put
+            # extra rows in the candidate set; the second (tiny)
+            # group-by on the real keys counts them separately, so a
+            # collision can never fabricate a duplicate.  Key-equal
+            # rows always share a hash, so no duplicate escapes.
+            cand_hashes = (
+                enriched.groupBy("partition_id", "row_id")
+                .agg(F.count(F.lit(1)).alias("_hc"))
+                .where(F.col("_hc") > 1)
+                .select("partition_id", "row_id")
+            )
+            cand_rows = enriched.join(
+                F.broadcast(cand_hashes), on=["partition_id", "row_id"],
+                how="leftsemi",
+            )
+            dup_src = cand_rows
+        else:
+            dup_src = enriched
         dup_groups = (
-            enriched.groupBy("partition_id", *keys)
+            dup_src.groupBy("partition_id", *keys)
             .agg(F.count(F.lit(1)).alias("_cnt"))
             .where(F.col("_cnt") > 1)
         ).persist()
@@ -603,7 +626,27 @@ def run_suite(
         if sha_oracle is None:
             continue
         keys = list(chk.join_keys)
-        joined = enriched.join(sha_oracle, on=keys, how="inner")
+        if tuple(keys) == ("repo", "path", "commit"):
+            # Equi-join on the 8-byte key hash (row_id) with exact
+            # post-verification of the true keys: the sort-merge then
+            # sorts/compares ONE long per side instead of three strings
+            # — the narrowest possible exchange for a 10^12 x 10^12 key
+            # join.  Hash-equal-but-key-different pairs (collisions)
+            # are dropped by the equality filter; key-equal pairs
+            # always hash equal, so the result is exactly the key join.
+            o = sha_oracle
+            for k in keys:
+                o = o.withColumnRenamed(k, f"_o_{k}")
+            o = o.withColumn(
+                "row_id", F.xxhash64(*[F.col(f"_o_{k}") for k in keys])
+            )
+            joined = enriched.join(o, on="row_id", how="inner")
+            for k in keys:
+                # plain (null-UNSAFE) equality: identical row set to the
+                # previous `on=keys` equi-join, where null keys never match
+                joined = joined.where(F.col(k) == F.col(f"_o_{k}"))
+        else:
+            joined = enriched.join(sha_oracle, on=keys, how="inner")
         mismatch = joined.where(
             ~F.col(f"_sha_{chk.content_col}").eqNullSafe(F.col(chk.oracle_col))
         ).persist()

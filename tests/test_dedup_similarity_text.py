@@ -305,6 +305,41 @@ def test_wav_extract_features_with_corrupt_isolation(spark):
     assert out.loc[2, "decoder"] == "fake"
 
 
+def test_codec_fuzz_only_value_errors():
+    """Decoders must fail CLOSED on arbitrary bytes: ValueError only
+    (extract_features maps it to decoder='error'); any other exception
+    type would escape the isolation net and kill a 10^12-row job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def fuzz(payload):
+        for decoder in (multimodal.decode_ppm, multimodal.decode_wav):
+            try:
+                decoder(payload)
+            except ValueError:
+                pass
+
+    fuzz()
+
+    # mutated-but-plausible headers: flip bytes inside valid payloads
+    rng = np.random.RandomState(2)
+    t = np.arange(500) / 4000.0
+    wav = bytearray(_wav_bytes(0.3 * np.sin(2 * np.pi * 100 * t), 4000))
+    ppm = bytearray(b"P6\n4 2\n255\n" + bytes(range(24)))
+    for base, decoder in ((wav, multimodal.decode_wav),
+                          (ppm, multimodal.decode_ppm)):
+        for _ in range(200):
+            mutated = bytearray(base)
+            for pos in rng.randint(0, len(mutated), size=3):
+                mutated[pos] = rng.randint(0, 256)
+            try:
+                decoder(bytes(mutated))
+            except ValueError:
+                pass
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF cells must recover the exact top-k for clustered embeddings
     (planted twin sits in the query's own cell); recall vs the exact
