@@ -97,8 +97,8 @@ def test_orphan_payload_cleaned_on_resume(spark, files_df, tmp_path):
     with open(os.path.join(mdir, victim)) as fh:
         victim_pid = json.load(fh)["partition_id"]
     os.remove(os.path.join(mdir, victim))
-    # plant a stale marker row in the victim's metrics dir
-    mroot = os.path.join(ckpt, "metrics")
+    # plant a stale marker row in the victim's metric-kind verdict dir
+    mroot = os.path.join(ckpt, "verdicts", "kind=metric")
     from urllib.parse import unquote
     vdir = next(
         d for d in os.listdir(mroot)
@@ -106,8 +106,10 @@ def test_orphan_payload_cleaned_on_resume(spark, files_df, tmp_path):
         and unquote(d[len("partition_id="):]) == victim_pid
     )
     stale = spark.createDataFrame(
-        [("STALE_CHECK", "stale", 1.0, 0.0, False)],
-        "check_name string, metric string, value double, threshold double, passed boolean",
+        [("STALE_CHECK", "stale", 1.0, 0.0, False, None, None, None, None, None, None)],
+        "check_name string, metric string, value double, threshold double,"
+        " passed boolean, row_id long, repo string, path string,"
+        " commit string, detail string, loop_score double",
     )
     stale.write.mode("append").parquet(os.path.join(mroot, vdir))
     s = validate_resumable(spark, files_df, _suite(), ckpt)
