@@ -48,6 +48,7 @@ __all__ = [
     "score_batch",
     "score_stream",
     "running_violation_rate",
+    "streaming_exact_dedup",
 ]
 
 
@@ -248,6 +249,38 @@ def running_violation_rate(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content digest was already
+    seen within the watermark horizon.
+
+    The streaming analog of :func:`pynomaly_spark.dedup.exact_dedup`:
+    ``dropDuplicatesWithinWatermark`` keeps per-digest state ONLY while
+    the watermark can still admit a duplicate, so state stays bounded on
+    an unbounded stream — the documented trade is that a duplicate
+    arriving later than the horizon is not caught (re-run the batch
+    dedup over the landed table for exactness).  Null texts never
+    collapse: their dedup key falls back to the row id, mirroring the
+    batch operator's keep-all-nulls rule.
+    """
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    key = F.coalesce(
+        F.sha2(F.col(text_col), 256),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    return (
+        src.withColumn("_digest", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
     )
 
 

@@ -196,3 +196,53 @@ def test_running_violation_rate_stateful(spark, tmp_path):
     assert len(a2) == 1, out2.to_string()
     assert a2.iloc[0].violations_total == 5
     assert abs(a2.iloc[0].violation_rate - 0.25) < 1e-12
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per digest within the
+    horizon and never collapses null texts (batch-operator parity)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pynomaly_spark.streaming import streaming_exact_dedup
+
+    t0 = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    # 3 copies of one text, 2 of another, 1 unique, 2 nulls — all within
+    # a minute (inside the watermark horizon)
+    for i, (text, off) in enumerate(
+        [
+            ("the same viral text", 0),
+            ("the same viral text", 5),
+            ("the same viral text", 10),
+            ("another text", 2),
+            ("another text", 8),
+            ("unique text", 4),
+            (None, 6),
+            (None, 9),
+        ]
+    ):
+        rows.append((i, text, t0 + _dt.timedelta(seconds=off)))
+    pdf = pd.DataFrame(rows, columns=["row_id", "content", "ts"])
+    src = spark.createDataFrame(pdf)
+    in_dir = str(tmp_path / "dedup_in")
+    src.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(in_dir)
+    deduped = streaming_exact_dedup(stream, watermark="10 minutes")
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    texts = got.content.dropna().tolist()
+    assert sorted(texts) == ["another text", "the same viral text", "unique text"]
+    assert got.content.isna().sum() == 2  # nulls all kept
+    assert len(got) == 5
