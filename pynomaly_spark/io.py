@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from .schema import CODE_TABLE_SCHEMA
 
-__all__ = ["read_code_table", "read_code_table_json", "write_partitioned"]
+__all__ = [
+    "read_code_table",
+    "read_code_table_catalog",
+    "read_code_table_json",
+    "write_partitioned",
+]
 
 
 def read_code_table(
@@ -34,6 +39,34 @@ def read_code_table(
     scan prunes to exactly the declared columns.
     """
     df = spark.read.format(fmt).load(path)
+    cols = []
+    for f in CODE_TABLE_SCHEMA.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def read_code_table_catalog(
+    spark: SparkSession, table: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Catalog-table scan — the production (Iceberg) entry point.
+
+    On a real cluster the code table is an Iceberg catalog table:
+    ``spark.read.table`` resolves it through the configured catalog, and
+    Iceberg supplies identity-partition pruning, hidden partitioning,
+    and snapshot isolation.  ``snapshot_id`` pins a time-travel read
+    (Iceberg's ``snapshot-id`` read option — ignored by non-Iceberg
+    tables, where the current state is read).  This sandbox has no
+    Iceberg runtime jars, so tests register plain views/tables — the
+    call path, schema projection, and downstream plans are identical
+    either way.
+    """
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", snapshot_id)
+    df = reader.table(table)
     cols = []
     for f in CODE_TABLE_SCHEMA.fields:
         if f.name in df.columns:

@@ -90,3 +90,20 @@ def test_suite_plan_has_codegen(spark, code_dir):
     # "*(n) " prefixes mark whole-stage-codegen spans in the tree string
     assert "*(" in plan
     res.unpersist()
+
+
+def test_read_code_table_catalog_view(spark, code_dir):
+    """The catalog entry point (Iceberg in production) binds the canonical
+    schema over any resolvable table name — here a registered view."""
+    from pynomaly_spark.io import read_code_table, read_code_table_catalog
+    from pynomaly_spark.schema import CODE_TABLE_SCHEMA
+
+    spark.read.parquet(code_dir).createOrReplaceTempView(
+        "code_files_view"
+    )
+    df = read_code_table_catalog(spark, "code_files_view")
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in CODE_TABLE_SCHEMA.fields
+    ]
+    direct = read_code_table(spark, code_dir)
+    assert df.count() == direct.count() > 0
