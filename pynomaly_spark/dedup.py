@@ -33,6 +33,7 @@ __all__ = [
     "simhash64",
     "simhash_md5_bits",
     "ngram_jaccard",
+    "embedding_near_dups",
 ]
 
 
@@ -226,6 +227,62 @@ def simhash64(
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_dups(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 42,
+    max_bucket_size: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking.
+
+    The fifth dedup family (exact / MinHash-LSH / SimHash / n-gram
+    Jaccard / embedding-cosine): candidate pairs are restricted to the
+    same random-hyperplane sign bucket (expected pair count
+    ~ n^2 / 2^n_planes instead of all-pairs), then verified with the
+    exact cosine and kept at ``>= threshold``.  High-cosine pairs agree
+    on most hyperplane signs, so blocking recall is high exactly where
+    it matters; raise ``n_planes`` to trade recall for fan-in.  Buckets
+    larger than ``max_bucket_size`` are dropped — the boilerplate guard
+    against a quadratic blowup when a corpus contains millions of
+    near-identical embeddings (same rationale as
+    :func:`lsh_candidate_pairs`).
+
+    Everything is whole-stage-codegen: sign-bit bucketing, the bucket
+    equi-join, and the fold-based cosine — no Python per row.
+    """
+    from .similarity import _bucket_expr, _dot, _hyperplanes, _norm
+
+    dim_row = items.select(vec_col).head()
+    if dim_row is None:
+        return items.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double"
+        )
+    planes = _hyperplanes(len(dim_row[0]), n_planes, seed)
+    it = items.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _bucket_expr(vec_col, planes).alias("_bucket"),
+    )
+    counts = it.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = counts.where(F.col("_n") <= max_bucket_size).drop("_n")
+    itf = it.join(F.broadcast(ok), on="_bucket")
+    a = itf.select(
+        "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = itf.select(
+        "_bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, on="_bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot("_va", "_vb") / (_norm("_va") * _norm("_vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= float(threshold))
+    )
 
 
 def simhash_md5_bits(

@@ -836,6 +836,50 @@ SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 5
 """
 
 
+def q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, ORACLE-CHECKED: the fifth
+    dedup family (hyperplane-LSH blocking + exact-cosine verify).  The
+    synthetic embeddings carry no true near-dups (max pairwise cosine
+    ~0.5), so the threshold is set at 0.35 to exercise the block/verify
+    pipeline on a non-trivial result; production corpora use ~0.9.  The
+    DuckDB twin injects the same plane literals and mirrors the cosine
+    formula term for term (dot / (sqrt(ssq_a) * sqrt(ssq_b)))."""
+    from .dedup import embedding_near_dups
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.35, n_planes=6, seed=42)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _emb_near_dups_sql(threshold: float = 0.35) -> str:
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, 6, 42)
+    bucket_terms = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_double_array(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), it AS (
+  SELECT vec_id, v,
+         {bucket_terms} AS bucket
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM it a JOIN it b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+"""
+
+
 def q_emb_ann_recall(spark, sf_dir):
     """Registry-visible ANN quality gate (round-2 judge item 6):
     per-query recall@5 of the LSH and IVF paths against the exact
@@ -1086,6 +1130,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
     "emb_ann_recall": q_emb_ann_recall,
+    "emb_near_dups": q_emb_near_dups,
     "doc_media_features": q_doc_media_features,
     "doc_media_wav": q_doc_media_wav,
 }
@@ -1113,6 +1158,7 @@ ORACLES: Dict[str, str] = {
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ann_ivf": _ann_ivf_sql(),
     "emb_ann_recall": _ann_recall_sql(),
+    "emb_near_dups": _emb_near_dups_sql(),
     "doc_near_dups": _near_dups_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop,
     # emb_drift_loop (the erf map — every stage before it is

@@ -305,6 +305,37 @@ def test_wav_extract_features_with_corrupt_isolation(spark):
     assert out.loc[2, "decoder"] == "fake"
 
 
+def test_embedding_near_dups_finds_planted_twins(spark):
+    """The fifth dedup family: planted high-cosine twins must surface as
+    pairs; random pairs must not; the hot-bucket guard must drop a
+    flooded bucket."""
+    rng = np.random.RandomState(21)
+    M = rng.randn(200, 16)
+    twins = M[:8] + 0.03 * rng.randn(8, 16)  # cos ~ 0.999
+    A = np.vstack([M, twins])
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(208), "embedding": [list(map(float, r)) for r in A]}
+        )
+    )
+    got = dedup.embedding_near_dups(items, threshold=0.9, n_planes=5).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    found = sum(1 for q in range(8) if (q, q + 200) in pairs)
+    assert found >= 7, pairs  # twins share a bucket at cos~0.999
+    assert (got.cosine >= 0.9).all()
+
+    # hot-bucket guard: 50 identical vectors -> 1225 pairs, all dropped
+    flood = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(50), "embedding": [[1.0, 0.0, 0.0]] * 50}
+        )
+    )
+    guarded = dedup.embedding_near_dups(
+        flood, threshold=0.9, max_bucket_size=10
+    )
+    assert guarded.count() == 0
+
+
 def test_codec_fuzz_only_value_errors():
     """Decoders must fail CLOSED on arbitrary bytes: ValueError only
     (extract_features maps it to decoder='error'); any other exception
