@@ -55,6 +55,38 @@ from pyspark.sql.types import (
 __all__ = ["knn_self_join", "estimate_cell_size"]
 
 
+def _part_key(v) -> str:
+    """Collision-free driver/worker grouping key for a partition VALUE.
+
+    ``str(None)`` is 'None', so a NULL partition used to merge with a
+    partition whose literal string value is 'None' (round-3 ADVICE).
+    NULL (None driver-side, None/NaN through Arrow) gets a key that no
+    real value can produce ('\\x00' never appears in str() output of
+    user data routed through a typed column), every other value is
+    prefixed.
+    """
+    if v is None:
+        return "\x00null"
+    if isinstance(v, float) and math.isnan(v):
+        return "\x00null"
+    return "v:" + str(v)
+
+
+def _ns_eq(left: DataFrame, right: DataFrame, pairs: list):
+    """AND-folded null-safe equality over (left_col, right_col) names.
+
+    ``on=[cols]`` joins are null-UNSAFE: a NULL partition value never
+    matches itself, so retry bookkeeping silently dropped or re-probed
+    NULL-partition rows (round-3 ADVICE).  EqualNullSafe remains a valid
+    hash-join key, so the physical plan is unchanged for non-null data.
+    """
+    cond = None
+    for lc, rc in pairs:
+        e = left[lc].eqNullSafe(right[rc])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def _cell_expr(features_col: str, dim: int, cell_size: float):
     return F.floor(F.col(features_col).getItem(dim) / F.lit(float(cell_size)))
 
@@ -200,12 +232,27 @@ def knn_self_join(
         caches.append(res)
         return res
 
+    # All bookkeeping joins below run through renamed right-side columns
+    # with NULL-SAFE equality: ``on=row_keys`` never matches a NULL
+    # partition value against itself, so NULL-partition rows were always
+    # re-flagged missing / dropped from redo probes (round-3 ADVICE).
+    # The rename also sidesteps self-join attribute ambiguity (redo_ids
+    # carries df lineage through the `missing` branch).
+    key_pairs = [(kcol, f"_r_{kcol}") for kcol in row_keys]
+
+    def _renamed_keys(frame):
+        return frame.select(
+            *[F.col(kcol).alias(rc) for kcol, rc in key_pairs]
+        )
+
     for attempt in range(max_retries):
         result = _materialize(result)
         short_ids = result.where(F.size("knn_dists") < k).select(*row_keys)
         # rows the bucket join missed entirely also count as short
-        missing = df.select(*row_keys).join(
-            result.select(*row_keys), on=row_keys, how="left_anti"
+        res_keys = _renamed_keys(result)
+        left = df.select(*row_keys)
+        missing = left.join(
+            res_keys, _ns_eq(left, res_keys, key_pairs), how="left_anti"
         )
         redo_ids = short_ids.unionByName(missing).distinct().persist()
         n_redo = redo_ids.count()
@@ -213,7 +260,11 @@ def knn_self_join(
             redo_ids.unpersist()
             break
         caches.append(redo_ids)
-        redo_probe = df.select(*base_keep).join(redo_ids, on=row_keys)
+        redo_r = _renamed_keys(redo_ids)
+        probe_base = df.select(*base_keep)
+        redo_probe = probe_base.join(
+            redo_r, _ns_eq(probe_base, redo_r, key_pairs), how="left_semi"
+        )
         if n_redo <= brute_threshold:
             # few residual probes: one exact map-side pass beats
             # re-shuffling the whole build table through the grid
@@ -225,7 +276,9 @@ def knn_self_join(
                 id_col,
                 partition_col,
             )
-            kept = result.join(redo_ids, on=row_keys, how="left_anti")
+            kept = result.join(
+                redo_r, _ns_eq(result, redo_r, key_pairs), how="left_anti"
+            )
             result = _materialize(kept.unionByName(redo))
             break
         cell_size *= 4.0
@@ -239,7 +292,9 @@ def knn_self_join(
             n_grid_dims,
             build_df=df.select(*base_keep),
         )
-        kept = result.join(redo_ids, on=row_keys, how="left_anti")
+        kept = result.join(
+            redo_r, _ns_eq(result, redo_r, key_pairs), how="left_anti"
+        )
         result = kept.unionByName(redo)
     else:
         # loop exhausted right after building a retry union: materialize
@@ -281,9 +336,11 @@ def _brute_force_small_probe(
     pcols = [id_col, features_col] + ([partition_col] if partition_col else [])
     rows = probe_df.select(*pcols).collect()  # bounded by caller threshold
     by_part: dict = {}
-    orig_vals: dict = {}  # str key -> original-typed partition value
+    orig_vals: dict = {}  # part key -> original-typed partition value
     for r in rows:
-        key = str(r[partition_col]) if partition_col else ""
+        # _part_key keeps a NULL partition distinct from a literal 'None'
+        # string value (round-3 ADVICE: str(None) merged them)
+        key = _part_key(r[partition_col]) if partition_col else ""
         by_part.setdefault(key, ([], []))
         by_part[key][0].append(int(r[id_col]))
         by_part[key][1].append(np.asarray(r[features_col], dtype=np.float64))
@@ -313,7 +370,7 @@ def _brute_force_small_probe(
         best: dict = {}  # part key -> (sq: Q x k, ids: Q x k)
         for pdf in batches:
             parts = (
-                pdf[partition_col].astype(str)
+                pdf[partition_col].map(_part_key)
                 if partition_col
                 else pd.Series([""] * len(pdf))
             )
@@ -383,7 +440,18 @@ def _brute_force_small_probe(
         ],
         StructType([StructField("_qid", LongType(), False)] + part_fields),
     )
-    filled = universe.join(topk, on=agg_keys, how="left")
+    if partition_col:
+        # NULL-SAFE left join: a probe in a NULL partition must still
+        # pick up its computed top-k row (round-3 ADVICE — the plain
+        # `on=` join returned empty neighbor arrays for NULL partitions)
+        cond = (universe["_qid"] == topk["_qid"]) & universe[
+            "_qp"
+        ].eqNullSafe(topk["_qp"])
+        filled = universe.join(topk, cond, "left").select(
+            universe["_qid"], universe["_qp"], topk["_pairs"]
+        )
+    else:
+        filled = universe.join(topk, on=agg_keys, how="left")
     return filled.select(
         F.col("_qid").alias(id_col),
         *([F.col("_qp").alias(partition_col)] if partition_col else []),
@@ -584,9 +652,17 @@ def _knn_pass_cells(
     if build_df is not None:
         # retry pass: probes are a small subset — keep only candidate
         # replicas landing in (partition, cell) groups that actually
-        # contain a probe, instead of re-shuffling the whole build table
-        probe_cells = probe.select(*group_keys).distinct()
-        cand = cand.join(F.broadcast(probe_cells), on=group_keys, how="leftsemi")
+        # contain a probe, instead of re-shuffling the whole build table.
+        # NULL-SAFE semi join: a NULL partition group must keep its build
+        # candidates (round-3 ADVICE — `on=` dropped them all).
+        probe_cells = probe.select(
+            *[F.col(c).alias(f"_r_{c}") for c in group_keys]
+        ).distinct()
+        cand = cand.join(
+            F.broadcast(probe_cells),
+            _ns_eq(cand, probe_cells, [(c, f"_r_{c}") for c in group_keys]),
+            how="leftsemi",
+        )
     both = probe.unionByName(cand)
 
     id_field = df.schema[id_col]
