@@ -32,15 +32,16 @@ def test_queries_and_oracles_line_up():
     o = mod.oracle_sql()
     assert set(o) <= set(q)
     # rows-only entries are the documented non-SQL-expressible ops:
-    # the erf map of the LoOP kernel (all prior stages hash-verified via
-    # emb_loop_stages), banded xxhash64 LSH bucketing, and binary codec
-    # work.  Round 3 flipped doc_simhash / emb_ann_lsh / emb_ann_ivf to
-    # oracle-checked (md5 twin + injected plane/centroid literals) and
-    # added the oracle-checked emb_ann_recall gate.
+    # binary codec work, plus doc_drift_loop (tie-heavy length features
+    # make the kNN subset engine-dependent).  Round 4 flipped
+    # emb_drift_loop to oracle-checked (generated Taylor-erf twin) —
+    # the FULL kernel incl. the [0,1] map is now hash-verified on the
+    # tie-free embeddings.
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "doc_drift_loop", "emb_drift_loop",
+        "doc_drift_loop",
         "doc_media_features", "doc_media_wav",
+        "doc_media_qoi", "doc_media_y4m",
     }
 
 
