@@ -439,8 +439,13 @@ def run_suite(
         elif isinstance(chk, Cardinality):
             _need(f"_card_{chk.column}", F.col(chk.column))
         elif isinstance(chk, RowInvariant):
+            # 32-byte binary digest, not the 64-char hex string: the
+            # staged table carries this column for every row, and hex
+            # sha is incompressible (high-entropy), so binary halves
+            # its share of the heavy-pass write + the invariant scan
             _need(
-                f"_sha_{chk.content_col}", F.sha2(F.col(chk.content_col), 256)
+                f"_sha_{chk.content_col}",
+                F.unhex(F.sha2(F.col(chk.content_col), 256)),
             )
     if drift_requested:
         from .textops import fast_token_count
@@ -552,13 +557,41 @@ def run_suite(
     # race it (the persist-race lesson).
     from pyspark.sql.types import StructType as _StructType
 
-    universe_rows = [
-        (r[0],) for r in enriched.select("partition_id").distinct().collect()
-    ]
-    partition_universe = df.sparkSession.createDataFrame(
-        universe_rows, _StructType([enriched.schema["partition_id"]])
-    )
-    _mark("partition-universe collect")
+    def _collect_universe():
+        return [
+            (r[0],)
+            for r in enriched.select("partition_id").distinct().collect()
+        ]
+
+    # Floor overlap: with a staged (parquet) enriched table, the
+    # universe scan is launched on a background thread and resolved at
+    # first use — it then runs CONCURRENTLY with the uniqueness
+    # candidate-count job instead of adding its own driver sync to the
+    # suite's parallelism-independent floor.  The persist (non-staged)
+    # path keeps the synchronous collect: there it doubles as the
+    # action that materializes the cache BEFORE any branches can race
+    # it (the persist-race lesson).
+    _universe_state: dict = {}
+    if stage_dir:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _universe_pool = ThreadPoolExecutor(max_workers=1)
+        _universe_state["future"] = _universe_pool.submit(_collect_universe)
+        _universe_pool.shutdown(wait=False)
+    else:
+        _universe_state["rows"] = _collect_universe()
+        _mark("partition-universe collect")
+
+    def _universe() -> DataFrame:
+        if "df" not in _universe_state:
+            if "rows" not in _universe_state:
+                _universe_state["rows"] = _universe_state["future"].result()
+                _mark("partition-universe collect (overlapped)")
+            _universe_state["df"] = df.sparkSession.createDataFrame(
+                _universe_state["rows"],
+                _StructType([enriched.schema["partition_id"]]),
+            )
+        return _universe_state["df"]
 
     def _count_metric(counted: DataFrame, check_name: str, metric: str):
         """Per-partition count metric with explicit zero rows.
@@ -568,7 +601,7 @@ def run_suite(
         shuffle and no re-scan of the big relations.
         """
         return (
-            partition_universe.join(
+            _universe().join(
                 F.broadcast(counted), on="partition_id", how="left"
             )
             .select(
@@ -680,7 +713,9 @@ def run_suite(
         else:
             joined = enriched.join(sha_oracle, on=keys, how="inner")
         mismatch = joined.where(
-            ~F.col(f"_sha_{chk.content_col}").eqNullSafe(F.col(chk.oracle_col))
+            ~F.col(f"_sha_{chk.content_col}").eqNullSafe(
+                F.unhex(F.col(chk.oracle_col))
+            )
         ).persist()
         _persisted.append(mismatch)
         violation_frames.append(
@@ -734,7 +769,7 @@ def run_suite(
         # are ALL null-content has nothing to score — that must surface
         # as an explicit gated FAIL row, not as a missing metric
         # (the same absence-as-pass defect the count checks fixed)
-        drift_stats = partition_universe.join(
+        drift_stats = _universe().join(
             F.broadcast(
                 keyed.groupBy("partition_id").agg(
                     F.avg(
