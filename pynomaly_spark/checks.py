@@ -262,15 +262,29 @@ def _hash_dup_candidates(
     whole suite at local[8]/8M rows: the probe side pays its shuffle
     write before AQE can flip the join to a broadcast.
     """
-    cand_hashes = (
+    cand_hashes = _dup_candidate_hashes(enriched).persist()
+    if persisted_out is not None:
+        persisted_out.append(cand_hashes)
+    n_cand = cand_hashes.count()
+    return _cand_semi_join(enriched, cand_hashes, n_cand, broadcast_rows_max)
+
+
+def _dup_candidate_hashes(enriched: DataFrame) -> DataFrame:
+    """The narrow (partition_id, row_id) keys occurring more than once."""
+    return (
         enriched.groupBy("partition_id", "row_id")
         .agg(F.count(F.lit(1)).alias("_hc"))
         .where(F.col("_hc") > 1)
         .select("partition_id", "row_id")
-    ).persist()
-    if persisted_out is not None:
-        persisted_out.append(cand_hashes)
-    n_cand = cand_hashes.count()
+    )
+
+
+def _cand_semi_join(
+    enriched: DataFrame,
+    cand_hashes: DataFrame,
+    n_cand: int,
+    broadcast_rows_max: int = 200_000,
+) -> DataFrame:
     right = (
         F.broadcast(cand_hashes)
         if n_cand <= int(broadcast_rows_max)
@@ -412,7 +426,10 @@ def run_suite(
                 file=sys.stderr,
             )
 
-    metric_frames: List[DataFrame] = []
+    # entries are DataFrames OR zero-arg thunks returning one: frames
+    # that join the partition universe are built lazily so the
+    # overlapped universe collect is not resolved before primer job 1
+    metric_frames: List = []
     violation_frames: List[DataFrame] = []
     _persisted: List[DataFrame] = []
     # (check, tiny-annotation-frame) pairs whose violation rows are
@@ -614,42 +631,36 @@ def run_suite(
             )
         )
 
-    # ---- 2. uniqueness ---------------------------------------------------
+    # ---- 2. uniqueness (DEFERRED) -----------------------------------------
+    # For the engine key tuple, the dup-group plan hangs off the
+    # hash-candidate semi-join, whose broadcast-vs-shuffle decision needs
+    # the candidate COUNT.  Rather than paying a dedicated count job
+    # ahead of the heavy work, the candidate aggregation is registered
+    # here and counted as just another branch of primer job 1 below —
+    # overlapped with the drift kernel and the RI/sha joins — and the
+    # dup-group plans are built afterwards from the collected count.
+    #
+    # row_id IS xxhash64(repo, path, commit): shuffle the 8-byte hash
+    # instead of the 3-string tuple (narrow exchange + cheap long sort —
+    # at 10^12 rows the string-tuple shuffle dominates this check), then
+    # verify EXACTLY on the true keys over the candidate subset only.
+    # Hash collisions put extra rows in the candidate set; the second
+    # (tiny) group-by on the real keys counts them separately, so a
+    # collision can never fabricate a duplicate.  Key-equal rows always
+    # share a hash, so no duplicate escapes.
+    _deferred_uniq: List = []
     for chk in suite.checks:
         if not isinstance(chk, Uniqueness):
             continue
         keys = list(chk.keys)
-        # consumed by both output actions; the groupBy output is only the
-        # offending keys — tiny relative to the input
         if tuple(keys) == ("repo", "path", "commit"):
-            # row_id IS xxhash64(repo, path, commit): shuffle the 8-byte
-            # hash instead of the 3-string tuple (narrow exchange +
-            # cheap long sort — at 10^12 rows the string-tuple shuffle
-            # dominates this check), then verify EXACTLY on the true
-            # keys over the candidate subset only.  Hash collisions put
-            # extra rows in the candidate set; the second (tiny)
-            # group-by on the real keys counts them separately, so a
-            # collision can never fabricate a duplicate.  Key-equal
-            # rows always share a hash, so no duplicate escapes.
-            dup_src = _hash_dup_candidates(enriched, persisted_out=_persisted)
-        else:
-            dup_src = enriched
-        dup_groups = (
-            dup_src.groupBy("partition_id", *keys)
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .where(F.col("_cnt") > 1)
-        ).persist()
-        _persisted.append(dup_groups)
-        metric_frames.append(
-            _count_metric(
-                dup_groups.groupBy("partition_id").agg(
-                    F.sum(F.col("_cnt") - 1).cast("double").alias("value")
-                ),
-                chk.name,
-                "duplicate_rows",
+            cand_hashes = _dup_candidate_hashes(enriched).persist()
+            _persisted.append(cand_hashes)
+            _deferred_uniq.append(
+                (chk, keys, cand_hashes, len(_persisted) - 1)
             )
-        )
-        _fused_uniq.append((chk, dup_groups))
+        else:
+            _deferred_uniq.append((chk, keys, None, None))
 
     # ---- 3. referential integrity (broadcast anti-join) ------------------
     for chk in suite.checks:
@@ -674,12 +685,15 @@ def run_suite(
                 F.lit(None).cast("double").alias("loop_score"),
             )
         )
+        # thunk: building the count metric resolves the universe, which
+        # must not happen before primer job 1 launches (it would turn
+        # the overlapped universe collect back into an early sync)
         metric_frames.append(
-            _count_metric(
-                orphans.groupBy("partition_id").agg(
+            lambda o=orphans, name=chk.name: _count_metric(
+                o.groupBy("partition_id").agg(
                     F.count(F.lit(1)).cast("double").alias("value")
                 ),
-                chk.name,
+                name,
                 "orphan_rows",
             )
         )
@@ -731,11 +745,11 @@ def run_suite(
             )
         )
         metric_frames.append(
-            _count_metric(
-                mismatch.groupBy("partition_id").agg(
+            lambda m=mismatch, name=chk.name: _count_metric(
+                m.groupBy("partition_id").agg(
                     F.count(F.lit(1)).cast("double").alias("value")
                 ),
-                chk.name,
+                name,
                 "sha_mismatch_rows",
             )
         )
@@ -768,50 +782,100 @@ def run_suite(
         # left-join onto the partition universe: a partition whose rows
         # are ALL null-content has nothing to score — that must surface
         # as an explicit gated FAIL row, not as a missing metric
-        # (the same absence-as-pass defect the count checks fixed)
-        drift_stats = _universe().join(
-            F.broadcast(
-                keyed.groupBy("partition_id").agg(
-                    F.avg(
-                        (F.col("loop_score") > chk.score_threshold).cast(
-                            "double"
-                        )
-                    ).alias("_vrate"),
-                    F.max(F.col("gated").cast("int")).alias("_gated"),
-                )
-            ),
-            on="partition_id",
-            how="left",
-        ).select(
-            "partition_id",
-            F.coalesce(F.col("_vrate"), F.lit(0.0)).alias("_vrate"),
-            F.coalesce(F.col("_gated"), F.lit(1)).alias("_gated"),
-        )
-        drift_structs = [
-            F.struct(
-                F.lit(chk.name).alias("check_name"),
-                F.lit("violation_rate").alias("metric"),
-                F.col("_vrate").alias("value"),
-                F.lit(float(chk.max_violation_rate)).alias("threshold"),
-                (
-                    (F.col("_gated") == 0)
-                    & (F.col("_vrate") <= chk.max_violation_rate)
-                ).alias("passed"),
-            ),
-            F.struct(
-                F.lit(chk.name).alias("check_name"),
-                F.lit("gated").alias("metric"),
-                F.col("_gated").cast("double").alias("value"),
-                F.lit(0.0).alias("threshold"),
-                (F.col("_gated") == 0).alias("passed"),
-            ),
-        ]
-        metric_frames.append(
-            drift_stats.select(
+        # (the same absence-as-pass defect the count checks fixed).
+        # Built as a thunk so the universe resolves after primer job 1.
+        def _drift_metric_frame(keyed=keyed, chk=chk) -> DataFrame:
+            drift_stats = _universe().join(
+                F.broadcast(
+                    keyed.groupBy("partition_id").agg(
+                        F.avg(
+                            (F.col("loop_score") > chk.score_threshold).cast(
+                                "double"
+                            )
+                        ).alias("_vrate"),
+                        F.max(F.col("gated").cast("int")).alias("_gated"),
+                    )
+                ),
+                on="partition_id",
+                how="left",
+            ).select(
+                "partition_id",
+                F.coalesce(F.col("_vrate"), F.lit(0.0)).alias("_vrate"),
+                F.coalesce(F.col("_gated"), F.lit(1)).alias("_gated"),
+            )
+            drift_structs = [
+                F.struct(
+                    F.lit(chk.name).alias("check_name"),
+                    F.lit("violation_rate").alias("metric"),
+                    F.col("_vrate").alias("value"),
+                    F.lit(float(chk.max_violation_rate)).alias("threshold"),
+                    (
+                        (F.col("_gated") == 0)
+                        & (F.col("_vrate") <= chk.max_violation_rate)
+                    ).alias("passed"),
+                ),
+                F.struct(
+                    F.lit(chk.name).alias("check_name"),
+                    F.lit("gated").alias("metric"),
+                    F.col("_gated").cast("double").alias("value"),
+                    F.lit(0.0).alias("threshold"),
+                    (F.col("_gated") == 0).alias("passed"),
+                ),
+            ]
+            return drift_stats.select(
                 "partition_id", F.explode(F.array(*drift_structs)).alias("_m")
             ).select("partition_id", "_m.*")
-        )
+
+        metric_frames.append(_drift_metric_frame)
         _fused_drift.append((chk, keyed))
+
+    # ---- primer job 1: materialize all persisted mid-frames so far --------
+    # One labeled-count job populates every cache (drift scores, RI
+    # orphans, sha mismatches, uniqueness candidate hashes) BEFORE the
+    # fused output action can race them (the persist-race lesson); the
+    # branches run concurrently inside this single job, and the collect
+    # returns each frame's row count — which is exactly the input the
+    # candidate broadcast decision needs, for free.  The overlapped
+    # partition-universe collect (background thread, staged path) runs
+    # concurrently with this job and is resolved only afterwards.
+    _frame_counts: dict = {}
+    if _persisted:
+        labeled = None
+        for i, frame in enumerate(_persisted):
+            one = frame.groupBy().count().select(
+                F.lit(str(i)).alias("_k"), F.col("count").alias("_n")
+            )
+            labeled = one if labeled is None else labeled.unionByName(one)
+        _frame_counts = {r["_k"]: int(r["_n"]) for r in labeled.collect()}
+    _mark("mid-frame cache primer (job 1)")
+
+    # ---- deferred uniqueness: decide broadcast, build + prime dup groups --
+    for chk, keys, cand_hashes, cand_pos in _deferred_uniq:
+        if cand_hashes is not None:
+            n_cand = _frame_counts[str(cand_pos)]
+            dup_src = _cand_semi_join(enriched, cand_hashes, n_cand)
+        else:
+            dup_src = enriched
+        dup_groups = (
+            dup_src.groupBy("partition_id", *keys)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .where(F.col("_cnt") > 1)
+        ).persist()
+        _persisted.append(dup_groups)
+        # job 2: small — probes the (cached) candidate set only
+        dup_groups.count()
+        metric_frames.append(
+            _count_metric(
+                dup_groups.groupBy("partition_id").agg(
+                    F.sum(F.col("_cnt") - 1).cast("double").alias("value")
+                ),
+                chk.name,
+                "duplicate_rows",
+            )
+        )
+        _fused_uniq.append((chk, dup_groups))
+    if _deferred_uniq:
+        _mark("dup-group primer (job 2)")
 
     # ---- fused violation join-backs: ONE enriched scan ---------------------
     # Uniqueness and drift violations both need key columns joined back
@@ -904,8 +968,11 @@ def run_suite(
             )
         )
 
-    metrics = metric_frames[0]
-    for mf in metric_frames[1:]:
+    # thunk entries resolve here — after primer job 1, so the universe
+    # join never forces an early sync (all caches are hot by now)
+    resolved = [mf() if callable(mf) else mf for mf in metric_frames]
+    metrics = resolved[0]
+    for mf in resolved[1:]:
         metrics = metrics.unionByName(mf)
     if violation_frames:
         violations = violation_frames[0]
@@ -917,21 +984,5 @@ def run_suite(
             " repo string, path string, commit string, detail string,"
             " loop_score double"
         )
-
-    # ---- cache priming: ONE job materializes every persisted mid-frame
-    # (dup groups, RI orphans, sha mismatches, drift scores) before the
-    # caller's output action.  Each frame is referenced by BOTH the
-    # metrics and violations subtrees; with a single fused output action
-    # those branches would race the unpopulated caches and recompute the
-    # heavy lineages (the drift kernel twice — the persist-race lesson).
-    # Each frame appears exactly once here, so the primer itself cannot
-    # race; afterwards the fused action reads only hot caches.
-    primer = None
-    for frame in _persisted:
-        one = frame.groupBy().count().select(F.lit(1).alias("_one"))
-        primer = one if primer is None else primer.unionByName(one)
-    if primer is not None:
-        primer.count()
-    _mark("mid-frame cache primer")
 
     return SuiteResult(metrics=metrics, violations=violations, persisted=_persisted)
