@@ -1344,6 +1344,113 @@ LEFT JOIN scored s ON s.qid = b.vec_id
 
 
 # --------------------------------------------------------------------------
+# decontamination + deterministic sampling (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+_DECONTAM_N = 3       # word n-gram width (tiny synthetic docs; prod uses 8-13)
+_DECONTAM_MOD = 97    # doc_id % MOD == 0 selects the held-out "benchmark"
+_SAMPLE_RATE = 0.25
+# K=10 bites at every sf (25-250 docs/source) and drives real phase-1
+# pruning at sf0.1 (threshold 4·10/250 = 0.16)
+_DOMAIN_CAP_K = 10
+
+
+def q_doc_decontam(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word n-gram
+    with the held-out eval slice (doc_id % 97 == 0), with distinct-hit
+    counts.  Broadcast eval grams, map-side match, doc-keyed agg."""
+    from pynomaly_spark.decontam import contamination_report, eval_ngrams
+
+    docs = _doc(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % _DECONTAM_MOD == 0)
+    tr = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
+    grams = eval_ngrams(ev, "text", n=_DECONTAM_N)
+    return contamination_report(
+        tr, grams, "text", "doc_id", n=_DECONTAM_N
+    ).select("doc_id", "gram_hits")
+
+
+def _decontam_sql(n: int = _DECONTAM_N, mod: int = _DECONTAM_MOD) -> str:
+    """DuckDB twin generated from the SAME tokenizer constant the Spark
+    expression uses (decontam.NGRAM_TOKEN_SPLIT) — never copy the regex.
+    DuckDB list slices are 1-based and end-inclusive: tk[i:i+n-1] is n
+    tokens; range(a, b) is empty when b <= a (no descending trap)."""
+    from pynomaly_spark.decontam import NGRAM_TOKEN_SPLIT
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{NGRAM_TOKEN_SPLIT}'),
+                     t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - {n} + 2, 0)),
+                               i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gram
+  FROM toks
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {mod} = 0
+), tr AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % {mod} <> 0
+)
+SELECT tr.doc_id AS doc_id, count(*) AS gram_hits
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id
+"""
+
+
+def q_doc_sample(spark, sf_dir):
+    """Reproducible hash sampling audit: per-source totals and kept
+    counts at a fixed md5-prefix threshold.  The keep predicate is a
+    map-side string comparison — identical on any engine or rerun."""
+    from pynomaly_spark.sampling import deterministic_sample
+
+    docs = _doc(spark, sf_dir)
+    keep = deterministic_sample(docs, _SAMPLE_RATE, "doc_id")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+
+
+def _sample_sql(rate: float = _SAMPLE_RATE) -> str:
+    thresh = format(int(rate * (1 << 32)), "08x")
+    return f"""
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '{thresh}' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_domain_cap(spark, sf_dir):
+    """Per-domain cap: the K md5-smallest docs of every source with
+    their rank, via the two-phase hot-domain-safe path (count-join
+    prune, prefix-exact window, retry for undershooting groups)."""
+    from pynomaly_spark.sampling import group_cap
+
+    docs = _doc(spark, sf_dir).select("doc_id", "source")
+    return group_cap(
+        docs, "source", _DOMAIN_CAP_K, "doc_id", two_phase=True
+    ).select(
+        "source", "doc_id", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+def _domain_cap_sql(k: int = _DOMAIN_CAP_K) -> str:
+    return f"""
+SELECT source, doc_id, rnk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents
+) WHERE rnk <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1379,6 +1486,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_media_wav": q_doc_media_wav,
     "doc_media_qoi": q_doc_media_qoi,
     "doc_media_y4m": q_doc_media_y4m,
+    "doc_decontam": q_doc_decontam,
+    "doc_sample": q_doc_sample,
+    "doc_domain_cap": q_doc_domain_cap,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1408,6 +1518,9 @@ ORACLES: Dict[str, str] = {
     "doc_near_dups": _near_dups_sql(),
     "emb_drift_loop": _emb_drift_loop_sql(),
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
+    "doc_decontam": _decontam_sql(),
+    "doc_sample": _sample_sql(),
+    "doc_domain_cap": _domain_cap_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full

@@ -1,0 +1,129 @@
+"""Deterministic corpus sampling: reproducible hash sampling and
+per-domain caps.
+
+Training-data pipelines never use ``rand()`` sampling: a rerun must keep
+exactly the same rows (resume, audit, A/B on a fixed subset).  The
+standard device is ordering/filtering by a cryptographic hash of the row
+id — reproducible on any engine, any partitioning, any run.  The
+reference library has no analog (scoring kernel only); these operators
+extend the engine's training-data surface.
+
+Cross-engine determinism: the sort/sample key is the lowercase md5 hex
+of the id rendered as a string.  Fixed-length lowercase hex compares
+identically as a string in Spark and DuckDB, so the oracle twins in
+``queries.py`` reproduce results bit-for-bit without any float math.
+
+Scale design (100 TB reasoning):
+
+* ``deterministic_sample`` is a pure map-side filter on an md5 prefix —
+  pushes through scans, no shuffle, no state.
+* ``group_cap`` bounds each group (domain/source/host) to its ``k``
+  hash-smallest rows.  Spark's ``WindowGroupLimit (Partial)`` already
+  bounds the rank shuffle to ≤k rows per group per mapper, but each
+  mapper still SORTS its full slice of a viral domain (one host = 10^9
+  rows) first.  The two-phase path prunes before that sort: join
+  per-group counts (tiny relation, broadcast), keep rows whose hash
+  fraction ≤ ``oversample·k/n`` — a map-side join condition, expected
+  survivors ~``oversample·k`` per group regardless of group size — then
+  rank only the survivors.  Exactness: survivors form a PREFIX of the
+  hash order, so whenever a group retains ≥ min(k, n) survivors the k
+  smallest keys are all present with unchanged ranks; groups that
+  undershoot (md5 is uniform, so probability ~e^{-k} at the default
+  oversample) are re-ranked exactly by a retry pass, mirroring the kNN
+  brute-force retry pattern.  The retry branch is empty in the common
+  case; its cost is one extra scan of the two key columns (column
+  pruning keeps that ~1% of table bytes — verified in the physical
+  plan: ``ReadSchema: struct<doc_id,source>``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_key",
+    "deterministic_sample",
+    "group_cap",
+]
+
+_HASH_SPACE = float(1 << 32)
+
+
+def sample_key(id_col: str) -> Column:
+    """Lowercase md5 hex of the id as a string — the deterministic
+    sample/sort key (identical rendering in Spark and DuckDB)."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def _key_frac(key: Column) -> Column:
+    """Uniform [0, 1) fraction from the first 8 hex chars of the key.
+
+    Engine-internal only (DuckDB has no ``conv``); every cross-engine
+    comparison uses the hex STRING, of which this is a monotone image.
+    """
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / _HASH_SPACE
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> Column:
+    """Boolean keep-column for a reproducible ``rate`` sample.
+
+    Compares the first 8 hex chars of ``md5(id)`` against the literal
+    hex threshold ``floor(rate · 2^32)`` — a pure string comparison any
+    engine reproduces.  Returns the predicate (not a filtered frame) so
+    callers can also audit the complement.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = format(int(rate * _HASH_SPACE), "08x")
+    return F.substring(sample_key(id_col), 1, 8) < F.lit(thresh)
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    two_phase: bool = True,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Keep the ``k`` hash-smallest rows of each group, with their rank.
+
+    Returns ``df``'s columns plus ``rnk`` (1-based within the group,
+    ordered by ``(md5(id), id)``).  Deterministic across runs and
+    engines; ``two_phase=False`` uses the plain window (fine when no
+    group is viral).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = sample_key(id_col).alias("_sk")
+    w = Window.partitionBy(group_col).orderBy("_sk", id_col)
+    ranked = lambda frame: (  # noqa: E731 — tiny local plan builder
+        frame.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(*df.columns, "rnk")
+    )
+    keyed = df.withColumn("_sk", key)
+    if not two_phase:
+        return ranked(keyed)
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    thresh = F.least(F.lit(1.0), F.lit(oversample * k) / F.col("_gn"))
+    survivors = keyed.join(counts, group_col).where(
+        _key_frac(F.col("_sk")) <= thresh
+    )
+    # groups whose survivor prefix is too short to certify the top-k
+    # (uniform-hash tail event) re-rank exactly over all their rows
+    lacking = (
+        survivors.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_sn"), F.first("_gn").alias("_gn"))
+        .where(F.col("_sn") < F.least(F.lit(k), F.col("_gn")))
+        .select(group_col)
+    )
+    good = survivors.join(
+        F.broadcast(lacking), group_col, "left_anti"
+    )
+    retry = keyed.join(F.broadcast(lacking), group_col, "left_semi")
+    return ranked(good).unionByName(ranked(retry))

@@ -1,0 +1,174 @@
+"""Decontamination + deterministic sampling operators.
+
+Planted-overlap correctness, two-phase group-cap exactness vs the naive
+window, hot-group pruning, and empty/null-input edges.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pynomaly_spark.decontam import (
+    contamination_report,
+    eval_ngrams,
+    word_ngrams,
+)
+from pynomaly_spark.sampling import deterministic_sample, group_cap
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDecontam:
+    def test_planted_overlap(self, spark):
+        ev = _docs(spark, [(100, "the quick brown fox jumps")])
+        tr = _docs(
+            spark,
+            [
+                (1, "a quick brown fox ran away"),   # shares 1 trigram
+                (2, "completely unrelated words here"),
+                (3, "the quick brown fox jumps again"),  # shares 3
+                (4, None),
+            ],
+        )
+        grams = eval_ngrams(ev, n=3)
+        out = {
+            r["doc_id"]: r["gram_hits"]
+            for r in contamination_report(tr, grams, n=3).collect()
+        }
+        assert out == {1: 1, 3: 3}
+
+    def test_repeated_leak_counts_once(self, spark):
+        ev = _docs(spark, [(100, "alpha beta gamma")])
+        tr = _docs(
+            spark, [(1, "alpha beta gamma and alpha beta gamma again")]
+        )
+        out = contamination_report(tr, eval_ngrams(ev, n=3), n=3).collect()
+        assert [(r["doc_id"], r["gram_hits"]) for r in out] == [(1, 1)]
+
+    def test_hash_keys_matches_string_keys(self, spark):
+        ev = _docs(spark, [(100, "one two three four five")])
+        tr = _docs(
+            spark,
+            [(i, f"filler {w} one two three tail") for i, w in
+             enumerate(["a", "b", "c"])],
+        )
+        grams = eval_ngrams(ev, n=3)
+        a = sorted(
+            contamination_report(tr, grams, n=3, hash_keys=False).collect()
+        )
+        b = sorted(
+            contamination_report(tr, grams, n=3, hash_keys=True).collect()
+        )
+        assert a == b and len(a) == 3
+
+    def test_short_docs_yield_no_ngrams(self, spark):
+        # fewer tokens than n must NOT fabricate windows (Spark's
+        # sequence(1, 0) descends if unguarded)
+        df = _docs(spark, [(1, "two words"), (2, ""), (3, "one")])
+        rows = df.select(
+            F.size(word_ngrams("text", 3)).alias("k")
+        ).collect()
+        assert [r["k"] for r in rows] == [0, 0, 0]
+
+    def test_tokenizer_case_and_punct(self, spark):
+        df = _docs(spark, [(1, "Hello, WORLD!  foo")])
+        (row,) = df.select(word_ngrams("text", 2).alias("g")).collect()
+        assert row["g"] == ["hello world", "world foo"]
+
+    def test_empty_eval_set(self, spark):
+        tr = _docs(spark, [(1, "some training text here")])
+        ev = _docs(spark, []).where(F.lit(False))
+        out = contamination_report(tr, eval_ngrams(ev, n=3), n=3)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "gram_hits",
+        ]
+
+    def test_bad_n_raises(self, spark):
+        with pytest.raises(ValueError):
+            word_ngrams("text", 0)
+
+
+def _grouped(spark, sizes):
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+class TestGroupCap:
+    def test_two_phase_matches_naive_window(self, spark):
+        df = _grouped(spark, {"a": 57, "b": 3, "c": 200})
+        naive = sorted(
+            group_cap(df, "source", 8, two_phase=False).collect()
+        )
+        fast = sorted(
+            group_cap(df, "source", 8, two_phase=True).collect()
+        )
+        assert naive == fast
+        per = {}
+        for r in naive:
+            per[r["source"]] = max(per.get(r["source"], 0), r["rnk"])
+        assert per == {"a": 8, "b": 3, "c": 8}
+
+    def test_hot_group_pruned_before_window(self, spark):
+        # one viral group: phase 1 must shrink the window's input far
+        # below the group size (prefix-exactness keeps results identical)
+        df = _grouped(spark, {"hot": 5000, "cold": 10})
+        capped = group_cap(df, "source", 5, two_phase=True, oversample=4.0)
+        rows = capped.collect()
+        assert len(rows) == 10  # 5 + 5
+        naive = group_cap(df, "source", 5, two_phase=False).collect()
+        assert sorted(rows) == sorted(naive)
+
+    def test_retry_when_oversample_too_tight(self, spark):
+        # oversample <1 makes phase-1 undershoot k for some groups: the
+        # retry pass must still return the exact top-k
+        df = _grouped(spark, {"a": 100, "b": 50})
+        exact = sorted(group_cap(df, "source", 20, two_phase=False).collect())
+        tight = sorted(
+            group_cap(
+                df, "source", 20, two_phase=True, oversample=0.5
+            ).collect()
+        )
+        assert exact == tight
+
+    def test_deterministic_across_runs(self, spark):
+        df = _grouped(spark, {"a": 40}).repartition(7)
+        one = sorted(group_cap(df, "source", 6).collect())
+        two = sorted(group_cap(df.repartition(3), "source", 6).collect())
+        assert one == two
+
+    def test_bad_k_raises(self, spark):
+        df = _grouped(spark, {"a": 2})
+        with pytest.raises(ValueError):
+            group_cap(df, "source", 0)
+
+
+class TestDeterministicSample:
+    def test_rate_and_reproducibility(self, spark):
+        df = spark.range(4000).withColumnRenamed("id", "doc_id")
+        kept = df.where(deterministic_sample(df, 0.25)).collect()
+        frac = len(kept) / 4000
+        assert 0.20 < frac < 0.30
+        again = df.where(deterministic_sample(df, 0.25)).collect()
+        assert sorted(kept) == sorted(again)
+
+    def test_nested_rates(self, spark):
+        # a smaller sample must be a subset of a larger one (prefix
+        # property of the hash threshold) — the audit-friendly behavior
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        small = {r["doc_id"] for r in df.where(
+            deterministic_sample(df, 0.1)).collect()}
+        big = {r["doc_id"] for r in df.where(
+            deterministic_sample(df, 0.3)).collect()}
+        assert small <= big
+
+    def test_bad_rate_raises(self, spark):
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            deterministic_sample(df, 1.5)
