@@ -34,6 +34,7 @@ __all__ = [
     "simhash_md5_bits",
     "ngram_jaccard",
     "embedding_near_dups",
+    "dup_clusters",
 ]
 
 
@@ -374,3 +375,118 @@ def simhash_md5_bits(
         ]
     )
     return agg.select(F.col(id_col), bits.alias("simhash_bits"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    strict: bool = True,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components) with a canonical survivor per cluster.
+
+    The step every dedup pipeline runs after pair generation: A~B and
+    B~C must collapse to ONE cluster even though A~C was never emitted
+    by LSH.  Returns ``(node, cluster_id, cluster_size, is_canonical)``
+    where ``cluster_id`` is the smallest member id — keep rows that are
+    canonical (or absent from the result) to deduplicate the corpus.
+
+    Algorithm: distributed hash-min label propagation WITH pointer
+    doubling (each round: every node takes the min label over itself
+    and its neighbors, then shortcuts to its label's label).  The
+    shortcut halves remaining path lengths, so convergence is
+    O(log(component diameter)) rounds — an adversarial 10^6-node chain
+    of pairwise near-dups needs ~20 rounds, not 10^6 (plain hash-min is
+    linear in the diameter; the doubling step is what makes the driver
+    loop safe at corpus scale).  Public-domain algorithm family: CC in
+    MapReduce ("Hash-to-Min" / star-contraction literature).
+
+    Each round is two shuffles (edge join + groupBy-min) and one
+    shortcut join, all keyed on node ids — no collect of graph data;
+    the driver loop only reads a per-round ``count`` of changed labels
+    (convergence signal).  Each round eagerly ``localCheckpoint``s the
+    propagation aggregate before the shortcut self-join — see the
+    in-loop comment for why lineage MUST be cut there.  On a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint`` semantics if executor loss during the loop must be
+    survivable; the algorithm itself is restartable from any round's
+    labels.
+
+    With ``strict`` (default) a component still moving after
+    ``max_iter`` rounds raises RuntimeError rather than silently
+    returning partial clusters.
+    """
+    e0 = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lab")
+        # the checkpoint lands HERE (on the plain aggregate, each round):
+        # the shortcut below references l1 twice, so building it on a
+        # non-leaf l1 would double the logical plan every round
+        # (exponential tree growth OOMs the driver by round ~10 — persist
+        # cuts execution, not the plan); a leaf l1 also spares the
+        # self-join from recomputing the aggregation twice
+        l1 = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: lab <- lab(lab); labels hold every node, and
+        # min-propagation keeps lab itself a node id, so the self-join
+        # always matches (coalesce is belt and braces)
+        l2 = (
+            l1.alias("x")
+            .join(
+                l1.select(
+                    F.col("node").alias("_ln"), F.col("lab").alias("_ll")
+                ),
+                F.col("x.lab") == F.col("_ln"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce("_ll", F.col("x.lab")).alias("lab"),
+            )
+        )
+        changed = (
+            l2.withColumnRenamed("lab", "_new")
+            .join(labels, "node")
+            .where(F.col("_new") < F.col("lab"))
+            .count()
+        )
+        labels = l2
+        if changed == 0:
+            converged = True
+            break
+    if not converged and strict:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds "
+            "(raise max_iter; components of diameter d need ~log2(d))"
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        labels.join(sizes, "lab")
+        .select(
+            F.col("node"),
+            F.col("lab").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("lab")).cast("int").alias("is_canonical"),
+        )
+    )
+    return out

@@ -1450,6 +1450,50 @@ SELECT source, doc_id, rnk FROM (
 """
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    verified MinHash-LSH near-dup pairs (A~B plus B~C collapse into one
+    cluster even when LSH never emitted A~C), with the smallest member
+    as the canonical survivor.  Spark side: hash-min label propagation
+    with pointer doubling — O(log diameter) rounds of keyed joins, no
+    graph data on the driver (``dedup.dup_clusters``)."""
+    from pynomaly_spark.dedup import dup_clusters
+
+    pairs = q_doc_near_dups(spark, sf_dir)
+    return dup_clusters(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )
+
+
+def _dup_clusters_sql() -> str:
+    """DuckDB twin: the near-dup pair CTE (shared generator) feeding a
+    recursive min-label closure — the fixpoint the iterative Spark loop
+    converges to, engine-verified end to end."""
+    return f"""
+WITH RECURSIVE nd AS ({_near_dups_sql()}
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM nd
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM nd
+), n AS (
+  SELECT DISTINCT src AS node FROM e
+), reach AS (
+  SELECT node, node AS lab FROM n
+  UNION
+  SELECT e.dst AS node, r.lab FROM reach r JOIN e ON e.src = r.node
+), cc AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cc.node AS doc_id, cc.cluster_id, sz.cluster_size,
+       CAST(cc.node = cc.cluster_id AS INTEGER) AS is_canonical
+FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id) sz USING (cluster_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1489,6 +1533,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontam": q_doc_decontam,
     "doc_sample": q_doc_sample,
     "doc_domain_cap": q_doc_domain_cap,
+    "doc_dup_clusters": q_doc_dup_clusters,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1521,6 +1566,7 @@ ORACLES: Dict[str, str] = {
     "doc_decontam": _decontam_sql(),
     "doc_sample": _sample_sql(),
     "doc_domain_cap": _domain_cap_sql(),
+    "doc_dup_clusters": _dup_clusters_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full

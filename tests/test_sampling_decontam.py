@@ -172,3 +172,65 @@ class TestDeterministicSample:
         df = spark.range(5).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError):
             deterministic_sample(df, 1.5)
+
+
+class TestDupClusters:
+    def _pairs(self, spark, rows):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("id_a", LongType()), StructField("id_b", LongType())]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def test_transitive_chain_collapses(self, spark):
+        from pynomaly_spark.dedup import dup_clusters
+
+        # A~B, B~C, C~D: one cluster rooted at the smallest id, even
+        # though A~C and A~D were never emitted
+        out = dup_clusters(self._pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+        rows = {r["node"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert all(r["cluster_id"] == 1 for r in rows.values())
+        assert all(r["cluster_size"] == 4 for r in rows.values())
+        assert [n for n, r in rows.items() if r["is_canonical"]] == [1]
+
+    def test_separate_components(self, spark):
+        from pynomaly_spark.dedup import dup_clusters
+
+        out = dup_clusters(
+            self._pairs(spark, [(10, 11), (20, 21), (21, 22)])
+        ).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["node"])
+        assert by_cluster == {10: {10, 11}, 20: {20, 21, 22}}
+
+    def test_long_chain_converges_via_pointer_doubling(self, spark):
+        from pynomaly_spark.dedup import dup_clusters
+
+        # 64-node path has diameter 63: plain hash-min would need 63
+        # rounds; with the shortcut step, well under max_iter=10
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(63)])
+        out = dup_clusters(pairs, max_iter=10).collect()
+        assert len(out) == 64
+        assert all(r["cluster_id"] == 0 for r in out)
+
+    def test_strict_raises_when_not_converged(self, spark):
+        from pynomaly_spark.dedup import dup_clusters
+
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(20)])
+        with pytest.raises(RuntimeError):
+            dup_clusters(pairs, max_iter=1, strict=True)
+        # non-strict returns the partial labels instead
+        partial = dup_clusters(pairs, max_iter=1, strict=False)
+        assert partial.count() == 21
+
+    def test_empty_pairs(self, spark):
+        from pynomaly_spark.dedup import dup_clusters
+
+        out = dup_clusters(self._pairs(spark, []))
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "node", "cluster_id", "cluster_size", "is_canonical",
+        ]
