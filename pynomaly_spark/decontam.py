@@ -109,13 +109,9 @@ def contamination_report(
     ``broadcast_eval=False`` drops the broadcast hint for abnormally
     large eval relations and lets AQE choose the join strategy.
     """
-    grams = (
-        train_docs.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams(text_col, n)).alias("gram"),
-        )
-        .dropDuplicates([id_col, "gram"])
+    grams = train_docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
     )
     ev = eval_grams
     if hash_keys:
@@ -126,8 +122,13 @@ def contamination_report(
         key = "gram"
     if broadcast_eval:
         ev = F.broadcast(ev)
+    # join BEFORE deduplicating: the broadcast inner join is map-side
+    # and discards every non-matching gram, so the countDistinct
+    # shuffle moves only the (rare) contaminated grams — deduplicating
+    # the full exploded gram table first would shuffle every n-gram of
+    # the whole corpus
     return (
         grams.join(ev, key)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("gram_hits"))
+        .agg(F.count_distinct(F.col(key)).alias("gram_hits"))
     )
