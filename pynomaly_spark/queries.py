@@ -1371,24 +1371,12 @@ def q_doc_decontam(spark, sf_dir):
 
 
 def _decontam_sql(n: int = _DECONTAM_N, mod: int = _DECONTAM_MOD) -> str:
-    """DuckDB twin generated from the SAME tokenizer constant the Spark
-    expression uses (decontam.NGRAM_TOKEN_SPLIT) — never copy the regex.
+    """DuckDB twin built on the shared grams CTE (``_gram_cte`` — same
+    tokenizer constant as the Spark expressions; never copy the regex).
     DuckDB list slices are 1-based and end-inclusive: tk[i:i+n-1] is n
     tokens; range(a, b) is empty when b <= a (no descending trap)."""
-    from pynomaly_spark.decontam import NGRAM_TOKEN_SPLIT
-
     return f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '{NGRAM_TOKEN_SPLIT}'),
-                     t -> t <> '') AS tk
-  FROM documents WHERE text IS NOT NULL
-), grams AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(tk) - {n} + 2, 0)),
-                               i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gram
-  FROM toks
-), ev AS (
+WITH {_gram_cte(n)}, ev AS (
   SELECT DISTINCT gram FROM grams WHERE doc_id % {mod} = 0
 ), tr AS (
   SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % {mod} <> 0
@@ -1447,6 +1435,155 @@ SELECT source, doc_id, rnk FROM (
            AS rnk
   FROM documents
 ) WHERE rnk <= {k}
+"""
+
+
+def _gram_cte(n: int) -> str:
+    """Shared tokens+grams CTE (DuckDB) generated from the SAME
+    tokenizer constant the Spark expressions use."""
+    from pynomaly_spark.decontam import NGRAM_TOKEN_SPLIT
+
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{NGRAM_TOKEN_SPLIT}'),
+                     t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - {n} + 2, 0)),
+                               i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gram
+  FROM toks
+)"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition gates per document: duplicate-bigram and
+    top-bigram fractions (boilerplate/spam score high).  Two keyed
+    aggregations, both with map-side partial combine."""
+    from pynomaly_spark.textops import repetition_stats
+
+    st = repetition_stats(_doc(spark, sf_dir), "text", "doc_id", n=2)
+    return st.select(
+        "doc_id",
+        "n_grams",
+        "distinct_grams",
+        F.round("dup_gram_fraction", _R).alias("dup_gram_fraction"),
+        F.round("top_gram_fraction", _R).alias("top_gram_fraction"),
+    )
+
+
+def _repetition_sql(n: int = 2) -> str:
+    return f"""
+WITH {_gram_cte(n)}, pg AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       count(*) AS distinct_grams,
+       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS dup_gram_fraction,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS top_gram_fraction
+FROM pg GROUP BY doc_id
+"""
+
+
+def q_doc_pii(spark, sf_dir):
+    """PII scrub audit: deterministic synthetic PII (emails, IPv4s,
+    phone numbers keyed off doc_id — the corpus itself is word soup) is
+    planted JVM-side, then detected with ``textops.pii_counts`` and
+    redacted with ``textops.pii_scrub``; per-source totals plus the
+    redacted-character delta prove the replacements happened.  All
+    map-side regex work; one tiny keyed aggregation."""
+    from pynomaly_spark.textops import pii_counts, pii_scrub
+
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 200).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" call 555-867-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("source", planted.alias("t"))
+    )
+    hits = base.select(
+        "source",
+        pii_counts("t").alias("p"),
+        (F.length("t") - F.length(pii_scrub("t"))).alias("delta"),
+    )
+    return hits.groupBy("source").agg(
+        F.sum("p.n_email").alias("emails"),
+        F.sum("p.n_ipv4").alias("ipv4s"),
+        F.sum("p.n_phone").alias("phones"),
+        F.sum("delta").alias("redacted_chars"),
+    )
+
+
+def _pii_sql() -> str:
+    """Twin generated from the SHARED pattern/tag constants."""
+    from pynomaly_spark.textops import PII_PATTERNS, PII_TAGS
+
+    scrub = "t"
+    for k in ("email", "ipv4", "phone"):
+        scrub = (
+            f"regexp_replace({scrub}, '{PII_PATTERNS[k]}', "
+            f"'{PII_TAGS[k]}', 'g')"
+        )
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS n_{k}"
+        for k in ("email", "ipv4", "phone")
+    )
+    return f"""
+WITH base AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.7' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                THEN ' call 555-867-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+), hits AS (
+  SELECT source,
+         {counts},
+         len(t) - len({scrub}) AS delta
+  FROM base
+)
+SELECT source,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(delta) AS BIGINT) AS redacted_chars
+FROM hits GROUP BY source
 """
 
 
@@ -1534,6 +1671,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample": q_doc_sample,
     "doc_domain_cap": q_doc_domain_cap,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii": q_doc_pii,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1567,6 +1706,8 @@ ORACLES: Dict[str, str] = {
     "doc_sample": _sample_sql(),
     "doc_domain_cap": _domain_cap_sql(),
     "doc_dup_clusters": _dup_clusters_sql(),
+    "doc_repetition": _repetition_sql(),
+    "doc_pii": _pii_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full

@@ -14,6 +14,9 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "pii_counts",
+    "pii_scrub",
+    "repetition_stats",
 ]
 
 # Tokenizer charset shared by the Spark expression AND the generated
@@ -292,4 +295,73 @@ def add_text_analysis(
         quality_score(text_col),
         language_id(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fingerprint64"),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition + PII (Gopher-style repetition gates; standard scrub pass)
+# --------------------------------------------------------------------------
+
+# Conservative ASCII patterns chosen for identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b",
+}
+PII_TAGS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_counts(text_col: str = "content"):
+    """Struct of per-kind PII match counts (JVM ``regexp_count``)."""
+    c = F.col(text_col)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(p)).alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def pii_scrub(text_col: str = "content"):
+    """Text with every PII match replaced by its tag — chained JVM
+    ``regexp_replace`` (email first: its pattern could otherwise match
+    inside an already-redacted tag's neighborhood, never vice versa)."""
+    c = F.col(text_col)
+    for k in ("email", "ipv4", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[k], PII_TAGS[k])
+    return c
+
+
+def repetition_stats(
+    df,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    n: int = 2,
+):
+    """Per-document n-gram repetition signals (Gopher-style gates):
+    ``dup_gram_fraction`` (1 − distinct/total) and ``top_gram_fraction``
+    (most frequent n-gram's share).  Boilerplate and spam score high;
+    normal prose sits near 0 / 1-over-total.
+
+    Two aggregations, keyed by ``(id, gram)`` then ``(id)`` — partial
+    map-side combines both times, nothing hot (a doc's grams land on one
+    reducer only after the per-(id, gram) collapse).  Documents with
+    fewer than ``n`` tokens have no grams and are absent from the
+    result.  Tokenization shares :data:`decontam.NGRAM_TOKEN_SPLIT`.
+    """
+    from pynomaly_spark.decontam import word_ngrams
+
+    grams = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n)).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        (1.0 - F.count(F.lit(1)) / F.sum("_c")).alias("dup_gram_fraction"),
+        (F.max("_c") / F.sum("_c")).alias("top_gram_fraction"),
     )

@@ -234,3 +234,52 @@ class TestDupClusters:
         assert [f.name for f in out.schema.fields] == [
             "node", "cluster_id", "cluster_size", "is_canonical",
         ]
+
+
+class TestPiiAndRepetition:
+    def test_pii_counts_and_scrub(self, spark):
+        from pynomaly_spark.textops import pii_counts, pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at Jane.Doe+x@Example.org or 10.0.0.1"),
+                (2, "call 555-867-5309 twice: 555-867-5309"),
+                (3, "clean text with no identifiers at all"),
+                (4, "a@b.io and 192.168.1.255 and 555-123-4567"),
+            ],
+            "doc_id long, text string",
+        )
+        out = df.select(
+            "doc_id",
+            pii_counts("text").alias("p"),
+            pii_scrub("text").alias("s"),
+        ).collect()
+        rows = {r["doc_id"]: r for r in out}
+        assert rows[1]["p"]["n_email"] == 1 and rows[1]["p"]["n_ipv4"] == 1
+        assert rows[2]["p"]["n_phone"] == 2
+        assert tuple(rows[3]["p"]) == (0, 0, 0)
+        assert rows[3]["s"] == "clean text with no identifiers at all"
+        assert rows[4]["s"] == "<EMAIL> and <IP> and <PHONE>"
+        assert "Jane.Doe" not in rows[1]["s"] and "10.0.0.1" not in rows[1]["s"]
+        assert "5309" not in rows[2]["s"]
+
+    def test_repetition_separates_spam_from_prose(self, spark):
+        from pynomaly_spark.textops import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "buy now " * 50),               # one bigram repeated
+                (2, "the quick brown fox jumps over a lazy dog today"),
+                (3, "x"),                            # < n tokens: absent
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in repetition_stats(df, "text", "doc_id", n=2).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1]["dup_gram_fraction"] > 0.9
+        assert out[1]["top_gram_fraction"] > 0.49
+        assert out[2]["dup_gram_fraction"] == 0.0
+        assert abs(out[2]["top_gram_fraction"] - 1.0 / 9.0) < 1e-9
