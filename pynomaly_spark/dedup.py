@@ -421,9 +421,16 @@ def dup_clusters(
     e0 = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the (narrow, two-column) edge list ONCE: every round
+    # joins against it, and without the cut each round would re-run the
+    # entire upstream pair-generation pipeline (LSH, Jaccard verify, …)
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

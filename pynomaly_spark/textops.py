@@ -350,13 +350,10 @@ def repetition_stats(
     fewer than ``n`` tokens have no grams and are absent from the
     result.  Tokenization shares :data:`decontam.NGRAM_TOKEN_SPLIT`.
     """
-    from pynomaly_spark.decontam import word_ngrams
+    from pynomaly_spark.decontam import exploded_ngrams
 
-    grams = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.explode(word_ngrams(text_col, n)).alias("_g"),
-    )
-    per_gram = grams.groupBy(id_col, "_g").agg(
+    grams = exploded_ngrams(df, text_col, [F.col(id_col)], n)
+    per_gram = grams.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("_c")
     )
     return per_gram.groupBy(id_col).agg(
