@@ -23,7 +23,7 @@ Spark-first shape (100 TB reasoning):
   narrow-key trick the uniqueness check uses, ``checks.py``), at a
   2^-64 per-pair collision risk that a report-level operator tolerates.
 
-The DuckDB oracle twin (``queries.SQL_DOC_DECONTAM``) reproduces the
+The DuckDB oracle twin (``queries._decontam_sql``) reproduces the
 string-key variant exactly: same tokenizer regex, same n-gram windows,
 same distinct-hit counting.
 """
@@ -40,6 +40,7 @@ __all__ = [
     "exploded_ngrams",
     "eval_ngrams",
     "contamination_report",
+    "decontaminate",
 ]
 
 # Tokenizer shared with the oracle twin: lowercase, split on anything
@@ -153,3 +154,27 @@ def contamination_report(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col(key)).alias("gram_hits"))
     )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_keys: bool = False,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The corpus with every contaminated document removed: a left-anti
+    join of ``train_docs`` against :func:`contamination_report` on
+    ``id_col`` (null-text rows carry no n-grams and are kept)."""
+    report = contamination_report(
+        train_docs,
+        eval_grams,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        hash_keys=hash_keys,
+        broadcast_eval=broadcast_eval,
+    )
+    return train_docs.join(report.select(id_col), id_col, "left_anti")

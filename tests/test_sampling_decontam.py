@@ -283,3 +283,19 @@ class TestPiiAndRepetition:
         assert out[1]["top_gram_fraction"] > 0.49
         assert out[2]["dup_gram_fraction"] == 0.0
         assert abs(out[2]["top_gram_fraction"] - 1.0 / 9.0) < 1e-9
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    from pynomaly_spark.decontam import decontaminate, eval_ngrams
+
+    ev = _docs(spark, [(100, "the quick brown fox jumps")])
+    tr = _docs(
+        spark,
+        [
+            (1, "a quick brown fox ran away"),
+            (2, "completely unrelated words here"),
+            (3, None),
+        ],
+    )
+    clean = decontaminate(tr, eval_ngrams(ev, n=3), n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
