@@ -109,10 +109,20 @@ def group_cap(
     if not two_phase:
         return ranked(keyed)
 
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    # every phase-2 join is NULL-SAFE on the group key (renamed right
+    # sides + eqNullSafe): a NULL domain is a legitimate group, and the
+    # name-based inner join would silently drop it from the two-phase
+    # path while the naive window keeps it
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .withColumnRenamed(group_col, "_gc")
+    )
     thresh = F.least(F.lit(1.0), F.lit(oversample * k) / F.col("_gn"))
-    survivors = keyed.join(counts, group_col).where(
-        _key_frac(F.col("_sk")) <= thresh
+    survivors = (
+        keyed.join(counts, F.col(group_col).eqNullSafe(F.col("_gc")))
+        .drop("_gc")
+        .where(_key_frac(F.col("_sk")) <= thresh)
     )
     # groups whose survivor prefix is too short to certify the top-k
     # (uniform-hash tail event) re-rank exactly over all their rows
@@ -120,10 +130,9 @@ def group_cap(
         survivors.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_sn"), F.first("_gn").alias("_gn"))
         .where(F.col("_sn") < F.least(F.lit(k), F.col("_gn")))
-        .select(group_col)
+        .select(F.col(group_col).alias("_gl"))
     )
-    good = survivors.join(
-        F.broadcast(lacking), group_col, "left_anti"
-    )
-    retry = keyed.join(F.broadcast(lacking), group_col, "left_semi")
+    null_safe_lk = F.col(group_col).eqNullSafe(F.col("_gl"))
+    good = survivors.join(F.broadcast(lacking), null_safe_lk, "left_anti")
+    retry = keyed.join(F.broadcast(lacking), null_safe_lk, "left_semi")
     return ranked(good).unionByName(ranked(retry))

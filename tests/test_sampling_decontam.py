@@ -299,3 +299,15 @@ def test_decontaminate_removes_only_contaminated(spark):
     )
     clean = decontaminate(tr, eval_ngrams(ev, n=3), n=3)
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_group_cap_null_group_is_a_real_group(spark):
+    # a NULL domain must be capped like any other group on BOTH paths
+    # (the name-based count join would silently drop it from two-phase)
+    rows = [(i, None) for i in range(30)] + [(100 + i, "a") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    naive = sorted(group_cap(df, "source", 5, two_phase=False).collect())
+    fast = sorted(group_cap(df, "source", 5, two_phase=True).collect())
+    assert naive == fast
+    nulls = [r for r in fast if r["source"] is None]
+    assert len(nulls) == 5 and {r["rnk"] for r in nulls} == {1, 2, 3, 4, 5}
