@@ -73,7 +73,9 @@ def deterministic_sample(
     Compares the first 8 hex chars of ``md5(id)`` against the literal
     hex threshold ``floor(rate · 2^32)`` — a pure string comparison any
     engine reproduces.  Returns the predicate (not a filtered frame) so
-    callers can also audit the complement.
+    callers can also audit the complement.  Rows with a NULL id yield a
+    NULL predicate (excluded by WHERE on both the sample and its
+    complement) — ids are expected non-null.
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
