@@ -79,6 +79,11 @@ def deterministic_sample(
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        # the threshold would render as 9 hex chars ('100000000') and
+        # the 8-char lexicographic compare would EXCLUDE almost all
+        # rows; a full sample keeps every non-null id explicitly
+        return F.col(id_col).isNotNull()
     thresh = format(int(rate * _HASH_SPACE), "08x")
     return F.substring(sample_key(id_col), 1, 8) < F.lit(thresh)
 

@@ -311,3 +311,12 @@ def test_group_cap_null_group_is_a_real_group(spark):
     assert naive == fast
     nulls = [r for r in fast if r["source"] is None]
     assert len(nulls) == 5 and {r["rnk"] for r in nulls} == {1, 2, 3, 4, 5}
+
+
+def test_full_rate_sample_keeps_everything(spark):
+    # rate=1.0 once rendered a 9-hex-char threshold that the 8-char
+    # string compare judged SMALLER than most keys, dropping ~94% of
+    # rows; the full sample must keep every non-null id
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    assert df.where(deterministic_sample(df, 1.0)).count() == 500
+    assert df.where(deterministic_sample(df, 0.0)).count() == 0
