@@ -1587,6 +1587,72 @@ FROM hits GROUP BY source
 """
 
 
+_SESSION_GAP_MIN = 24 * 60  # synthetic events are sparse (~5h/user gap)
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (the classic behavioral window op):
+    per-session event count, start, duration, and exact-cents value
+    total.  Two windows partitioned by user — uniform shuffle, one lag
+    of state per partition (``sessions.session_stats``)."""
+    from pynomaly_spark.sessions import session_stats
+
+    ev = _tbl(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_minutes=_SESSION_GAP_MIN, value_col="value"
+    )
+
+
+def _sessions_sql(gap_min: int = _SESSION_GAP_MIN) -> str:
+    gap_us = gap_min * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), marked AS (
+  SELECT user_id, event_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM marked
+)
+SELECT user_id, sess_idx,
+       count(*) AS n_events,
+       min(us) AS start_us,
+       max(us) - min(us) AS duration_us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM sess GROUP BY user_id, sess_idx
+"""
+
+
+def q_events_props(spark, sf_dir):
+    """JSON property extraction (§2.6 surface): per-event-type counts
+    and the exact sum of the ``$.k`` integer property — JVM
+    ``get_json_object``, no Python."""
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_present"),
+    )
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       count(json_extract_string(props, '$.k')) AS k_present
+FROM events GROUP BY event_type
+"""
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     verified MinHash-LSH near-dup pairs (A~B plus B~C collapse into one
@@ -1673,6 +1739,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_repetition": q_doc_repetition,
     "doc_pii": q_doc_pii,
+    "events_sessions": q_events_sessions,
+    "events_props": q_events_props,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1708,6 +1776,8 @@ ORACLES: Dict[str, str] = {
     "doc_dup_clusters": _dup_clusters_sql(),
     "doc_repetition": _repetition_sql(),
     "doc_pii": _pii_sql(),
+    "events_sessions": _sessions_sql(),
+    "events_props": SQL_EVENTS_PROPS,
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full

@@ -1,0 +1,88 @@
+"""Gap-based sessionization of event streams.
+
+The classic behavioral-analytics operator: consecutive events of the
+same user belong to one session until a silence longer than ``gap``
+splits them.  Pure window expressions (lag → boundary flag → running
+sum), no state, no UDFs — the batch twin of the streaming session
+windows in ``streaming.py``'s watermarked aggregations.
+
+Cross-engine determinism: timestamps convert to INTEGER microseconds
+(``unix_micros`` in Spark, ``epoch_us`` in DuckDB — the oracle twin in
+``queries.py``), so boundary comparisons are exact integer arithmetic;
+the window order carries an ``event_id`` tiebreak so equal timestamps
+cannot reorder across engines or runs.
+
+Scale: both windows partition by the user key — with millions of users
+the rank shuffle is uniform and per-partition state is one lag value.
+Known limitation shared by every sessionizer: a single pathological key
+(a bot with 10^9 events) serializes through one partition; the standard
+mitigation is pre-splitting such keys by coarse time bucket and merging
+boundary sessions in a second pass, worth building only when bot-scale
+keys are actually present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "session_stats"]
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """``df`` plus ``sess_idx`` (1-based per-user session number) and
+    ``_us`` (event time in integer microseconds)."""
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be > 0, got {gap_minutes}")
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    # parquet timestamps load as TIMESTAMP_NTZ; the engine session pins
+    # spark.sql.session.timeZone to UTC (session.py), so the cast is an
+    # exact identity onto DuckDB's naive epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("_us", tiebreak_col)
+    prev = F.lag("_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("_us") - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_us", us)
+        .withColumn(
+            "sess_idx",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = None,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """One row per session: event count, start (µs), duration (µs), and
+    (optionally) the value total in exact integer cents — float sums
+    depend on addition order across engines/partitionings; fixed-point
+    does not."""
+    s = sessionize(df, user_col, ts_col, gap_minutes, tiebreak_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("start_us"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    return s.groupBy(user_col, "sess_idx").agg(*aggs)
