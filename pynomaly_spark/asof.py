@@ -1,0 +1,135 @@
+"""As-of (backward) join: each left row picks the most recent right row.
+
+The operator the reference lacks and every event/feature pipeline needs:
+align purchases to the latest preceding click, a metric to the last
+config change, a trade to the prevailing quote.  Implemented with the
+union-tag trick — interleave both sides into ONE key-partitioned window
+and carry the right payload forward with ``last(..., ignorenulls)`` —
+so the plan is a single shuffle on the join key and one window pass:
+
+* no range-condition join (which Spark executes as a broadcast nested
+  loop or an exploded inequality join — quadratic per key at scale);
+* per-partition window state is ONE packed struct, independent of how
+  far back the match lies;
+* the right payload travels as one struct column, so every output
+  column provably comes from the SAME matched right row (per-column
+  ``last(ignorenulls)`` could mix rows when right values are null).
+
+Cross-engine determinism (oracle twin uses DuckDB's native ASOF JOIN):
+timestamps are compared as integer microseconds; equal-timestamp right
+rows resolve to the greatest ``right_tiebreak`` on both engines; null
+join keys never match (SQL equality semantics — Spark windows would
+otherwise group them).
+
+Semantics: inclusive (``left.ts >= right.ts``) by default, ``strict=True``
+for ``>``; optional ``tolerance_us`` nulls out matches older than the
+window (pandas ``merge_asof`` parity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    right_ts_col: Optional[str] = None,
+    payload_cols: Optional[Sequence[str]] = None,
+    strict: bool = False,
+    tolerance_us: Optional[int] = None,
+    right_tiebreak: Optional[str] = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left table plus, per row, the payload of the latest right row at
+    or before (``strict``: strictly before) its timestamp.
+
+    Output = every ``left`` column, plus ``matched_us`` (the matched
+    right row's integer-µs timestamp) and ``<payload>{suffix}`` for each
+    payload column — all null when nothing qualifies.
+    """
+    on = list(on)
+    right_ts_col = right_ts_col or ts_col
+    if payload_cols is None:
+        payload_cols = [
+            c for c in right.columns if c not in on and c != right_ts_col
+        ]
+    payload_cols = list(payload_cols)
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
+
+    left_cols = left.columns
+    keys = [f"_asof_k{i}" for i in range(len(on))]
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    # right rows sort BEFORE same-µs left rows when inclusive, AFTER when
+    # strict — the running last() then sees exactly the qualifying set
+    right_ord = 2 if strict else 0
+    # among equal-µs right rows the greatest tiebreak wins (last in
+    # window order); the oracle twin dedupes with the same rule
+    tb = (
+        F.col(right_tiebreak).cast("double")
+        if right_tiebreak
+        else F.lit(0.0)
+    )
+
+    pay_t = F.struct(
+        F.col("_asof_us").alias("matched_us"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.withColumn("_asof_us", us(right_ts_col)).select(
+        *[F.col(k).alias(a) for k, a in zip(on, keys)],
+        "_asof_us",
+        F.lit(right_ord).alias("_asof_ord"),
+        tb.alias("_asof_tb"),
+        pay_t.alias("_asof_pay"),
+    )
+    row_t = F.struct(*[F.col(c).alias(c) for c in left_cols])
+    l = left.withColumn("_asof_us", us(ts_col)).select(
+        *[F.col(k).alias(a) for k, a in zip(on, keys)],
+        "_asof_us",
+        F.lit(1).alias("_asof_ord"),
+        F.lit(0.0).alias("_asof_tb"),
+        F.lit(None).cast(r.schema["_asof_pay"].dataType).alias("_asof_pay"),
+        row_t.alias("_asof_row"),
+    )
+    r = r.withColumn("_asof_row", F.lit(None).cast(l.schema["_asof_row"].dataType))
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_us", "_asof_ord", "_asof_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_asof_pay", ignorenulls=True).over(w)
+
+    # SQL equality-join semantics: a null in any key column never matches
+    key_ok = F.lit(True)
+    for k in keys:
+        key_ok = key_ok & F.col(k).isNotNull()
+    matched = F.when(key_ok, matched)
+    if tolerance_us is not None:
+        matched = F.when(
+            (F.col("_asof_us") - matched["matched_us"]) <= F.lit(tolerance_us),
+            matched,
+        )
+
+    out = (
+        l.unionByName(r)
+        .withColumn("_asof_match", matched)
+        .filter(F.col("_asof_ord") == 1)
+    )
+    proj = [F.col(f"_asof_row.{c}").alias(c) for c in left_cols]
+    proj.append(F.col("_asof_match.matched_us").alias("matched_us"))
+    proj.extend(
+        F.col(f"_asof_match.{c}").alias(f"{c}{suffix}") for c in payload_cols
+    )
+    return out.select(*proj)

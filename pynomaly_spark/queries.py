@@ -1653,6 +1653,67 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (``asof.asof_join``): every purchase aligned to the
+    user's latest click at-or-before it.  One shuffle on user_id, one
+    window pass — no range join.  The twin is DuckDB's NATIVE ASOF JOIN,
+    so the union-tag implementation is verified against an independent
+    first-class one.  Equal-timestamp clicks resolve to max event_id on
+    both engines; value carried as exact cents."""
+    from pynomaly_spark.asof import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+        suffix="_click",
+    )
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        p_us.alias("purchase_us"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("matched_us").alias("click_us"),
+        (p_us - F.col("matched_us")).alias("gap_us"),
+        F.round(F.col("value_click") * 100).cast("long").alias(
+            "click_value_cents"
+        ),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+), r0 AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id, user_id, us, value FROM (
+    SELECT r0.*, row_number() OVER (
+      PARTITION BY user_id, us ORDER BY event_id DESC) AS rn
+    FROM r0
+  ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, l.us AS purchase_us,
+       r.event_id AS click_event_id, r.us AS click_us,
+       l.us - r.us AS gap_us,
+       CAST(round(r.value * 100) AS BIGINT) AS click_value_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+"""
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     verified MinHash-LSH near-dup pairs (A~B plus B~C collapse into one
@@ -1741,6 +1802,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii": q_doc_pii,
     "events_sessions": q_events_sessions,
     "events_props": q_events_props,
+    "events_asof": q_events_asof,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1778,6 +1840,7 @@ ORACLES: Dict[str, str] = {
     "doc_pii": _pii_sql(),
     "events_sessions": _sessions_sql(),
     "events_props": SQL_EVENTS_PROPS,
+    "events_asof": SQL_EVENTS_ASOF,
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full

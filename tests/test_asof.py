@@ -1,0 +1,104 @@
+"""As-of join operator (union-tag window implementation)."""
+
+import datetime as dt
+
+import pytest
+
+from pynomaly_spark.asof import asof_join
+
+
+def _t(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _t(10)), (2, 7, _t(20)), (3, 8, _t(5)), (4, None, _t(9))],
+        "id long, u long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 7, _t(10), 1.0),
+            (103, 7, _t(10), 9.0),   # same instant as 100: max id wins
+            (101, 7, _t(15), 2.0),
+            (102, 9, _t(1), 3.0),    # other key: never visible to u=7/8
+        ],
+        "rid long, u long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def _by_id(df):
+    return {r["id"]: r for r in df.collect()}
+
+
+class TestAsofJoin:
+    def test_inclusive_backward_match(self, frames):
+        left, right = frames
+        out = _by_id(
+            asof_join(
+                left, right, on=["u"], payload_cols=["rid", "v"],
+                right_tiebreak="rid",
+            )
+        )
+        # equal-instant rows match inclusively; tiebreak picks rid=103
+        assert (out[1]["rid_r"], out[1]["v_r"]) == (103, 9.0)
+        # latest preceding, not merely any preceding
+        assert out[2]["rid_r"] == 101
+        # key with no right rows, and a NULL key: no match
+        assert out[3]["rid_r"] is None
+        assert out[4]["rid_r"] is None
+
+    def test_strict_excludes_equal_instant(self, frames):
+        left, right = frames
+        out = _by_id(
+            asof_join(left, right, on=["u"], payload_cols=["rid"], strict=True)
+        )
+        assert out[1]["rid_r"] is None
+        assert out[2]["rid_r"] == 101
+
+    def test_tolerance_window(self, frames):
+        left, right = frames
+        out = _by_id(
+            asof_join(
+                left, right, on=["u"], payload_cols=["rid"],
+                tolerance_us=4_000_000, right_tiebreak="rid",
+            )
+        )
+        assert out[1]["rid_r"] == 103      # gap 0 <= 4s
+        assert out[2]["rid_r"] is None     # gap 5s > 4s
+
+    def test_payload_from_single_row_despite_nulls(self, spark):
+        # a newer right row with a null payload field must not let an
+        # older row's value bleed through (struct transport, not
+        # per-column last(ignorenulls))
+        left = spark.createDataFrame([(1, 7, _t(30))], "id long, u long, ts timestamp")
+        right = spark.createDataFrame(
+            [(100, 7, _t(10), 5.0), (101, 7, _t(20), None)],
+            "rid long, u long, ts timestamp, v double",
+        )
+        row = asof_join(left, right, on=["u"], payload_cols=["rid", "v"]).first()
+        assert row["rid_r"] == 101 and row["v_r"] is None
+
+    def test_partition_invariance(self, frames):
+        left, right = frames
+        a = asof_join(left, right, on=["u"], payload_cols=["rid"], right_tiebreak="rid")
+        b = asof_join(
+            left.repartition(5), right.repartition(3),
+            on=["u"], payload_cols=["rid"], right_tiebreak="rid",
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_single_shuffle_no_range_join(self, frames):
+        # the 100-TB contract: plan must be union -> one exchange ->
+        # window, never a nested-loop or inequality join
+        left, right = frames
+        plan = asof_join(left, right, on=["u"], payload_cols=["rid"])._jdf\
+            .queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_bad_tolerance_raises(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError):
+            asof_join(left, right, on=["u"], tolerance_us=-1)
