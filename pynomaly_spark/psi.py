@@ -1,0 +1,101 @@
+"""Population Stability Index — the lightweight distribution-drift check.
+
+Complements the LoOP kernel (drift.py): where LoOP scores individual
+rows, PSI scores whole partitions — "has this partition's value
+distribution shifted against the corpus baseline?"  The standard gate
+in feature/data-quality monitoring (PSI < 0.1 stable, 0.1-0.25 drifting,
+> 0.25 shifted).
+
+Plan shape (the 100-TB story): the per-partition histogram is ONE
+``groupBy(partition)`` pass of ``n_bins`` conditional sums packed into an
+array column — map-side partial aggregation, no bin spine, no join that
+could trip on null partition keys.  The global baseline histogram is the
+same aggregate without keys (one row, broadcast by the cross join), and
+the PSI fold is a ``zip_with`` + ``aggregate`` over two 16-slot arrays —
+all JVM expressions, zero Python.
+
+Definition: with additive smoothing ``eps`` per bin (so empty bins never
+divide by zero and both engines share the exact formula),
+
+    p_i = (c_i + eps) / (n + eps * B)        (partition)
+    q_i = (g_i + eps) / (N + eps * B)        (baseline)
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+__all__ = ["histogram_psi"]
+
+
+def _bin(x: Column, n_bins: int, bin_width: float) -> Column:
+    return F.greatest(
+        F.lit(0),
+        F.least(F.lit(n_bins - 1), F.floor(x / F.lit(bin_width)).cast("int")),
+    )
+
+
+def histogram_psi(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    n_bins: int = 16,
+    bin_width: float = 40.0,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Per-partition PSI of ``value_col``'s histogram vs the global
+    (all-partitions) baseline.  Nulls in ``value_col`` are excluded;
+    values outside ``[0, n_bins * bin_width)`` clamp into the edge bins.
+
+    Returns ``(partition_col, n_rows, psi)`` — psi rounded to 6 dp.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if bin_width <= 0 or eps <= 0:
+        raise ValueError("bin_width and eps must be > 0")
+
+    x = F.col(value_col).cast("double")
+    obs = df.filter(x.isNotNull()).select(
+        F.col(partition_col), _bin(x, n_bins, bin_width).alias("_bin")
+    )
+    hist_cols = [
+        F.sum(F.when(F.col("_bin") == i, 1).otherwise(0)).cast("double").alias(f"_h{i}")
+        for i in range(n_bins)
+    ]
+    part_h = obs.groupBy(partition_col).agg(*hist_cols)
+    glob_h = obs.agg(*hist_cols)
+
+    arr = F.array(*[F.col(f"_h{i}") for i in range(n_bins)])
+    part = part_h.select(
+        partition_col,
+        arr.alias("_p"),
+        F.aggregate(arr, F.lit(0.0), lambda a, c: a + c).alias("_n"),
+    )
+    glob = glob_h.select(
+        arr.alias("_q"),
+        F.aggregate(arr, F.lit(0.0), lambda a, c: a + c).alias("_gn"),
+    )
+
+    joined = part.crossJoin(F.broadcast(glob))
+    b = float(n_bins)
+    terms = F.zip_with(
+        F.col("_p"),
+        F.col("_q"),
+        lambda c, g: (
+            (c + F.lit(eps)) / (F.col("_n") + F.lit(eps) * F.lit(b))
+            - (g + F.lit(eps)) / (F.col("_gn") + F.lit(eps) * F.lit(b))
+        )
+        * F.log(
+            ((c + F.lit(eps)) / (F.col("_n") + F.lit(eps) * F.lit(b)))
+            / ((g + F.lit(eps)) / (F.col("_gn") + F.lit(eps) * F.lit(b)))
+        ),
+    )
+    return joined.select(
+        partition_col,
+        F.col("_n").cast("long").alias("n_rows"),
+        F.round(
+            F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6
+        ).alias("psi"),
+    )

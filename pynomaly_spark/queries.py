@@ -1714,6 +1714,66 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
 """
 
 
+_PSI_BINS, _PSI_WIDTH, _PSI_EPS = 16, 40.0, 0.5
+
+
+def q_doc_psi_drift(spark, sf_dir):
+    """Population Stability Index (``psi.histogram_psi``): each lang's
+    text-length histogram vs the corpus baseline — the partition-level
+    distribution-drift gate beside the row-level LoOP kernel.  One
+    groupBy pass of 16 conditional sums per partition, baseline
+    broadcast, zip_with/aggregate fold; all JVM."""
+    from pynomaly_spark.psi import histogram_psi
+
+    d = _doc(spark, sf_dir).select(
+        "lang", F.length("text").alias("text_len")
+    )
+    return histogram_psi(
+        d, "text_len", "lang",
+        n_bins=_PSI_BINS, bin_width=_PSI_WIDTH, eps=_PSI_EPS,
+    )
+
+
+def _psi_sql(n_bins: int = _PSI_BINS, width: float = _PSI_WIDTH,
+             eps: float = _PSI_EPS) -> str:
+    # identical smoothing formula, identical fold inputs; only the 16-term
+    # sum order differs (1e-15 class, invisible at 6 dp)
+    return f"""
+WITH obs AS (
+  SELECT lang,
+         greatest(0, least({n_bins - 1},
+           CAST(floor(CAST(length(text) AS DOUBLE) / {width}) AS INT))) AS bin
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT lang, bin, CAST(count(*) AS DOUBLE) AS c FROM obs GROUP BY lang, bin
+), spine AS (
+  SELECT l.lang, b.bin
+  FROM (SELECT DISTINCT lang FROM obs) l
+  CROSS JOIN (SELECT unnest(range({n_bins})) AS bin) b
+), dense AS (
+  SELECT s.lang, s.bin, COALESCE(p.c, 0.0) AS c
+  FROM spine s LEFT JOIN counts p
+    ON s.lang IS NOT DISTINCT FROM p.lang AND s.bin = p.bin
+), ptot AS (
+  SELECT lang, sum(c) AS n FROM dense GROUP BY lang
+), g AS (
+  SELECT bin, sum(c) AS gc FROM dense GROUP BY bin
+), gtot AS (SELECT sum(c) AS nn FROM dense)
+SELECT d.lang, CAST(ptot.n AS BIGINT) AS n_rows,
+       round(sum(
+         ((d.c + {eps}) / (ptot.n + {eps} * {n_bins})
+          - (g.gc + {eps}) / (gtot.nn + {eps} * {n_bins}))
+         * ln(((d.c + {eps}) / (ptot.n + {eps} * {n_bins}))
+              / ((g.gc + {eps}) / (gtot.nn + {eps} * {n_bins})))
+       ), 6) AS psi
+FROM dense d
+JOIN ptot ON d.lang IS NOT DISTINCT FROM ptot.lang
+JOIN g ON d.bin = g.bin
+CROSS JOIN gtot
+GROUP BY d.lang, ptot.n
+"""
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     verified MinHash-LSH near-dup pairs (A~B plus B~C collapse into one
@@ -1803,6 +1863,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "events_props": q_events_props,
     "events_asof": q_events_asof,
+    "doc_psi_drift": q_doc_psi_drift,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1841,6 +1902,7 @@ ORACLES: Dict[str, str] = {
     "events_sessions": _sessions_sql(),
     "events_props": SQL_EVENTS_PROPS,
     "events_asof": SQL_EVENTS_ASOF,
+    "doc_psi_drift": _psi_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full
