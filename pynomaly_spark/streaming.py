@@ -284,6 +284,50 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_sessions(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap sessionization via Spark's native ``session_window``
+    — the unbounded-stream twin of :func:`pynomaly_spark.sessions.
+    session_stats`.  The state store merges events into open sessions
+    and the watermark closes (and emits) a session once no event can
+    extend it, so state is bounded by the number of OPEN sessions, not
+    by history.
+
+    Boundary semantics differ from the batch operator at measure-zero:
+    ``session_window`` ends a session at ``last_event + gap`` exclusive
+    (an event exactly ``gap`` later starts a new session), while the
+    batch lag sessionizer splits only when the silence STRICTLY exceeds
+    the gap.  Continuous timestamps never hit the boundary; the batch
+    operator remains the exactness oracle over landed data.
+    """
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), key_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def score_stream(
     stream_df: DataFrame,
     snapshot_path: str,

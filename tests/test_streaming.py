@@ -246,3 +246,53 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert sorted(texts) == ["another text", "the same viral text", "unique text"]
     assert got.content.isna().sum() == 2  # nulls all kept
     assert len(got) == 5
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """session_window sessionization over the replayed events stream:
+    every session the watermark closes must agree exactly (count, start,
+    cents total) with the batch lag-based sessionizer."""
+    from pynomaly_spark.sessions import session_stats
+    from pynomaly_spark.streaming import streaming_sessions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "stream_in")
+    ev.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = streaming_sessions(stream, gap="24 hours", watermark="1 hour")
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            "n_events",
+            "value_cents",
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    batch = (
+        session_stats(ev, gap_minutes=24 * 60, value_col="value")
+        .select("user_id", "start_us", "n_events", "value_cents")
+        .toPandas()
+    )
+    merged = got.merge(
+        batch, on=["user_id", "start_us"], suffixes=("_s", "_b")
+    )
+    # append mode only withholds sessions still open at the trailing
+    # watermark; everything emitted must match the batch oracle exactly
+    assert len(merged) == len(got)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.value_cents_s == merged.value_cents_b).all()
