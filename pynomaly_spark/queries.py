@@ -1774,6 +1774,122 @@ GROUP BY d.lang, ptot.n
 """
 
 
+def q_lineitem_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP totals (§2.5 grouping-sets surface): revenue
+    by (returnflag, linestatus), per-flag subtotals, and the grand total
+    in one pass — Catalyst expands the grouping sets into a single
+    shuffle; ``grouping_id`` disambiguates rolled-up nulls from data
+    nulls on both engines.  Money in exact integer cents."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        li.withColumn("_cents", cents)
+        .withColumn("_qty", qty)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_cents").alias("revenue_cents"),
+            F.sum("_qty").alias("qty_centi"),
+        )
+    )
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_centi
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_doc_tfidf_terms(spark, sf_dir):
+    """TF-IDF top-5 terms per language — corpus keyword extraction on
+    the SHARED tokenizer (``textops._TOKEN_SPLIT``, imported by the twin
+    generator).  Two keyed aggs (term-frequency by lang, doc-frequency
+    global), a term-keyed join, broadcast doc total, and a per-lang
+    window top-k; rank on the 6-dp-rounded score with a term tiebreak so
+    last-ulp ln() divergence can't flip rows across engines."""
+    from pyspark.sql import Window
+
+    from pynomaly_spark.textops import _TOKEN_SPLIT
+
+    d = _doc(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tot = d.agg(F.count(F.lit(1)).alias("_nd"))
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                _R,
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            "tf",
+            "df",
+            "score",
+        )
+    )
+
+
+def _tfidf_sql() -> str:
+    from .textops import _TOKEN_SPLIT
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS term
+  FROM d
+), tok3 AS (
+  SELECT * FROM tok WHERE length(term) >= 3
+), tf AS (
+  SELECT lang, term, count(*) AS tf FROM tok3 GROUP BY lang, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok3 GROUP BY term
+), nd AS (
+  SELECT count(*) AS n FROM d
+), scored AS (
+  SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((nd.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT lang, rnk, term, tf, df, score FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY lang ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     verified MinHash-LSH near-dup pairs (A~B plus B~C collapse into one
@@ -1864,6 +1980,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props": q_events_props,
     "events_asof": q_events_asof,
     "doc_psi_drift": q_doc_psi_drift,
+    "lineitem_rollup": q_lineitem_rollup,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1903,6 +2021,8 @@ ORACLES: Dict[str, str] = {
     "events_props": SQL_EVENTS_PROPS,
     "events_asof": SQL_EVENTS_ASOF,
     "doc_psi_drift": _psi_sql(),
+    "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+    "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full
