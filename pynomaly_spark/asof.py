@@ -22,8 +22,9 @@ join keys never match (SQL equality semantics — Spark windows would
 otherwise group them).
 
 Semantics: inclusive (``left.ts >= right.ts``) by default, ``strict=True``
-for ``>``; optional ``tolerance_us`` nulls out matches older than the
-window (pandas ``merge_asof`` parity).
+for ``>``; ``direction="forward"`` flips to the NEAREST FOLLOWING right
+row (same plan, descending window order); optional ``tolerance_us``
+nulls out matches outside the window (pandas ``merge_asof`` parity).
 """
 
 from __future__ import annotations
@@ -47,14 +48,18 @@ def asof_join(
     tolerance_us: Optional[int] = None,
     right_tiebreak: Optional[str] = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left table plus, per row, the payload of the latest right row at
-    or before (``strict``: strictly before) its timestamp.
+    or before (``strict``: strictly before) its timestamp —
+    ``direction="forward"``: the earliest right row at or after it.
 
     Output = every ``left`` column, plus ``matched_us`` (the matched
     right row's integer-µs timestamp) and ``<payload>{suffix}`` for each
     payload column — all null when nothing qualifies.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_ts_col = right_ts_col or ts_col
     if payload_cols is None:
@@ -104,9 +109,16 @@ def asof_join(
     )
     r = r.withColumn("_asof_row", F.lit(None).cast(l.schema["_asof_row"].dataType))
 
+    # forward = the same running-last scan over DESCENDING time: the
+    # last qualifying row in that order is the earliest at-or-after one
+    ts_order = (
+        F.col("_asof_us").desc()
+        if direction == "forward"
+        else F.col("_asof_us").asc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_asof_us", "_asof_ord", "_asof_tb")
+        .orderBy(ts_order, "_asof_ord", "_asof_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_asof_pay", ignorenulls=True).over(w)
@@ -117,10 +129,12 @@ def asof_join(
         key_ok = key_ok & F.col(k).isNotNull()
     matched = F.when(key_ok, matched)
     if tolerance_us is not None:
-        matched = F.when(
-            (F.col("_asof_us") - matched["matched_us"]) <= F.lit(tolerance_us),
-            matched,
+        gap = (
+            matched["matched_us"] - F.col("_asof_us")
+            if direction == "forward"
+            else F.col("_asof_us") - matched["matched_us"]
         )
+        matched = F.when(gap <= F.lit(tolerance_us), matched)
 
     out = (
         l.unionByName(r)

@@ -1714,6 +1714,65 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
 """
 
 
+def q_events_asof_fwd(spark, sf_dir):
+    """Forward as-of join: each signup aligned to the user's EARLIEST
+    purchase at-or-after it (time-to-conversion) — same one-shuffle
+    window plan as the backward direction, descending time order."""
+    from pynomaly_spark.asof import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+        suffix="_buy",
+        direction="forward",
+    )
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        s_us.alias("signup_us"),
+        F.col("event_id_buy").alias("purchase_event_id"),
+        F.col("matched_us").alias("purchase_us"),
+        (F.col("matched_us") - s_us).alias("wait_us"),
+        F.round(F.col("value_buy") * 100).cast("long").alias(
+            "purchase_value_cents"
+        ),
+    )
+
+
+SQL_EVENTS_ASOF_FWD = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'signup'
+), r0 AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id, user_id, us, value FROM (
+    SELECT r0.*, row_number() OVER (
+      PARTITION BY user_id, us ORDER BY event_id DESC) AS rn
+    FROM r0
+  ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, l.us AS signup_us,
+       r.event_id AS purchase_event_id, r.us AS purchase_us,
+       r.us - l.us AS wait_us,
+       CAST(round(r.value * 100) AS BIGINT) AS purchase_value_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us <= r.us
+"""
+
+
 _PSI_BINS, _PSI_WIDTH, _PSI_EPS = 16, 40.0, 0.5
 
 
@@ -1979,6 +2038,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "events_props": q_events_props,
     "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
     "doc_psi_drift": q_doc_psi_drift,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
@@ -2020,6 +2080,7 @@ ORACLES: Dict[str, str] = {
     "events_sessions": _sessions_sql(),
     "events_props": SQL_EVENTS_PROPS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "doc_psi_drift": _psi_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),

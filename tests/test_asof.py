@@ -98,6 +98,43 @@ class TestAsofJoin:
             .queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
+    def test_forward_direction(self, frames):
+        left, right = frames
+        out = _by_id(
+            asof_join(
+                left, right, on=["u"], payload_cols=["rid"],
+                direction="forward", right_tiebreak="rid",
+            )
+        )
+        # earliest at-or-after; equal instant matches inclusively (max rid)
+        assert out[1]["rid_r"] == 103
+        # id=2 at t=20 has no later click for u=7
+        assert out[2]["rid_r"] is None
+        assert out[3]["rid_r"] is None and out[4]["rid_r"] is None
+
+    def test_forward_strict_and_tolerance(self, frames):
+        left, right = frames
+        strict = _by_id(
+            asof_join(
+                left, right, on=["u"], payload_cols=["rid"],
+                direction="forward", strict=True, right_tiebreak="rid",
+            )
+        )
+        assert strict[1]["rid_r"] == 101  # skips the equal instant, takes t=15
+        tol = _by_id(
+            asof_join(
+                left, right, on=["u"], payload_cols=["rid"],
+                direction="forward", strict=True, tolerance_us=3_000_000,
+                right_tiebreak="rid",
+            )
+        )
+        assert tol[1]["rid_r"] is None    # 5s ahead > 3s window
+
+    def test_bad_direction_raises(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError):
+            asof_join(left, right, on=["u"], direction="nearest")
+
     def test_bad_tolerance_raises(self, frames):
         left, right = frames
         with pytest.raises(ValueError):
