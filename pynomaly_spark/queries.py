@@ -1833,6 +1833,168 @@ GROUP BY d.lang, ptot.n
 """
 
 
+def q_emb_quantize(spark, sf_dir):
+    """int8 scalar quantization quality (``similarity.scalar_quantize``):
+    per-label mean max-reconstruction-error and cosine preservation of
+    the 256-level per-vector min/max codes — the 4x memory cut an ANN
+    store takes at corpus scale, with the geometry loss it costs.  All
+    JVM higher-order functions; per-row metrics rounded to 6 dp before
+    the group mean so cross-engine fold order cannot bleed into the
+    hash."""
+    from pynomaly_spark.similarity import scalar_quantize
+
+    emb = _tbl(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q = scalar_quantize(emb, "embedding", levels=256)
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.round("qerr_max", 6)), 6).alias("avg_qerr"),
+        F.round(F.avg(F.round("cos_keep", 6)), 6).alias("avg_cos"),
+    )
+
+
+_EMB_QUANT_SQL = """
+WITH b AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+), m AS (
+  SELECT label, e,
+         list_aggregate(e, 'min') AS vmin,
+         CASE WHEN list_aggregate(e, 'max') = list_aggregate(e, 'min') THEN 1.0
+              ELSE (list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255.0
+         END AS sc
+  FROM b
+), q AS (
+  SELECT label, e,
+         list_transform(e, x ->
+           vmin + greatest(0.0, least(255.0, floor((x - vmin) / sc + 0.5))) * sc) AS d
+  FROM m
+), s AS (
+  SELECT label,
+    list_aggregate(list_transform(range(1, len(e)+1), i -> abs(e[i] - d[i])), 'max') AS qerr,
+    list_aggregate(list_transform(range(1, len(e)+1), i -> e[i] * d[i]), 'sum') AS dot,
+    list_aggregate(list_transform(e, x -> x*x), 'sum') AS n1,
+    list_aggregate(list_transform(d, x -> x*x), 'sum') AS n2
+  FROM q
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(round(qerr, 6)), 6) AS avg_qerr,
+       round(avg(round(CASE WHEN n1 * n2 = 0 THEN 1.0
+                            ELSE dot / (sqrt(n1) * sqrt(n2)) END, 6)), 6) AS avg_cos
+FROM s GROUP BY label
+"""
+
+
+_TEMP_ALPHA = 0.3
+
+
+def q_doc_temp_resample(spark, sf_dir):
+    """Temperature corpus rebalancing (``sampling.temperature_resample``):
+    per-lang keep-rates from the p^alpha scheme (alpha=0.3, the mT5
+    setting) and the rows actually kept at those rates via the md5-prefix
+    device.  Head langs downsample, tail langs keep everything; the whole
+    rate relation is one broadcast row per lang, and the keep predicate
+    is a map-side string comparison."""
+    from pynomaly_spark.sampling import temperature_rates, temperature_resample
+
+    docs = _doc(spark, sf_dir)
+    rates = temperature_rates(docs, "lang", alpha=_TEMP_ALPHA)
+    kept = (
+        temperature_resample(docs, "lang", alpha=_TEMP_ALPHA)
+        .groupBy(F.col("lang").alias("_kl"))
+        .agg(F.count(F.lit(1)).alias("_nk"))
+    )
+    return rates.join(
+        kept, F.col("lang").eqNullSafe(F.col("_kl")), "left"
+    ).select(
+        "lang",
+        "n_rows",
+        "rate",
+        F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def _temp_resample_sql(alpha: float = _TEMP_ALPHA) -> str:
+    # same double pipeline: count/total -> pow -> normalize -> clamp ->
+    # round 6dp; the per-row keep compares an md5 hex prefix against the
+    # group's floor(rate * 2^32) threshold rendered as 8-hex
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS tn FROM c
+), p AS (
+  SELECT c.lang, c.n_rows, pow(c.n_rows / t.tn, {alpha}) AS pa, t.tn
+  FROM c CROSS JOIN t
+), z AS (
+  SELECT sum(pa) AS zz FROM p
+), r AS (
+  SELECT p.lang, p.n_rows,
+         round(least(1.0, (p.pa / z.zz) * p.tn / p.n_rows), 6) AS rate
+  FROM p CROSS JOIN z
+)
+SELECT r.lang, r.n_rows, r.rate,
+       CAST(coalesce(sum(
+         CASE WHEN r.rate >= 1.0 THEN
+                CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN documents d ON r.lang IS NOT DISTINCT FROM d.lang
+GROUP BY r.lang, r.n_rows, r.rate
+"""
+
+
+_KS_BINS, _KS_WIDTH = 32, 20.0
+
+
+def q_doc_ks_drift(spark, sf_dir):
+    """Grid Kolmogorov-Smirnov drift (``psi.histogram_ks``): the largest
+    cumulative-distribution gap between each lang's text-length CDF and
+    the pooled corpus CDF, evaluated on a 32-edge grid.  Complements
+    ``doc_psi_drift``: PSI is density-ratio (tail-bin sensitive), KS is
+    sup-norm (location/shape shifts).  One groupBy pass of conditional
+    cumulative counts — the CDF falls out of the aggregate, no sort, no
+    spine; baseline broadcast; all JVM."""
+    from pynomaly_spark.psi import histogram_ks
+
+    d = _doc(spark, sf_dir).select(
+        "lang", F.length("text").alias("text_len")
+    )
+    return histogram_ks(d, "text_len", "lang", n_bins=_KS_BINS, bin_width=_KS_WIDTH)
+
+
+def _ks_sql(n_bins: int = _KS_BINS, width: float = _KS_WIDTH) -> str:
+    # bit-identical arithmetic: integer cumulative counts, one IEEE
+    # division per edge, variadic greatest for the sup-norm — nothing
+    # reassociates, so 6-dp rounding is pure formality
+    last = n_bins - 1
+    cum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bin <= {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
+        for i in range(n_bins)
+    )
+    diffs = ", ".join(
+        f"abs(p.c{i} / p.c{last} - g.c{i} / g.c{last})" for i in range(n_bins)
+    )
+    return f"""
+WITH obs AS (
+  SELECT lang,
+         greatest(0, least({last},
+           CAST(floor(CAST(length(text) AS DOUBLE) / {width}) AS INT))) AS bin
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT lang,
+         {cum}
+  FROM obs GROUP BY lang
+), g AS (
+  SELECT {cum}
+  FROM obs
+)
+SELECT p.lang, CAST(p.c{last} AS BIGINT) AS n_rows,
+       round(greatest({diffs}), 6) AS ks
+FROM p CROSS JOIN g
+"""
+
+
 def q_lineitem_rollup(spark, sf_dir):
     """Hierarchical ROLLUP totals (§2.5 grouping-sets surface): revenue
     by (returnflag, linestatus), per-flag subtotals, and the grand total
@@ -2040,6 +2202,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "doc_psi_drift": q_doc_psi_drift,
+    "doc_ks_drift": q_doc_ks_drift,
+    "doc_temp_resample": q_doc_temp_resample,
+    "emb_quantize": q_emb_quantize,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2082,6 +2247,9 @@ ORACLES: Dict[str, str] = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "doc_psi_drift": _psi_sql(),
+    "doc_ks_drift": _ks_sql(),
+    "doc_temp_resample": _temp_resample_sql(),
+    "emb_quantize": _EMB_QUANT_SQL,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

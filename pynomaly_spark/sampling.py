@@ -45,6 +45,8 @@ __all__ = [
     "sample_key",
     "deterministic_sample",
     "group_cap",
+    "temperature_rates",
+    "temperature_resample",
 ]
 
 _HASH_SPACE = float(1 << 32)
@@ -143,3 +145,93 @@ def group_cap(
     good = survivors.join(F.broadcast(lacking), null_safe_lk, "left_anti")
     retry = keyed.join(F.broadcast(lacking), null_safe_lk, "left_semi")
     return ranked(good).unionByName(ranked(retry))
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Per-group keep-rates for temperature resampling: sample groups in
+    proportion to ``p_g^alpha`` (renormalized), the standard multilingual
+    corpus-rebalancing scheme (alpha=1 keeps the natural distribution,
+    alpha->0 approaches uniform over groups).  With ``n_g`` rows in group
+    ``g`` out of ``N`` total and a target corpus size ``K`` (default
+    ``N``),
+
+        q_g  = (n_g/N)^alpha / sum_m (n_m/N)^alpha
+        rate = min(1, q_g * K / n_g)            (rounded to 6 dp)
+
+    so head groups are downsampled while tail groups keep everything
+    (clamp at 1 — hash sampling cannot upsample).
+
+    Plan shape: one ``groupBy`` count over the corpus; everything after
+    runs on the tiny per-group relation (two scalar aggregates folded in
+    via broadcast cross joins).  Returns ``(group_col, n_rows, rate)``.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if target_total is not None and target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").cast("double").alias("_tn"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_pa", F.pow(F.col("n_rows") / F.col("_tn"), F.lit(float(alpha)))
+    )
+    z = powed.agg(F.sum("_pa").alias("_z"))
+    k = F.lit(float(target_total)) if target_total is not None else F.col("_tn")
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            "n_rows",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_pa") / F.col("_z")) * k / F.col("n_rows"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    target_total: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter ``df`` to a reproducible temperature-rebalanced sample:
+    each group keeps its rows whose md5 prefix falls under that group's
+    :func:`temperature_rates` threshold — the same hash-prefix device as
+    :func:`deterministic_sample`, with a per-group rate.  Rows with a
+    NULL id are dropped (ids are expected non-null); a NULL group value
+    is a legitimate group and is rate-joined null-safely.
+
+    Scale: the rate relation is one row per group (broadcast); the
+    filter itself is a map-side string comparison — no shuffle of the
+    corpus beyond the one counting aggregate.
+    """
+    rates = temperature_rates(df, group_col, alpha, target_total).select(
+        F.col(group_col).alias("_rg"), F.col("rate").alias("_rate")
+    )
+    # floor(rate * 2^32) rendered as the 8-hex threshold; rate >= 1
+    # (after 6-dp rounding) keeps the whole group — the 9-hex-char
+    # threshold would lexicographically exclude almost everything
+    thresh = F.lower(
+        F.lpad(F.hex(F.floor(F.col("_rate") * F.lit(_HASH_SPACE))), 8, "0")
+    )
+    keep = F.when(
+        F.col("_rate") >= 1.0, F.col(id_col).isNotNull()
+    ).otherwise(F.substring(sample_key(id_col), 1, 8) < thresh)
+    return (
+        df.join(
+            F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_rg")), "left"
+        )
+        .where(keep)
+        .select(*df.columns)
+    )

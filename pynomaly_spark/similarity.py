@@ -29,7 +29,13 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "rp_lsh_topk", "ivf_topk", "two_phase_topk"]
+__all__ = [
+    "cosine_topk",
+    "rp_lsh_topk",
+    "ivf_topk",
+    "two_phase_topk",
+    "scalar_quantize",
+]
 
 
 def two_phase_topk(
@@ -148,6 +154,72 @@ def cosine_topk(
         _rank_order(rank_round),
         k,
         phase1=phase1,
+    )
+
+
+def scalar_quantize(
+    df, vec_col: str = "embedding", levels: int = 256
+) -> "DataFrame":
+    """Per-vector min/max scalar quantization — the standard 4x memory
+    cut for embedding stores feeding ANN at corpus scale (float32 ->
+    uint8 codes + two floats per vector).  Appends to each row:
+
+    * ``codes``      — ``array<bigint>`` in ``[0, levels-1]``
+    * ``dequant``    — the reconstruction ``vmin + code * scale``
+    * ``qerr_max``   — max absolute reconstruction error (bounded by
+      ``scale / 2`` by construction)
+    * ``cos_keep``   — cosine between the original and reconstructed
+      vector (how much ANN geometry the codes preserve)
+
+    All JVM higher-order functions; ``vmin`` / ``scale`` are
+    MATERIALIZED columns before any lambda references them (an inline
+    ``array_min`` inside ``transform`` would be re-evaluated per
+    element).  The rounding is ``floor(z + 0.5)`` — identical halfway
+    semantics on any engine, unlike round().  An all-equal vector gets
+    ``scale = 1`` so its codes are all zero and the reconstruction is
+    exact; a zero-norm vector reports ``cos_keep = 1.0`` (exact
+    reconstruction of nothing lost).
+    """
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    top = float(levels - 1)
+    keep = list(df.columns)
+    d = df.withColumn(
+        "_e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).withColumn("_vmin", F.array_min("_e")).withColumn(
+        "_scale",
+        F.when(
+            F.array_max("_e") == F.col("_vmin"), F.lit(1.0)
+        ).otherwise((F.array_max("_e") - F.col("_vmin")) / F.lit(top)),
+    )
+    d = d.withColumn(
+        "codes",
+        F.transform(
+            "_e",
+            lambda x: F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(int(top)).cast("long"),
+                    F.floor((x - F.col("_vmin")) / F.col("_scale") + F.lit(0.5)),
+                ),
+            ),
+        ),
+    ).withColumn(
+        "dequant",
+        F.transform(
+            "codes", lambda c: F.col("_vmin") + c.cast("double") * F.col("_scale")
+        ),
+    )
+    qerr = F.array_max(F.zip_with("_e", "dequant", lambda a, b: F.abs(a - b)))
+    dot = _dot("_e", "dequant")
+    nn = _norm("_e") * _norm("dequant")
+    cos = F.when(nn == 0.0, F.lit(1.0)).otherwise(dot / nn)
+    return d.select(
+        *keep,
+        "codes",
+        "dequant",
+        qerr.alias("qerr_max"),
+        cos.alias("cos_keep"),
     )
 
 

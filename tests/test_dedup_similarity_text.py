@@ -890,3 +890,48 @@ def test_corrupt_qoi_y4m_isolate_as_error_rows(spark):
     assert out.loc[0, "decoder"] == "qoi"
     assert out.loc[1, "decoder"] == "error"
     assert out.loc[2, "decoder"] == "error"
+
+
+def test_scalar_quantize_reconstruction_and_geometry(spark):
+    # numpy golden: per-vector min/max 256-level codes; error bounded by
+    # scale/2, cosine preserved to ~1e-5 on smooth vectors
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(size=16).astype(np.float32) for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.scalar_quantize(df, "embedding").collect()}
+    for i, v in enumerate(vecs):
+        v = v.astype(np.float64)
+        vmin, vmax = v.min(), v.max()
+        sc = 1.0 if vmax == vmin else (vmax - vmin) / 255.0
+        codes = np.clip(np.floor((v - vmin) / sc + 0.5), 0, 255)
+        deq = vmin + codes * sc
+        r = out[i]
+        assert r["codes"] == [int(c) for c in codes]
+        assert r["qerr_max"] == pytest.approx(float(np.max(np.abs(v - deq))), abs=1e-12)
+        assert r["qerr_max"] <= sc / 2 + 1e-12
+        expect_cos = float(
+            np.dot(v, deq) / (np.linalg.norm(v) * np.linalg.norm(deq))
+        )
+        assert r["cos_keep"] == pytest.approx(expect_cos, abs=1e-9)
+        assert r["cos_keep"] > 0.9999
+
+
+def test_scalar_quantize_degenerate_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [3.5, 3.5, 3.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.scalar_quantize(df, "embedding").collect()}
+    # all-equal: scale guard 1.0 -> codes all zero, exact reconstruction
+    assert out[1]["codes"] == [0, 0, 0]
+    assert out[1]["dequant"] == [3.5, 3.5, 3.5]
+    assert out[1]["qerr_max"] == 0.0 and out[1]["cos_keep"] == 1.0
+    # zero vector: zero norms -> cos_keep defined as 1.0
+    assert out[2]["qerr_max"] == 0.0 and out[2]["cos_keep"] == 1.0
+    with pytest.raises(ValueError):
+        similarity.scalar_quantize(df, "embedding", levels=1)

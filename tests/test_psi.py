@@ -1,11 +1,11 @@
-"""Population Stability Index drift check."""
+"""Population Stability Index + grid Kolmogorov-Smirnov drift checks."""
 
 import math
 
 import numpy as np
 import pytest
 
-from pynomaly_spark.psi import histogram_psi
+from pynomaly_spark.psi import histogram_ks, histogram_psi
 
 
 def _psi_numpy(vals, all_vals, n_bins, width, eps):
@@ -85,3 +85,72 @@ class TestHistogramPsi:
             histogram_psi(df, "x", "part", bin_width=0)
         with pytest.raises(ValueError):
             histogram_psi(df, "x", "part", eps=0)
+
+
+def _ks_numpy(vals, all_vals, n_bins, width):
+    def cdf(v):
+        b = np.clip(np.floor(np.asarray(v, float) / width).astype(int), 0, n_bins - 1)
+        h = np.bincount(b, minlength=n_bins).astype(float)
+        return np.cumsum(h) / len(v)
+
+    return float(np.max(np.abs(cdf(vals) - cdf(all_vals))))
+
+
+class TestHistogramKs:
+    def test_matches_numpy_reference(self, df):
+        out = {
+            r["part"]: r
+            for r in histogram_ks(df, "x", "part", n_bins=8, bin_width=20.0).collect()
+        }
+        a = [5, 15, 25, 95, 105]
+        b = [5, 5, 5, 15]
+        n = [35.0]
+        every = a + b + n
+        for key, vals, count in [("a", a, 5), ("b", b, 4), (None, n, 1)]:
+            assert out[key]["n_rows"] == count
+            expect = _ks_numpy(vals, every, 8, 20.0)
+            assert out[key]["ks"] == pytest.approx(round(expect, 6), abs=1e-9)
+
+    def test_identical_distribution_exactly_zero(self, spark):
+        # two partitions with IDENTICAL value multisets: each partition CDF
+        # equals the pooled CDF bin for bin, so grid-KS is exactly 0 (no
+        # eps smoothing — the divisions cancel exactly)
+        rows = [(p, float(v)) for p in ("a", "b") for v in range(0, 200, 10)]
+        d = spark.createDataFrame(rows, "part string, x double")
+        for r in histogram_ks(d, "x", "part", n_bins=8, bin_width=30.0).collect():
+            assert r["ks"] == 0.0
+
+    def test_disjoint_distributions_near_one(self, spark):
+        # 'shifted' mass lives entirely above 'ref' mass: the cumulative
+        # gap at the boundary is |1 - pooled_half| = 0.5 against the
+        # pooled baseline (which contains both halves)
+        rows = [("ref", float(v)) for v in range(0, 100)] + [
+            ("shifted", float(v) + 300.0) for v in range(0, 100)
+        ]
+        d = spark.createDataFrame(rows, "part string, x double")
+        out = {r["part"]: r["ks"] for r in
+               histogram_ks(d, "x", "part", n_bins=16, bin_width=40.0).collect()}
+        assert out["shifted"] == pytest.approx(0.5, abs=1e-9)
+        assert out["ref"] == pytest.approx(0.5, abs=1e-9)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        d = spark.createDataFrame(
+            [("a", -50.0), ("a", 1e9)], "part string, x double"
+        )
+        row = histogram_ks(d, "x", "part", n_bins=4, bin_width=10.0).first()
+        assert row["n_rows"] == 2 and 0.0 <= row["ks"] <= 1.0
+
+    def test_partition_invariance(self, df):
+        key = lambda r: (r[0] is None, r[0])  # noqa: E731
+        a = sorted(map(tuple, histogram_ks(df, "x", "part").collect()), key=key)
+        b = sorted(
+            map(tuple, histogram_ks(df.repartition(7), "x", "part").collect()),
+            key=key,
+        )
+        assert a == b
+
+    def test_bad_args_raise(self, df):
+        with pytest.raises(ValueError):
+            histogram_ks(df, "x", "part", n_bins=1)
+        with pytest.raises(ValueError):
+            histogram_ks(df, "x", "part", bin_width=0)

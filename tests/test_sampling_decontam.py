@@ -12,7 +12,12 @@ from pynomaly_spark.decontam import (
     eval_ngrams,
     word_ngrams,
 )
-from pynomaly_spark.sampling import deterministic_sample, group_cap
+from pynomaly_spark.sampling import (
+    deterministic_sample,
+    group_cap,
+    temperature_rates,
+    temperature_resample,
+)
 
 
 def _docs(spark, rows):
@@ -311,6 +316,81 @@ def test_group_cap_null_group_is_a_real_group(spark):
     assert naive == fast
     nulls = [r for r in fast if r["source"] is None]
     assert len(nulls) == 5 and {r["rnk"] for r in nulls} == {1, 2, 3, 4, 5}
+
+
+class TestTemperatureResample:
+    def _skewed(self, spark):
+        rows = (
+            [(i, "head") for i in range(1000)]
+            + [(2000 + i, "mid") for i in range(100)]
+            + [(3000 + i, "tail") for i in range(10)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_rates_match_numpy(self, spark):
+        import numpy as np
+
+        df = self._skewed(spark)
+        out = {r["lang"]: r for r in temperature_rates(df, "lang", 0.3).collect()}
+        n = np.array([1000.0, 100.0, 10.0])
+        pa = (n / n.sum()) ** 0.3
+        rate = np.minimum(1.0, (pa / pa.sum()) * n.sum() / n)
+        for lang, nn, rr in zip(("head", "mid", "tail"), n, rate):
+            assert out[lang]["n_rows"] == int(nn)
+            assert out[lang]["rate"] == pytest.approx(round(float(rr), 6), abs=2e-6)
+        # alpha < 1 downsamples the head and keeps the whole tail
+        assert out["head"]["rate"] < 1.0
+        assert out["tail"]["rate"] == 1.0
+
+    def test_resample_flattens_and_reproduces(self, spark):
+        df = self._skewed(spark)
+        kept = temperature_resample(df, "lang", 0.3)
+        counts = {r["lang"]: r["n"] for r in
+                  kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # tail keeps everything; head lands near n*rate (hash-uniform)
+        assert counts["tail"] == 10
+        rate = {r["lang"]: r["rate"] for r in
+                temperature_rates(df, "lang", 0.3).collect()}
+        assert counts["head"] == pytest.approx(1000 * rate["head"], rel=0.25)
+        # head share strictly shrinks vs the natural distribution
+        total = sum(counts.values())
+        assert counts["head"] / total < 1000 / 1110
+        again = {r["lang"]: r["n"] for r in
+                 temperature_resample(df, "lang", 0.3)
+                 .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == again
+
+    def test_alpha_one_keeps_natural_distribution(self, spark):
+        df = self._skewed(spark)
+        for r in temperature_rates(df, "lang", 1.0).collect():
+            assert r["rate"] == 1.0
+        assert temperature_resample(df, "lang", 1.0).count() == 1110
+
+    def test_null_group_is_rated_and_sampled(self, spark):
+        rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        rates = {r["lang"]: r["rate"] for r in
+                 temperature_rates(df, "lang", 0.5).collect()}
+        assert None in rates and rates[None] == 1.0  # equal groups: no downsampling
+        kept = temperature_resample(df, "lang", 0.5)
+        assert kept.where(F.col("lang").isNull()).count() == 50
+
+    def test_target_total_scales_rates(self, spark):
+        df = self._skewed(spark)
+        # asking for a tenth of the corpus must cut every rate (clamped at 1)
+        small = {r["lang"]: r["rate"] for r in
+                 temperature_rates(df, "lang", 0.3, target_total=111).collect()}
+        full = {r["lang"]: r["rate"] for r in
+                temperature_rates(df, "lang", 0.3).collect()}
+        for lang in ("head", "mid"):
+            assert small[lang] < full[lang]
+
+    def test_bad_args_raise(self, spark):
+        df = self._skewed(spark)
+        with pytest.raises(ValueError):
+            temperature_rates(df, "lang", 0.0)
+        with pytest.raises(ValueError):
+            temperature_rates(df, "lang", 0.3, target_total=-1)
 
 
 def test_full_rate_sample_keeps_everything(spark):
