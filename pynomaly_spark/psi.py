@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
-__all__ = ["histogram_psi", "histogram_ks"]
+__all__ = ["histogram_psi", "histogram_ks", "baseline_histogram"]
 
 
 def _bin(x: Column, n_bins: int, bin_width: float) -> Column:
@@ -99,6 +99,37 @@ def histogram_psi(
             F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6
         ).alias("psi"),
     )
+
+
+def baseline_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 16,
+    bin_width: float = 40.0,
+) -> list:
+    """Pooled histogram counts as driver-side floats — the FROZEN
+    baseline a streaming drift monitor scores incoming windows against
+    (mirrors the reference's fit-then-stream split: the model is pinned
+    at fit time, never updated by the stream it judges).  One aggregate
+    row of ``n_bins`` counters — control-plane sized, not row data.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    x = F.col(value_col).cast("double")
+    obs = df.filter(x.isNotNull()).select(
+        _bin(x, n_bins, bin_width).alias("_bin")
+    )
+    row = obs.agg(
+        *[
+            F.sum(F.when(F.col("_bin") == i, 1).otherwise(0))
+            .cast("double")
+            .alias(f"_h{i}")
+            for i in range(n_bins)
+        ]
+    ).first()
+    return [float(row[i] or 0.0) for i in range(n_bins)]
 
 
 def histogram_ks(

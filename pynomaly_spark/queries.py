@@ -1944,6 +1944,75 @@ GROUP BY r.lang, r.n_rows, r.rate
 """
 
 
+_WPSI_BINS, _WPSI_WIDTH = 16, 32.0
+
+
+def q_events_window_psi(spark, sf_dir):
+    """Windowed PSI drift (``streaming.streaming_psi_drift`` in batch
+    mode — the SAME operator the streaming monitor runs): each hourly
+    event window's value histogram scored against the frozen pooled
+    baseline (``psi.baseline_histogram``, one control-plane aggregate
+    row).  The baseline fractions travel as plan literals — no join;
+    per-window state is 16 counters."""
+    from pynomaly_spark.psi import baseline_histogram
+    from pynomaly_spark.streaming import streaming_psi_drift
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    counts = baseline_histogram(
+        ev, "value", n_bins=_WPSI_BINS, bin_width=_WPSI_WIDTH
+    )
+    out = streaming_psi_drift(
+        ev, counts, value_col="value", ts_col="ts",
+        n_bins=_WPSI_BINS, bin_width=_WPSI_WIDTH,
+        window_duration="1 hour", watermark="2 hours",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "n_rows",
+        "psi",
+    )
+
+
+def _window_psi_sql(n_bins: int = _WPSI_BINS, width: float = _WPSI_WIDTH,
+                    eps: float = 0.5) -> str:
+    # the operator's Python-float baseline fractions (g+eps)/(N+eps*B)
+    # are bit-identical to SQL doubles; empty bins contribute via the
+    # dense spine exactly as the literal array does in the fold
+    return f"""
+WITH obs AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         greatest(0, least({n_bins - 1},
+           CAST(floor(CAST(value AS DOUBLE) / {width}) AS INT))) AS bin
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), pc AS (
+  SELECT hour, bin, CAST(count(*) AS DOUBLE) AS c FROM obs GROUP BY hour, bin
+), spine AS (
+  SELECT h.hour, b.bin
+  FROM (SELECT DISTINCT hour FROM obs) h
+  CROSS JOIN (SELECT unnest(range({n_bins})) AS bin) b
+), dense AS (
+  SELECT s.hour, s.bin, COALESCE(pc.c, 0.0) AS c
+  FROM spine s LEFT JOIN pc ON s.hour = pc.hour AND s.bin = pc.bin
+), pt AS (
+  SELECT hour, sum(c) AS n FROM dense GROUP BY hour
+), gb AS (
+  SELECT bin, sum(c) AS gc FROM dense GROUP BY bin
+), gt AS (SELECT sum(c) AS nn FROM dense)
+SELECT d.hour, CAST(pt.n AS BIGINT) AS n_rows,
+       round(sum(
+         ((d.c + {eps}) / (pt.n + {eps} * {n_bins})
+          - (gb.gc + {eps}) / (gt.nn + {eps} * {n_bins}))
+         * ln(((d.c + {eps}) / (pt.n + {eps} * {n_bins}))
+              / ((gb.gc + {eps}) / (gt.nn + {eps} * {n_bins})))
+       ), 6) AS psi
+FROM dense d
+JOIN pt ON d.hour = pt.hour
+JOIN gb ON d.bin = gb.bin
+CROSS JOIN gt
+GROUP BY d.hour, pt.n
+"""
+
+
 _KS_BINS, _KS_WIDTH = 32, 20.0
 
 
@@ -2205,6 +2274,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ks_drift": q_doc_ks_drift,
     "doc_temp_resample": q_doc_temp_resample,
     "emb_quantize": q_emb_quantize,
+    "events_window_psi": q_events_window_psi,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2250,6 +2320,7 @@ ORACLES: Dict[str, str] = {
     "doc_ks_drift": _ks_sql(),
     "doc_temp_resample": _temp_resample_sql(),
     "emb_quantize": _EMB_QUANT_SQL,
+    "events_window_psi": _window_psi_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

@@ -49,6 +49,7 @@ __all__ = [
     "score_stream",
     "running_violation_rate",
     "streaming_exact_dedup",
+    "streaming_psi_drift",
 ]
 
 
@@ -281,6 +282,89 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
+    )
+
+
+def streaming_psi_drift(
+    stream_df: DataFrame,
+    baseline_counts: list,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    n_bins: int = 16,
+    bin_width: float = 40.0,
+    eps: float = 0.5,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window PSI of the live stream against a FROZEN baseline
+    histogram — the unbounded twin of :func:`pynomaly_spark.psi.
+    histogram_psi`, deployed the way drift monitors actually run: the
+    baseline is pinned at fit time (:func:`pynomaly_spark.psi.
+    baseline_histogram` on the training corpus), and each closed event
+    window is scored against it (same smoothing, same fold).  Mirrors
+    the reference's fit-then-stream contract (loop.py ``stream()``
+    scores against frozen fit state; SURVEY.md §3.3).
+
+    State is one ``n_bins``-counter histogram per open (window, key) —
+    bounded by the watermark, independent of stream length.  The PSI
+    fold runs on the aggregate's output row: all JVM expressions, the
+    baseline fractions folded in as literals (no join, no broadcast —
+    they travel inside the plan).
+
+    Returns ``(window_start, window_end[, key_col], n_rows, psi)``;
+    works identically on a batch frame (window agg in batch mode) —
+    the batch-parity test relies on that.
+    """
+    if len(baseline_counts) != n_bins:
+        raise ValueError(
+            f"baseline_counts has {len(baseline_counts)} bins, expected {n_bins}"
+        )
+    if eps <= 0 or bin_width <= 0:
+        raise ValueError("bin_width and eps must be > 0")
+    total = float(sum(baseline_counts))
+    b = float(n_bins)
+    qs = [(g + eps) / (total + eps * b) for g in baseline_counts]
+
+    from .psi import _bin
+
+    x = F.col(value_col).cast("double")
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = [F.window(F.col(ts_col), window_duration).alias("w")] + (
+        [F.col(key_col)] if key_col else []
+    )
+    hist_cols = [
+        F.sum(F.when(_bin(x, n_bins, bin_width) == i, 1).otherwise(0))
+        .cast("double")
+        .alias(f"_h{i}")
+        for i in range(n_bins)
+    ]
+    agg = (
+        src.filter(x.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*hist_cols)
+    )
+    arr = F.array(*[F.col(f"_h{i}") for i in range(n_bins)])
+    n = F.aggregate(arr, F.lit(0.0), lambda a, c: a + c)
+    qarr = F.array(*[F.lit(q) for q in qs])
+    with_n = agg.select(
+        "w", *([key_col] if key_col else []), arr.alias("_p"), n.alias("_n")
+    )
+    p_of = lambda c: (c + F.lit(eps)) / (  # noqa: E731 — shared smoothing
+        F.col("_n") + F.lit(eps) * F.lit(b)
+    )
+    terms = F.zip_with(
+        F.col("_p"), qarr, lambda c, q: (p_of(c) - q) * F.log(p_of(c) / q)
+    )
+    return with_n.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *([key_col] if key_col else []),
+        F.col("_n").cast("long").alias("n_rows"),
+        F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6).alias(
+            "psi"
+        ),
     )
 
 

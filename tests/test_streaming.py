@@ -296,3 +296,89 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert len(merged) == len(got)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.value_cents_s == merged.value_cents_b).all()
+
+
+def test_streaming_psi_drift_frozen_baseline(spark, tmp_path):
+    """Windowed PSI against a FROZEN training baseline: the stable hour
+    scores under the 0.1 'stable' bar, the shifted hour over the 0.25
+    'shifted' bar; streaming output matches the same operator run in
+    batch mode, and batch matches a numpy PSI reference."""
+    import datetime as dt
+
+    import numpy as np
+
+    from pynomaly_spark.psi import baseline_histogram
+    from pynomaly_spark.streaming import streaming_psi_drift
+
+    rng = np.random.default_rng(5)
+    base_vals = rng.uniform(0, 300, 500)
+    train = spark.createDataFrame(
+        [(float(v),) for v in base_vals], "value double"
+    )
+    counts = baseline_histogram(train, "value", n_bins=8, bin_width=40.0)
+    assert sum(counts) == 500.0
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    stable = rng.uniform(0, 300, 400)
+    shifted = stable + 900.0  # clamps into the top bin: hard drift
+    rows = [
+        (t0 + dt.timedelta(seconds=8 * i), float(v))
+        for i, v in enumerate(stable)
+    ] + [
+        (t0 + dt.timedelta(hours=1, seconds=8 * i), float(v))
+        for i, v in enumerate(shifted)
+    ] + [(t0 + dt.timedelta(hours=6), 1.0)]  # sentinel closes both windows
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    in_dir = str(tmp_path / "psi_stream_in")
+    ev.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = streaming_psi_drift(
+        stream, counts, n_bins=8, bin_width=40.0,
+        window_duration="1 hour", watermark="1 hour",
+    )
+    out_dir = str(tmp_path / "psi_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "psi_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["window_start"]: r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert t0 in got and t0 + dt.timedelta(hours=1) in got
+    assert got[t0]["n_rows"] == 400
+    assert abs(got[t0]["psi"]) < 0.1          # same distribution: stable
+    assert got[t0 + dt.timedelta(hours=1)]["psi"] > 0.25  # hard shift
+
+    # batch parity: the identical operator over the landed frame
+    batch = {
+        r["window_start"]: r
+        for r in streaming_psi_drift(
+            ev, counts, n_bins=8, bin_width=40.0,
+            window_duration="1 hour", watermark="1 hour",
+        ).collect()
+    }
+    for w, r in got.items():
+        assert batch[w]["psi"] == r["psi"] and batch[w]["n_rows"] == r["n_rows"]
+
+    # numpy reference for the stable window
+    def np_psi(vals, eps=0.5, b=8, w=40.0):
+        bins = np.clip(np.floor(np.asarray(vals) / w).astype(int), 0, b - 1)
+        c = np.bincount(bins, minlength=b).astype(float)
+        g = np.asarray(counts)
+        p = (c + eps) / (c.sum() + eps * b)
+        qq = (g + eps) / (g.sum() + eps * b)
+        return float(np.sum((p - qq) * np.log(p / qq)))
+
+    assert got[t0]["psi"] == pytest.approx(round(np_psi(stable), 6), abs=2e-6)
+
+    # a bad baseline length must be rejected
+    with pytest.raises(ValueError):
+        streaming_psi_drift(ev, counts, n_bins=16)
