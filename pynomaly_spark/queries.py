@@ -2013,6 +2013,58 @@ GROUP BY d.hour, pt.n
 """
 
 
+_PACK_CAP = 512
+
+
+def q_doc_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (``packing.pack_chunks`` +
+    ``chunk_stats``): each language's documents concatenated into one
+    token stream in doc_id order and sliced into 512-token training
+    windows.  The exclusive prefix sum runs as a two-level distributed
+    scan (range-bucket local cumsum + tiny bucket-offset broadcast) —
+    no single-reducer window.  All-integer output: the cross-engine
+    hash is float-free."""
+    from pynomaly_spark.packing import chunk_stats, pack_chunks
+
+    doc = _doc(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = doc.withColumn(
+        "_nt", F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    )
+    packed = pack_chunks(
+        toks, "_nt", "doc_id", cap=_PACK_CAP, group_col="lang", n_buckets=8
+    )
+    return chunk_stats(
+        packed, _PACK_CAP, "doc_id", group_col="lang"
+    ).select("lang", "chunk_id", "n_docs", "chunk_tokens", "first_doc")
+
+
+SQL_DOC_PACK_CHUNKS = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), c AS (
+  SELECT lang, doc_id, n,
+         CAST(COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cb
+  FROM d WHERE n > 0
+), e AS (
+  SELECT lang, doc_id, n, cb,
+         unnest(range(cb // {_PACK_CAP}, ((cb + n - 1) // {_PACK_CAP}) + 1))
+           AS chunk_id
+  FROM c
+)
+SELECT lang, chunk_id, count(*) AS n_docs,
+       CAST(sum(least((chunk_id + 1) * {_PACK_CAP}, cb + n)
+                - greatest(chunk_id * {_PACK_CAP}, cb)) AS BIGINT)
+         AS chunk_tokens,
+       min(doc_id) AS first_doc
+FROM e GROUP BY lang, chunk_id
+"""
+
+
 _KS_BINS, _KS_WIDTH = 32, 20.0
 
 
@@ -2275,6 +2327,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_temp_resample": q_doc_temp_resample,
     "emb_quantize": q_emb_quantize,
     "events_window_psi": q_events_window_psi,
+    "doc_pack_chunks": q_doc_pack_chunks,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2321,6 +2374,7 @@ ORACLES: Dict[str, str] = {
     "doc_temp_resample": _temp_resample_sql(),
     "emb_quantize": _EMB_QUANT_SQL,
     "events_window_psi": _window_psi_sql(),
+    "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
