@@ -2013,6 +2013,65 @@ GROUP BY d.hour, pt.n
 """
 
 
+_LM_ALPHA, _LM_FLAG = 0.5, -3.43
+
+
+def q_doc_lm_quality(spark, sf_dir):
+    """Unigram-LM likelihood quality gate (``lm.unigram_model`` +
+    ``lm.score_unigram_logprob``): the CCNet-style filter — train token
+    frequencies on the corpus, score each doc's tf-weighted mean token
+    log-probability, flag the improbable tail.  The scoring join is the
+    skew-split (hot vocabulary head broadcast, rare tail shuffled); the
+    per-doc mean is rounded to 6 dp before the per-source rollup."""
+    from pynomaly_spark.lm import score_unigram_logprob, unigram_model
+
+    doc = _doc(spark, sf_dir)
+    model = unigram_model(doc, "text")
+    scored = score_unigram_logprob(
+        doc, model, "text", "doc_id",
+        carry_cols=("source",), alpha=_LM_ALPHA, hot_min=50,
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("logprob") < _LM_FLAG).cast("long")).alias("n_flagged"),
+        F.round(F.avg("logprob"), _R).alias("avg_logprob"),
+        F.min("logprob").alias("min_logprob"),
+    )
+
+
+def _lm_quality_sql() -> str:
+    from .textops import _TOKEN_SPLIT
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, source, t, count(*) AS tf
+  FROM tok WHERE t <> '' GROUP BY doc_id, source, t
+), model AS (
+  SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t
+), stats AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM model
+), scored AS (
+  SELECT tf.doc_id, any_value(tf.source) AS source,
+         round(sum(tf.tf * ln((COALESCE(m.c, 0) + {_LM_ALPHA})
+                              / (s.n + {_LM_ALPHA} * (s.v + 1.0))))
+               / CAST(sum(tf.tf) AS DOUBLE), 6) AS lp
+  FROM tf LEFT JOIN model m ON tf.t = m.t CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lp < {_LM_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(avg(lp), 6) AS avg_logprob,
+       min(lp) AS min_logprob
+FROM scored GROUP BY source
+"""
+
+
 _PACK_CAP = 512
 
 
@@ -2328,6 +2387,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantize": q_emb_quantize,
     "events_window_psi": q_events_window_psi,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "doc_lm_quality": q_doc_lm_quality,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2375,6 +2435,7 @@ ORACLES: Dict[str, str] = {
     "emb_quantize": _EMB_QUANT_SQL,
     "events_window_psi": _window_psi_sql(),
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
+    "doc_lm_quality": _lm_quality_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

@@ -1,0 +1,140 @@
+"""Unigram-LM quality scoring (lm.py): python reference parity,
+hot/tail split invariance, OOV floor, empty-model semantics, plan
+shape of the skew-split join."""
+
+import math
+import re
+
+import pytest
+
+from pynomaly_spark.lm import score_unigram_logprob, unigram_model
+from pynomaly_spark.textops import _TOKEN_SPLIT
+
+DOCS = [
+    (1, "the cat sat on the mat", "a"),
+    (2, "the dog ate the cat food", "a"),
+    (3, "zxqv glorp wibble zxqv", "b"),   # improbable tokens
+    (4, "the the the the", "b"),
+    (5, None, "b"),                        # null text -> no row
+    (6, "    ", "b"),                      # no tokens -> no row
+]
+
+
+def _py_scores(texts, alpha=0.5, model_texts=None):
+    tokzr = re.compile(_TOKEN_SPLIT)
+    tok = lambda s: [t for t in tokzr.split(s.lower()) if t]  # noqa: E731
+    counts = {}
+    for s in model_texts if model_texts is not None else texts:
+        if s is None:
+            continue
+        for t in tok(s):
+            counts[t] = counts.get(t, 0) + 1
+    N, V = sum(counts.values()), len(counts)
+    out = {}
+    for i, s in enumerate(texts):
+        if s is None or not tok(s):
+            continue
+        lps = [
+            math.log((counts.get(t, 0) + alpha) / (N + alpha * (V + 1)))
+            for t in tok(s)
+        ]
+        out[i] = round(sum(lps) / len(lps), 6)
+    return out
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, source string"
+    )
+
+
+def test_scores_match_python_reference(spark):
+    df = _df(spark)
+    model = unigram_model(df, "text")
+    got = {
+        r.doc_id: r
+        for r in score_unigram_logprob(
+            df, model, "text", "doc_id", carry_cols=("source",), hot_min=3
+        ).collect()
+    }
+    ref = _py_scores([t for _, t, _ in DOCS])
+    assert set(got) == {i + 1 for i in ref}
+    for i, lp in ref.items():
+        assert got[i + 1].logprob == pytest.approx(lp, abs=2e-6)
+    # the gibberish doc is the least probable, the stop-soup the most
+    assert got[3].logprob == min(r.logprob for r in got.values())
+    assert got[4].logprob == max(r.logprob for r in got.values())
+    assert got[1].source == "a" and got[1].n_tokens == 6
+
+
+def test_hot_min_split_invariance(spark):
+    """hot/tail is a physical split; scores must not depend on it."""
+    df = _df(spark)
+    model = unigram_model(df, "text")
+    base = None
+    for hot_min in (1, 3, 10**9):  # all-hot / mixed / all-tail
+        rows = sorted(
+            (r.doc_id, r.n_tokens, r.logprob)
+            for r in score_unigram_logprob(
+                df, model, "text", "doc_id", hot_min=hot_min
+            ).collect()
+        )
+        if base is None:
+            base = rows
+        assert rows == base, hot_min
+
+
+def test_oov_floor_and_frozen_model(spark):
+    """A frozen model scores NEW docs: unseen tokens take the alpha
+    floor, and the model is not updated by what it scores."""
+    train = _df(spark).where("doc_id <= 2")
+    model = unigram_model(train, "text")
+    new = _df(spark).where("doc_id = 3")  # all-OOV under the frozen model
+    r = score_unigram_logprob(new, model, "text", "doc_id").collect()[0]
+    counts = {}
+    for _, t, _ in DOCS[:2]:
+        for w in re.split(_TOKEN_SPLIT, t.lower()):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    N, V = sum(counts.values()), len(counts)
+    floor = math.log(0.5 / (N + 0.5 * (V + 1)))
+    assert r.logprob == pytest.approx(round(floor, 6), abs=2e-6)
+
+
+def test_min_count_prunes_to_oov(spark):
+    df = _df(spark)
+    pruned = unigram_model(df, "text", min_count=3)
+    kept = {r.token for r in pruned.collect()}
+    assert "the" in kept and "cat" not in kept  # 'cat' appears twice
+    scored = score_unigram_logprob(df, pruned, "text", "doc_id", hot_min=2)
+    assert scored.count() == 4  # pruning never drops documents
+
+
+def test_empty_model_scores_at_alpha_floor(spark):
+    df = _df(spark)
+    empty = unigram_model(df, "text", min_count=10**9)
+    rows = score_unigram_logprob(df, empty, "text", "doc_id").collect()
+    # N=0, V=0 -> every token at ln(alpha/alpha) = 0
+    assert rows and all(r.logprob == 0.0 for r in rows)
+
+
+def test_validates_args(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError):
+        unigram_model(df, "text", min_count=0)
+    with pytest.raises(ValueError):
+        score_unigram_logprob(df, unigram_model(df, "text"), alpha=0.0)
+
+
+def test_hot_join_is_broadcast(spark):
+    """The hot head must join map-side: a BroadcastHashJoin over the
+    hot relation, no shuffle of the hot keys."""
+    df = _df(spark)
+    model = unigram_model(df, "text")
+    plan = (
+        score_unigram_logprob(df, model, "text", "doc_id", hot_min=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
