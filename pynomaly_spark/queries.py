@@ -2013,6 +2013,69 @@ GROUP BY d.hour, pt.n
 """
 
 
+_SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split
+    (``sampling.split_assign``): salted md5-prefix thresholds — a fresh
+    hash family, independent of the sampling keys — assign every doc a
+    split map-side; the rollup reports per-(lang, split) counts and the
+    within-lang share.  Reproducible on any engine or partitioning."""
+    from pynomaly_spark.sampling import split_assign
+
+    doc = _doc(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    tagged = doc.select(
+        "lang", split_assign("doc_id", _SPLIT_FRACS).alias("split")
+    )
+    counts = tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("n_docs").alias("_lt")).select(
+        F.col("lang").alias("_tl"), "_lt"
+    )
+    return (
+        counts.join(
+            F.broadcast(totals), F.col("lang").eqNullSafe(F.col("_tl"))
+        )
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_lt").cast("double"), _R).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def _doc_split_sql() -> str:
+    from .sampling import split_thresholds
+
+    cases, last = [], None
+    for lbl, thresh in split_thresholds(_SPLIT_FRACS):
+        if thresh is None:
+            last = lbl
+        else:
+            cases.append(
+                "WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)"
+                f" < '{thresh}' THEN '{lbl}'"
+            )
+    case = "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+    return f"""
+WITH s AS (
+  SELECT lang, {case} AS split
+  FROM documents WHERE doc_id IS NOT NULL
+), c AS (
+  SELECT lang, split, count(*) AS n_docs FROM s GROUP BY lang, split
+), t AS (
+  SELECT lang, CAST(sum(n_docs) AS DOUBLE) AS lt FROM c GROUP BY lang
+)
+SELECT c.lang, c.split, c.n_docs, round(c.n_docs / t.lt, 6) AS share
+FROM c JOIN t ON c.lang IS NOT DISTINCT FROM t.lang
+"""
+
+
 _LM_ALPHA, _LM_FLAG = 0.5, -3.43
 
 
@@ -2388,6 +2451,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_psi": q_events_window_psi,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_lm_quality": q_doc_lm_quality,
+    "doc_split": q_doc_split,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2436,6 +2500,7 @@ ORACLES: Dict[str, str] = {
     "events_window_psi": _window_psi_sql(),
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_lm_quality": _lm_quality_sql(),
+    "doc_split": _doc_split_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

@@ -47,6 +47,8 @@ __all__ = [
     "group_cap",
     "temperature_rates",
     "temperature_resample",
+    "split_thresholds",
+    "split_assign",
 ]
 
 _HASH_SPACE = float(1 << 32)
@@ -145,6 +147,65 @@ def group_cap(
     good = survivors.join(F.broadcast(lacking), null_safe_lk, "left_anti")
     retry = keyed.join(F.broadcast(lacking), null_safe_lk, "left_semi")
     return ranked(good).unionByName(ranked(retry))
+
+
+def split_thresholds(fractions: dict) -> list:
+    """Cumulative 8-hex split boundaries ``[(label, hex_or_None),...]``
+    for :func:`split_assign` — the SINGLE source both the Spark
+    expression and the DuckDB oracle twin render from (the last label
+    gets ``None``: it is the catch-all, so floor rounding can never
+    leave an id unassigned).  Fractions must be positive and sum to 1.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    vals = list(fractions.values())
+    if any(f <= 0 for f in vals):
+        raise ValueError(f"fractions must be > 0, got {fractions}")
+    if abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(vals)}")
+    out, cum = [], 0.0
+    labels = list(fractions)
+    for lbl in labels[:-1]:
+        cum += fractions[lbl]
+        out.append((lbl, format(int(cum * _HASH_SPACE), "08x")))
+    out.append((labels[-1], None))
+    return out
+
+
+def split_assign(
+    id_col: str = "doc_id",
+    fractions: dict | None = None,
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test assignment: the id's salted md5
+    prefix against the cumulative :func:`split_thresholds` boundaries.
+
+    The salt opens a FRESH hash family, so the split is statistically
+    independent of :func:`deterministic_sample` / ``group_cap`` keys
+    (the same row can be in the 10% sample AND the test split without
+    correlation), and stratification is automatic: the hash is
+    independent of every stratum column, so each stratum receives the
+    fractions in expectation.  Pure map-side string compares — no
+    shuffle, no state, reproducible on any engine / partitioning.
+    Rows with a NULL id yield NULL (ids are expected non-null).
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    prefix = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        1,
+        8,
+    )
+    expr = None
+    last = None
+    for lbl, thresh in split_thresholds(fractions):
+        if thresh is None:
+            last = lbl
+            continue
+        cond = prefix < F.lit(thresh)
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+    fallback = F.when(F.col(id_col).isNotNull(), F.lit(last))
+    return fallback if expr is None else expr.otherwise(fallback)
 
 
 def temperature_rates(

@@ -400,3 +400,69 @@ def test_full_rate_sample_keeps_everything(spark):
     df = spark.range(500).withColumnRenamed("id", "doc_id")
     assert df.where(deterministic_sample(df, 1.0)).count() == 500
     assert df.where(deterministic_sample(df, 0.0)).count() == 0
+
+
+class TestSplitAssign:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+        return (
+            spark.range(4000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("lang", F.concat(F.lit("l"), F.pmod("doc_id", 4)))
+        )
+
+    def test_fractions_and_stratification(self, spark):
+        from pynomaly_spark.sampling import split_assign
+        df = self._docs(spark)
+        tagged = df.select("lang", split_assign("doc_id").alias("split"))
+        total = {r["split"]: r["count"] for r in
+                 tagged.groupBy("split").count().collect()}
+        assert set(total) == {"train", "val", "test"}
+        assert abs(total["train"] / 4000 - 0.9) < 0.03
+        assert abs(total["val"] / 4000 - 0.05) < 0.02
+        # stratification for free: every lang sees ~the same fractions
+        for r in tagged.groupBy("lang", "split").count().collect():
+            frac = r["count"] / 1000
+            want = 0.9 if r["split"] == "train" else 0.05
+            assert abs(frac - want) < 0.05, (r["lang"], r["split"], frac)
+
+    def test_disjoint_exhaustive_reproducible(self, spark):
+        from pynomaly_spark.sampling import split_assign
+        df = self._docs(spark)
+        a = dict(df.select("doc_id", split_assign("doc_id").alias("s"))
+                 .collect())
+        b = dict(df.repartition(13)
+                 .select("doc_id", split_assign("doc_id").alias("s"))
+                 .collect())
+        assert a == b and len(a) == 4000 and None not in a.values()
+
+    def test_salt_opens_fresh_family(self, spark):
+        from pyspark.sql import functions as F
+        from pynomaly_spark.sampling import deterministic_sample, split_assign
+        df = self._docs(spark)
+        # test-split membership must be ~independent of the 10% sample
+        both = df.where(
+            deterministic_sample(df, 0.1)
+            & (split_assign("doc_id") == "test")
+        ).count()
+        assert 5 <= both <= 45  # E=20 under independence; 0 or 200 = coupled
+
+    def test_null_id_gets_null_split(self, spark):
+        from pynomaly_spark.sampling import split_assign
+        df = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+        rows = {r["doc_id"]: r["s"] for r in
+                df.select("doc_id", split_assign("doc_id").alias("s"))
+                .collect()}
+        assert rows[1] is not None and rows[None] is None
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pt
+        from pynomaly_spark.sampling import split_thresholds
+        with _pt.raises(ValueError):
+            split_thresholds({})
+        with _pt.raises(ValueError):
+            split_thresholds({"a": 0.5, "b": 0.4})
+        with _pt.raises(ValueError):
+            split_thresholds({"a": 1.2, "b": -0.2})
+        ts = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+        assert ts[0] == ("train", "e6666666") and ts[-1] == ("test", None)
