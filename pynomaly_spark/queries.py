@@ -2013,6 +2013,81 @@ GROUP BY d.hour, pt.n
 """
 
 
+_BM25_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_window_agg", ["window", "aggregate"]),
+    ("q_stream", ["stream", "batch", "spark"]),
+]
+_BM25_K = 10
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (``retrieval.bm25_topk``): three literal
+    term queries scored over the corpus — the corpus is pruned to the
+    query vocabulary map-side before any aggregation, the query/df
+    relations broadcast, and the per-query top-k runs through the
+    salted two-phase rank on the 6-dp-rounded score (doc-id tiebreak),
+    so ranks agree across engines."""
+    from pynomaly_spark.retrieval import bm25_topk
+
+    return bm25_topk(
+        spark, _doc(spark, sf_dir), _BM25_QUERIES, "text", "doc_id",
+        k=_BM25_K,
+    )
+
+
+def _bm25_sql() -> str:
+    from .textops import _TOKEN_SPLIT
+
+    vocab = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in _BM25_QUERIES
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), tok2 AS (
+  SELECT * FROM tok WHERE t <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok2 WHERE t IN ({in_list}) GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), q(query_id, t) AS (
+  VALUES {qvals}
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * {1.2 + 1.0}
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN q ON tf.t = q.t
+  JOIN dfreq d ON tf.t = d.t
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rnk, doc_id, score FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_BM25_K}
+"""
+
+
 _SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -2452,6 +2527,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_lm_quality": q_doc_lm_quality,
     "doc_split": q_doc_split,
+    "doc_bm25": q_doc_bm25,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2501,6 +2577,7 @@ ORACLES: Dict[str, str] = {
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_lm_quality": _lm_quality_sql(),
     "doc_split": _doc_split_sql(),
+    "doc_bm25": _bm25_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy
