@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard",
     "embedding_near_dups",
     "dup_clusters",
+    "dup_ngram_fraction",
 ]
 
 
@@ -497,3 +498,77 @@ def dup_clusters(
         )
     )
     return out
+
+
+def dup_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hash_keys: bool = True,
+    hot_min: int = 1000,
+) -> DataFrame:
+    """Per-document corpus-wide duplicated n-gram fraction — the
+    Gopher/RefinedWeb "duplicate substring" gate: for each doc, the
+    share of its DISTINCT word ``n``-grams that occur in at least one
+    OTHER document.  Boilerplate-heavy docs (license banners, templated
+    spam) score near 1 even when no single pairwise near-dup exists;
+    this is the per-doc diagnostic the pairwise families (MinHash LSH,
+    SimHash, embedding blocking) cannot produce.
+
+    Returns ``(id_col, n_grams, dup_grams, dup_frac)`` for every doc
+    with at least one n-gram; ``dup_frac`` is an exact integer ratio
+    rounded to 6 dp (identical across engines).
+
+    Scale shape: per-doc-DISTINCT grams -> one gram-keyed count
+    aggregate (partial-aggregated; the count relation is one row per
+    distinct gram) -> flag join back SKEW-SPLIT exactly like the LM
+    vocabulary join: viral grams (``doc count >= hot_min`` — license
+    banners living in millions of docs) are a tiny relation, broadcast
+    and matched map-side so their postings never converge on one
+    reducer; the shuffled remainder is rare-by-construction.
+    ``hash_keys=True`` carries 8-byte ``xxhash64`` keys instead of gram
+    strings through the shuffles (2^-64 per-pair collision risk — fine
+    for a report-level gate; the oracle twin runs string keys).
+    """
+    from .decontam import exploded_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if hot_min < 2:
+        raise ValueError(f"hot_min must be >= 2, got {hot_min}")
+    grams = exploded_ngrams(docs, text_col, [id_col], n).distinct()
+    key = F.xxhash64("gram") if hash_keys else F.col("gram")
+    keyed = grams.select(id_col, key.alias("_g"))
+    cnt = keyed.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
+    hot = cnt.where(F.col("_nd") >= hot_min).select(F.col("_g").alias("_hg"))
+    tail = cnt.where(
+        (F.col("_nd") >= 2) & (F.col("_nd") < hot_min)
+    ).select(F.col("_g").alias("_tg"))
+    j1 = keyed.join(F.broadcast(hot), F.col("_g") == F.col("_hg"), "left")
+    matched = j1.where(F.col("_hg").isNotNull()).select(
+        id_col, F.lit(1).cast("long").alias("_dup")
+    )
+    missed = (
+        j1.where(F.col("_hg").isNull())
+        .join(tail, F.col("_g") == F.col("_tg"), "left")
+        .select(
+            id_col, F.col("_tg").isNotNull().cast("long").alias("_dup")
+        )
+    )
+    return (
+        matched.unionByName(missed)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_dup").alias("dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -2013,6 +2013,64 @@ GROUP BY d.hour, pt.n
 """
 
 
+_DUPNG_N, _DUPNG_FLAG = 5, 0.5
+
+
+def q_doc_dup_ngrams(spark, sf_dir):
+    """Corpus-wide duplicated n-gram fraction per doc
+    (``dedup.dup_ngram_fraction``, the Gopher/RefinedWeb duplicate-
+    substring gate), rolled up per source.  String keys here so the
+    DuckDB twin is exact; the 8-byte ``hash_keys`` scale path is
+    asserted equal in pytest.  The flag join is skew-split (viral
+    boilerplate grams broadcast; rare tail shuffled)."""
+    from pynomaly_spark.dedup import dup_ngram_fraction
+
+    doc = _doc(spark, sf_dir)
+    per = dup_ngram_fraction(
+        doc, "text", "doc_id", n=_DUPNG_N, hash_keys=False, hot_min=50
+    )
+    return (
+        per.join(doc.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dup_frac") >= _DUPNG_FLAG).cast("long")).alias(
+                "n_flagged"
+            ),
+            F.round(F.avg("dup_frac"), _R).alias("avg_dup_frac"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("dup_grams").alias("total_dup_grams"),
+        )
+    )
+
+
+def _dup_ngrams_sql() -> str:
+    return f"""
+WITH {_gram_cte(_DUPNG_N)}, g AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), cnt AS (
+  SELECT gram, count(*) AS nd FROM g GROUP BY gram
+), per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_grams
+  FROM g JOIN cnt USING (gram) GROUP BY g.doc_id
+), fr AS (
+  SELECT doc_id, n_grams, dup_grams,
+         round(dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_frac
+  FROM per
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN fr.dup_frac >= {_DUPNG_FLAG} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       round(avg(fr.dup_frac), 6) AS avg_dup_frac,
+       CAST(sum(fr.n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(fr.dup_grams) AS BIGINT) AS total_dup_grams
+FROM fr JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 _BM25_QUERIES = [
     ("q_hash_join", ["hash", "join"]),
     ("q_window_agg", ["window", "aggregate"]),
@@ -2528,6 +2586,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_quality": q_doc_lm_quality,
     "doc_split": q_doc_split,
     "doc_bm25": q_doc_bm25,
+    "doc_dup_ngrams": q_doc_dup_ngrams,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2578,6 +2637,7 @@ ORACLES: Dict[str, str] = {
     "doc_lm_quality": _lm_quality_sql(),
     "doc_split": _doc_split_sql(),
     "doc_bm25": _bm25_sql(),
+    "doc_dup_ngrams": _dup_ngrams_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

@@ -935,3 +935,74 @@ def test_scalar_quantize_degenerate_vectors(spark):
     assert out[2]["qerr_max"] == 0.0 and out[2]["cos_keep"] == 1.0
     with pytest.raises(ValueError):
         similarity.scalar_quantize(df, "embedding", levels=1)
+
+
+class TestDupNgramFraction:
+    BOILER = "all rights reserved copyright notice do not remove this line"
+
+    def _docs(self, spark):
+        rows = [
+            (1, f"{self.BOILER} alpha beta gamma delta epsilon zeta"),
+            (2, f"{self.BOILER} one two three four five six seven"),
+            (3, "totally unique content nothing shared here at all ok"),
+            (4, self.BOILER),       # pure boilerplate -> frac 1.0
+            (5, None),              # no grams -> no row
+            (6, "tiny"),            # < n tokens -> no row
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_boilerplate_fractions(self, spark):
+        from pynomaly_spark.dedup import dup_ngram_fraction
+        got = {
+            r.doc_id: r
+            for r in dup_ngram_fraction(
+                self._docs(spark), "text", "doc_id", n=5, hot_min=50
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        # boilerplate is 10 tokens -> 6 shared 5-grams; doc1 has 16
+        # tokens -> 12 grams, 6 of them duplicated
+        assert got[4].dup_frac == 1.0
+        assert got[3].dup_frac == 0.0
+        assert got[1].n_grams == 12 and got[1].dup_grams == 6
+        assert got[1].dup_frac == 0.5
+        # doc2: 17 tokens -> 13 grams, the same 6 boilerplate grams dup
+        assert got[2].n_grams == 13 and got[2].dup_grams == 6
+        assert got[2].dup_frac == round(6 / 13, 6)
+
+    def test_hash_keys_and_hot_min_invariance(self, spark):
+        from pynomaly_spark.dedup import dup_ngram_fraction
+        df = self._docs(spark)
+        base = None
+        for hash_keys in (False, True):
+            for hot_min in (2, 3, 10**9):
+                rows = sorted(
+                    map(
+                        tuple,
+                        dup_ngram_fraction(
+                            df, "text", "doc_id", n=5,
+                            hash_keys=hash_keys, hot_min=hot_min,
+                        ).collect(),
+                    )
+                )
+                if base is None:
+                    base = rows
+                assert rows == base, (hash_keys, hot_min)
+
+    def test_validates_args(self, spark):
+        from pynomaly_spark.dedup import dup_ngram_fraction
+        df = self._docs(spark)
+        with pytest.raises(ValueError):
+            dup_ngram_fraction(df, "text", "doc_id", n=0)
+        with pytest.raises(ValueError):
+            dup_ngram_fraction(df, "text", "doc_id", hot_min=1)
+
+    def test_hot_join_is_broadcast(self, spark):
+        from pynomaly_spark.dedup import dup_ngram_fraction
+        plan = (
+            dup_ngram_fraction(self._docs(spark), "text", "doc_id", n=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
