@@ -72,7 +72,7 @@ def unigram_model(
 
 def score_unigram_logprob(
     df: DataFrame,
-    model: DataFrame,
+    model: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     carry_cols: tuple = (),
@@ -85,6 +85,14 @@ def score_unigram_logprob(
     logprob)`` with ``logprob`` rounded to 6 dp; documents with no
     tokens produce no row (no likelihood is defined for them).
 
+    ``model=None`` self-trains on the scored corpus itself — the model
+    is derived FROM the per-doc tf relation (``sum(tf) by token`` ==
+    :func:`unigram_model` exactly), so the corpus is exploded and
+    shuffled ONCE: every model/stat consumer hangs off the same tf
+    exchange (``ReusedExchange`` in the physical plan — tested) instead
+    of a second full scan+explode.  Pass an explicit model for the
+    frozen train-then-score deployment.
+
     ``hot_min`` sets the broadcast head of the skew-split join (see
     module docstring); results are invariant to its value — tested.
     """
@@ -96,6 +104,10 @@ def score_unigram_logprob(
         .groupBy(*cols, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
+    if model is None:
+        model = tf.groupBy(F.col("_t").alias("token")).agg(
+            F.sum("_tf").alias("c")
+        )
     hot = model.where(F.col("c") >= hot_min).select(
         F.col("token").alias("_ht"), F.col("c").cast("double").alias("_hc")
     )

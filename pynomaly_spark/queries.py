@@ -2219,12 +2219,14 @@ def q_doc_lm_quality(spark, sf_dir):
     log-probability, flag the improbable tail.  The scoring join is the
     skew-split (hot vocabulary head broadcast, rare tail shuffled); the
     per-doc mean is rounded to 6 dp before the per-source rollup."""
-    from pynomaly_spark.lm import score_unigram_logprob, unigram_model
+    from pynomaly_spark.lm import score_unigram_logprob
 
     doc = _doc(spark, sf_dir)
-    model = unigram_model(doc, "text")
+    # model=None: self-trained — the model is derived from the scoring
+    # tf exchange (one corpus explode, ReusedExchange), identical to
+    # unigram_model(doc) by construction
     scored = score_unigram_logprob(
-        doc, model, "text", "doc_id",
+        doc, None, "text", "doc_id",
         carry_cols=("source",), alpha=_LM_ALPHA, hot_min=50,
     )
     return scored.groupBy("source").agg(

@@ -138,3 +138,24 @@ def test_hot_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_self_trained_equals_explicit_model(spark):
+    """model=None derives the model from the scoring tf exchange; it
+    must equal training explicitly on the same corpus, and the physical
+    plan must reuse the tf exchange instead of re-exploding."""
+    df = _df(spark)
+    explicit = sorted(
+        map(
+            tuple,
+            score_unigram_logprob(
+                df, unigram_model(df, "text"), "text", "doc_id", hot_min=3
+            ).collect(),
+        )
+    )
+    selftrained = score_unigram_logprob(
+        df, None, "text", "doc_id", hot_min=3
+    )
+    assert sorted(map(tuple, selftrained.collect())) == explicit
+    plan = selftrained._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
