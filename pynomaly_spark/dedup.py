@@ -507,6 +507,7 @@ def dup_ngram_fraction(
     n: int = 5,
     hash_keys: bool = True,
     hot_min: int = 1000,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document corpus-wide duplicated n-gram fraction — the
     Gopher/RefinedWeb "duplicate substring" gate: for each doc, the
@@ -530,6 +531,14 @@ def dup_ngram_fraction(
     ``hash_keys=True`` carries 8-byte ``xxhash64`` keys instead of gram
     strings through the shuffles (2^-64 per-pair collision risk — fine
     for a report-level gate; the oracle twin runs string keys).
+
+    The count side and the flag-join probe side both consume the
+    exploded gram relation, and their exchanges are NOT identical
+    (partial-agg vs raw rows), so Spark recomputes the explode for
+    each.  At toy scale that is two cheap scans; at corpus scale pass
+    ``grams`` — a pre-staged ``(id_col, gram)`` DISTINCT frame (write
+    it to parquet/tmpfs first, the ``run_suite`` staging pattern) —
+    and the explode happens exactly once upstream.
     """
     from .decontam import exploded_ngrams
 
@@ -537,7 +546,8 @@ def dup_ngram_fraction(
         raise ValueError(f"n must be >= 1, got {n}")
     if hot_min < 2:
         raise ValueError(f"hot_min must be >= 2, got {hot_min}")
-    grams = exploded_ngrams(docs, text_col, [id_col], n).distinct()
+    if grams is None:
+        grams = exploded_ngrams(docs, text_col, [id_col], n).distinct()
     key = F.xxhash64("gram") if hash_keys else F.col("gram")
     keyed = grams.select(id_col, key.alias("_g"))
     cnt = keyed.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))

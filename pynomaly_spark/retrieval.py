@@ -67,17 +67,28 @@ def bm25_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     vocab = sorted({t.lower() for _, terms in queries for t in terms})
 
-    toks = (
-        docs.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
-        .select(
-            id_col,
-            F.explode(
-                F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
-            ).alias("_t"),
-        )
-        .where(F.col("_t") != "")
+    src = docs.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    toks = src.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+        ).alias("_t"),
+    ).where(F.col("_t") != "")
+    # doc length is a PER-ROW expression — no explode, no corpus-wide
+    # groupBy(id) shuffle; only the narrow (id, dl) pairs ever move.
+    # Docs with zero tokens carry no stream content (match the
+    # aggregate-form semantics: they are absent from dl and stats).
+    dl = src.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("_dl"),
+    ).where(F.col("_dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         (

@@ -1006,3 +1006,18 @@ class TestDupNgramFraction:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_prestaged_grams_equal(self, spark, tmp_path):
+        from pynomaly_spark.decontam import exploded_ngrams
+        from pynomaly_spark.dedup import dup_ngram_fraction
+        df = self._docs(spark)
+        inline = sorted(
+            map(tuple, dup_ngram_fraction(df, "text", "doc_id", n=5).collect())
+        )
+        p = str(tmp_path / "grams")
+        exploded_ngrams(df, "text", ["doc_id"], 5).distinct().write.parquet(p)
+        staged = dup_ngram_fraction(
+            df, "text", "doc_id", n=5,
+            grams=spark.read.parquet(p),
+        )
+        assert sorted(map(tuple, staged.collect())) == inline
