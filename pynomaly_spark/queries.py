@@ -2016,6 +2016,142 @@ GROUP BY d.hour, pt.n
 _DUPNG_N, _DUPNG_FLAG = 5, 0.5
 
 
+def q_doc_funnel(spark, sf_dir):
+    """The END-TO-END preprocessing funnel a training-data user runs:
+    exact dedup -> boilerplate gate (duplicate-n-gram fraction) -> LM
+    likelihood gate -> train split, reported as per-stage survivor
+    counts.  All four stage predicates are computed as FLAGS on one
+    enriched doc relation (survivor semi-info, dup_frac, logprob, split
+    — three narrow id-keyed joins + a map-side split expression) and
+    reduced in ONE aggregate; the stage rows come from ``stack``, not
+    five separate passes.  Token-less docs carry no gram/LM evidence
+    and pass those gates by definition (a length gate would own them).
+    All-integer output."""
+    from pynomaly_spark.dedup import dup_ngram_fraction
+    from pynomaly_spark.lm import score_unigram_logprob
+    from pynomaly_spark.sampling import split_assign
+
+    d0 = _doc(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    surv = d0.groupBy(F.md5("text").alias("_dg2")).agg(
+        F.min("doc_id").alias("_sid")
+    )
+    dupfr = dup_ngram_fraction(
+        d0, "text", "doc_id", n=_DUPNG_N, hash_keys=False, hot_min=50
+    ).select("doc_id", "dup_frac")
+    lp = score_unigram_logprob(
+        d0, None, "text", "doc_id", alpha=_LM_ALPHA, hot_min=50
+    ).select("doc_id", "logprob")
+    en = (
+        d0.select(
+            "doc_id",
+            F.md5("text").alias("_dg"),
+            split_assign("doc_id", _SPLIT_FRACS).alias("_split"),
+        )
+        .join(surv, F.col("_dg") == F.col("_dg2"))
+        .join(dupfr, "doc_id", "left")
+        .join(lp, "doc_id", "left")
+    )
+    is_surv = (F.col("doc_id") == F.col("_sid")).cast("long")
+    dup_ok = (
+        F.coalesce(F.col("dup_frac"), F.lit(0.0)) < _DUPNG_FLAG
+    ).cast("long")
+    lm_ok = (
+        F.coalesce(F.col("logprob"), F.lit(0.0)) >= _LM_FLAG
+    ).cast("long")
+    train = (F.col("_split") == "train").cast("long")
+    one = en.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(is_surv).alias("n1"),
+        F.sum(is_surv * dup_ok).alias("n2"),
+        F.sum(is_surv * dup_ok * lm_ok).alias("n3"),
+        F.sum(is_surv * dup_ok * lm_ok * train).alias("n4"),
+    )
+    return one.selectExpr(
+        "stack(5, 0, 'total', n0, 1, 'exact_dedup', n1,"
+        " 2, 'boilerplate_gate', n2, 3, 'lm_gate', n3,"
+        " 4, 'train_split', n4) as (stage, name, n_docs)"
+    ).select(F.col("stage").cast("long"), "name", F.col("n_docs").cast("long"))
+
+
+def _funnel_sql() -> str:
+    from .decontam import NGRAM_TOKEN_SPLIT
+    from .textops import _TOKEN_SPLIT
+
+    n = _DUPNG_N
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), surv AS (
+  SELECT md5(text) AS dg, min(doc_id) AS sid FROM d0 GROUP BY md5(text)
+), toksf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                                           '{NGRAM_TOKEN_SPLIT}'),
+                     t -> t <> '') AS tk
+  FROM d0
+), gramsf AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - {n} + 2, 0)),
+                               i -> array_to_string(tk[i:i+{n - 1}], ' ')))
+           AS gram
+  FROM toksf
+), gf AS (
+  SELECT DISTINCT doc_id, gram FROM gramsf
+), cntf AS (
+  SELECT gram, count(*) AS nd FROM gf GROUP BY gram
+), frf AS (
+  SELECT gf.doc_id,
+         round(sum(CASE WHEN cntf.nd >= 2 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+  FROM gf JOIN cntf USING (gram) GROUP BY gf.doc_id
+), tokl AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t
+  FROM d0
+), tfl AS (
+  SELECT doc_id, t, count(*) AS tf FROM tokl WHERE t <> ''
+  GROUP BY doc_id, t
+), modell AS (
+  SELECT t, count(*) AS c FROM tokl WHERE t <> '' GROUP BY t
+), statsl AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM modell
+), lpl AS (
+  SELECT tfl.doc_id,
+         round(sum(tfl.tf * ln((m.c + {_LM_ALPHA})
+                               / (s.n + {_LM_ALPHA} * (s.v + 1.0))))
+               / CAST(sum(tfl.tf) AS DOUBLE), 6) AS lp
+  FROM tfl JOIN modell m ON tfl.t = m.t CROSS JOIN statsl s
+  GROUP BY tfl.doc_id
+), en AS (
+  SELECT d0.doc_id,
+         CASE WHEN d0.doc_id = surv.sid THEN 1 ELSE 0 END AS is_surv,
+         CASE WHEN COALESCE(frf.dup_frac, 0.0) < {_DUPNG_FLAG}
+              THEN 1 ELSE 0 END AS dup_ok,
+         CASE WHEN COALESCE(lpl.lp, 0.0) >= {_LM_FLAG}
+              THEN 1 ELSE 0 END AS lm_ok,
+         CASE WHEN ({_split_case('d0.doc_id')}) = 'train'
+              THEN 1 ELSE 0 END AS is_train
+  FROM d0
+  JOIN surv ON md5(d0.text) = surv.dg
+  LEFT JOIN frf ON d0.doc_id = frf.doc_id
+  LEFT JOIN lpl ON d0.doc_id = lpl.doc_id
+)
+SELECT CAST(stage AS BIGINT) AS stage, name, CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT 0 AS stage, 'total' AS name, count(*) AS n_docs FROM en
+  UNION ALL SELECT 1, 'exact_dedup', sum(is_surv) FROM en
+  UNION ALL SELECT 2, 'boilerplate_gate', sum(is_surv * dup_ok) FROM en
+  UNION ALL SELECT 3, 'lm_gate', sum(is_surv * dup_ok * lm_ok) FROM en
+  UNION ALL SELECT 4, 'train_split',
+    sum(is_surv * dup_ok * lm_ok * is_train) FROM en
+)
+"""
+
+
 def q_doc_dup_ngrams(spark, sf_dir):
     """Corpus-wide duplicated n-gram fraction per doc
     (``dedup.dup_ngram_fraction``, the Gopher/RefinedWeb duplicate-
@@ -2182,7 +2318,9 @@ def q_doc_split(spark, sf_dir):
     )
 
 
-def _doc_split_sql() -> str:
+def _split_case(id_expr: str = "doc_id") -> str:
+    """DuckDB CASE for ``sampling.split_assign`` — generated from the
+    SAME ``split_thresholds`` list the Spark expression uses."""
     from .sampling import split_thresholds
 
     cases, last = [], None
@@ -2191,10 +2329,14 @@ def _doc_split_sql() -> str:
             last = lbl
         else:
             cases.append(
-                "WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)"
+                f"WHEN substr(md5(CAST({id_expr} AS VARCHAR) || ':split'), 1, 8)"
                 f" < '{thresh}' THEN '{lbl}'"
             )
-    case = "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+    return "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+
+
+def _doc_split_sql() -> str:
+    case = _split_case("doc_id")
     return f"""
 WITH s AS (
   SELECT lang, {case} AS split
@@ -2589,6 +2731,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split": q_doc_split,
     "doc_bm25": q_doc_bm25,
     "doc_dup_ngrams": q_doc_dup_ngrams,
+    "doc_funnel": q_doc_funnel,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2640,6 +2783,7 @@ ORACLES: Dict[str, str] = {
     "doc_split": _doc_split_sql(),
     "doc_bm25": _bm25_sql(),
     "doc_dup_ngrams": _dup_ngrams_sql(),
+    "doc_funnel": _funnel_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

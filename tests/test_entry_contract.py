@@ -51,3 +51,19 @@ def test_oracle_parity_all(spark):
     res = compare_all(spark, SF)
     failures = {k: v for k, v in res.items() if not v["ok"]}
     assert not failures, failures
+
+
+def test_doc_funnel_is_a_monotone_funnel(spark):
+    """Stage survivor counts must be non-increasing, start at the total,
+    and the train split must keep a strict subset."""
+    from pynomaly_spark.queries import q_doc_funnel
+
+    rows = {
+        r.stage: r.n_docs
+        for r in q_doc_funnel(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0] == 500
+    for s in range(1, 5):
+        assert rows[s] <= rows[s - 1], s
+    assert 0 < rows[4] < rows[0]
