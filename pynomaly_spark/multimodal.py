@@ -63,6 +63,10 @@ __all__ = [
     "video_features",
     "builtin_codec",
     "deterministic_fake_features",
+    "resize_nearest",
+    "sample_frames",
+    "extract_thumbnails",
+    "THUMB_SCHEMA",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -539,3 +543,134 @@ def extract_features(
         F.octet_length(F.col(payload_col)).alias("_n_bytes"),
     )
     return slim.mapInPandas(run, FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("thumb", ArrayType(DoubleType()), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy nearest-neighbor resize for ``(h, w)`` or
+    ``(h, w, c)`` arrays — the standard vision-prep "resize" step
+    (task brief §multimodal), index-mapped and vectorized (no Python
+    pixel loop)."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"bad thumbnail dims {out_h}x{out_w}")
+    if pixels.ndim not in (2, 3) or 0 in pixels.shape[:2]:
+        raise ValueError(f"bad pixel array shape {pixels.shape}")
+    h, w = pixels.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return pixels[ri][:, ci]
+
+
+def sample_frames(frames: np.ndarray, stride: int = 1, max_frames: int = 0):
+    """Deterministic temporal frame sampling (task brief
+    §multimodal "frame-sample"): every ``stride``-th frame from a
+    decoded ``(n, h, w)`` stack, optionally capped at ``max_frames``.
+    Returns ``(sampled_frames, source_indices)``."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    idx = np.arange(0, frames.shape[0], stride)
+    if max_frames > 0:
+        idx = idx[:max_frames]
+    return frames[idx], idx
+
+
+def _to_gray01(pixels: np.ndarray) -> np.ndarray:
+    p = pixels.astype(np.float64)
+    if p.ndim == 3:
+        p = p.mean(axis=2)
+    return p / 255.0
+
+
+def extract_thumbnails(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    frame_stride: int = 2,
+    max_frames: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Decode -> frame-sample -> resize -> flatten: one row PER SAMPLED
+    FRAME with a ``out_h*out_w`` grayscale thumbnail in [0, 1] — the
+    fixed-size tensor prep a vision training pipeline feeds its encoder
+    (the task brief's "resize / frame-sample" surface, composed with the
+    real codecs).
+
+    Images (PPM/PGM/QOI) yield one frame (``frame_idx`` 0 of 1); video
+    (Y4M) yields every ``frame_stride``-th luma frame capped at
+    ``max_frames``.  Non-visual payloads (WAV, unknown formats) emit one
+    ``decoder='skip'`` row with a null thumbnail; corrupt visual
+    payloads isolate as ``decoder='error'`` — never a dead executor.
+    Arrow-batched ``mapInPandas``; the Python loop is only the
+    per-payload codec boundary (same allowlisted pattern as
+    :func:`extract_features`).
+    """
+    if frame_stride < 1 or max_frames < 1:
+        raise ValueError("frame_stride and max_frames must be >= 1")
+    _ = resize_nearest(np.zeros((1, 1)), out_h, out_w)  # validate dims
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in
+                    ("media_id", "kind", "frame_idx", "n_frames",
+                     "thumb", "decoder")}
+
+            def emit(mid, kind, fi, nf, thumb, dec):
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["frame_idx"].append(fi)
+                rows["n_frames"].append(nf)
+                rows["thumb"].append(thumb)
+                rows["decoder"].append(dec)
+
+            for mid, payload, kind in zip(
+                pdf[id_col], pdf[payload_col], pdf[kind_col]
+            ):
+                if payload is None:
+                    emit(mid, kind, None, None, None, None)
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:2] in (b"P5", b"P6"):
+                        frames, dec = _to_gray01(decode_ppm(b))[None], "ppm"
+                    elif b[:4] == b"qoif":
+                        frames, dec = (
+                            _to_gray01(decode_qoi(b)[:, :, :3])[None],
+                            "qoi",
+                        )
+                    elif b[:9] == b"YUV4MPEG2":
+                        frames, dec = decode_y4m(b)[0] / 255.0, "y4m"
+                    else:
+                        emit(mid, kind, None, None, None, "skip")
+                        continue
+                    picked, idx = sample_frames(
+                        frames, frame_stride if dec == "y4m" else 1,
+                        max_frames,
+                    )
+                    for fi, fr in zip(idx, picked):
+                        emit(
+                            mid, kind, int(fi), int(frames.shape[0]),
+                            resize_nearest(fr, out_h, out_w)
+                            .ravel().tolist(),
+                            dec,
+                        )
+                except Exception:
+                    emit(mid, kind, None, None, None, "error")
+            yield pd.DataFrame(rows)
+
+    slim = df.select(F.col(id_col), F.col(kind_col), F.col(payload_col))
+    return slim.mapInPandas(run, THUMB_SCHEMA)

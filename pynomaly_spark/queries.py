@@ -1072,15 +1072,36 @@ def q_doc_media_qoi(spark, sf_dir):
     )
 
 
-def q_doc_media_y4m(spark, sf_dir):
-    """Video feature path — the last modality (round-3 judge item 5;
-    rows-only).  Deterministic 2-frame YUV4MPEG2 streams are
-    synthesized JVM-side (8x4 C420: per frame 32 luma + 16 chroma
-    ASCII-hex bytes from document digests), then decoded by the REAL
-    pure-numpy Y4M frame walker (multimodal.decode_y4m) into
-    frame/fps/motion features (decoder='y4m')."""
-    from .multimodal import extract_features
+def q_doc_media_thumbs(spark, sf_dir):
+    """Resize + frame-sample surface (task brief §multimodal; rows-only
+    like all codec queries): the same JVM-synthesized 2-frame Y4M
+    streams as ``doc_media_y4m``, decoded by the real frame walker,
+    frame-sampled (stride 1 keeps both frames of the 2-frame streams)
+    and resized to 2x2 grayscale thumbnails via
+    ``multimodal.extract_thumbnails`` — one row per sampled frame."""
+    from .multimodal import extract_thumbnails
 
+    media = _y4m_media(spark, sf_dir)
+    thumbs = extract_thumbnails(
+        media, out_h=2, out_w=2, frame_stride=1, max_frames=4
+    )
+    cells = [
+        F.round(F.col("thumb").getItem(i), 6).alias(f"p{i}") for i in range(4)
+    ]
+    return thumbs.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "n_frames",
+        "decoder",
+        *cells,
+    )
+
+
+def _y4m_media(spark, sf_dir):
+    """Deterministic 2-frame YUV4MPEG2 streams synthesized JVM-side
+    (8x4 C420: per frame 32 luma + 16 chroma ASCII-hex bytes from
+    document digests) — shared by the video feature and thumbnail
+    queries."""
     doc = _doc(spark, sf_dir).where(
         (F.col("doc_id") < 50) & F.col("text").isNotNull()
     )
@@ -1100,12 +1121,22 @@ def q_doc_media_y4m(spark, sf_dir):
         F.lit(b"FRAME\x0a"),
         F.encode(F.substring(raster, 49, 48), "utf-8"),
     )
-    media = doc.select(
+    return doc.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
         payload.alias("payload"),
     )
-    feats = extract_features(media)
+
+
+def q_doc_media_y4m(spark, sf_dir):
+    """Video feature path — the last modality (round-3 judge item 5;
+    rows-only).  Deterministic 2-frame YUV4MPEG2 streams are
+    synthesized JVM-side (``_y4m_media``), then decoded by the REAL
+    pure-numpy Y4M frame walker (multimodal.decode_y4m) into
+    frame/fps/motion features (decoder='y4m')."""
+    from .multimodal import extract_features
+
+    feats = extract_features(_y4m_media(spark, sf_dir))
     first6 = [
         F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
         for i in range(6)
@@ -2711,6 +2742,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_media_wav": q_doc_media_wav,
     "doc_media_qoi": q_doc_media_qoi,
     "doc_media_y4m": q_doc_media_y4m,
+    "doc_media_thumbs": q_doc_media_thumbs,
     "doc_decontam": q_doc_decontam,
     "doc_sample": q_doc_sample,
     "doc_domain_cap": q_doc_domain_cap,

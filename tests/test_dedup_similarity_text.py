@@ -1021,3 +1021,72 @@ class TestDupNgramFraction:
             grams=spark.read.parquet(p),
         )
         assert sorted(map(tuple, staged.collect())) == inline
+
+
+class TestThumbnails:
+    def test_resize_nearest_golden(self):
+        import numpy as np
+        from pynomaly_spark.multimodal import resize_nearest
+        px = np.array([[0, 10], [20, 30]], dtype=np.uint8)
+        up = resize_nearest(px, 4, 4)
+        assert up.shape == (4, 4)
+        # nearest-neighbor: each source pixel becomes a 2x2 block
+        assert (up[:2, :2] == 0).all() and (up[:2, 2:] == 10).all()
+        assert (up[2:, :2] == 20).all() and (up[2:, 2:] == 30).all()
+        down = resize_nearest(up, 2, 2)
+        assert (down == px).all()
+        rgb = resize_nearest(np.zeros((5, 7, 3)), 2, 3)
+        assert rgb.shape == (2, 3, 3)
+        with pytest.raises(ValueError):
+            resize_nearest(px, 0, 2)
+
+    def test_sample_frames(self):
+        import numpy as np
+        from pynomaly_spark.multimodal import sample_frames
+        frames = np.arange(10)[:, None, None] * np.ones((1, 2, 2))
+        picked, idx = sample_frames(frames, stride=3)
+        assert list(idx) == [0, 3, 6, 9]
+        picked, idx = sample_frames(frames, stride=2, max_frames=3)
+        assert list(idx) == [0, 2, 4] and picked.shape == (3, 2, 2)
+        with pytest.raises(ValueError):
+            sample_frames(frames, stride=0)
+
+    def test_extract_thumbnails_end_to_end(self, spark):
+        import numpy as np
+        from pynomaly_spark.multimodal import extract_thumbnails
+        ppm, raster = _make_ppm(6, 4, seed=5)
+        # 3-frame 4x2 mono y4m: luma planes 0, 100, 200
+        y4m = b"YUV4MPEG2 W4 H2 F10:1 Cmono\x0a" + b"".join(
+            b"FRAME\x0a" + bytes([v] * 8) for v in (0, 100, 200)
+        )
+        rows = [
+            (1, "image", ppm),
+            (2, "video", y4m),
+            (3, "audio", b"RIFF....WAVE"),   # non-visual -> skip
+            (4, "image", ppm[:-5]),          # corrupt -> error
+            (5, "image", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+        out = extract_thumbnails(
+            df, out_h=2, out_w=2, frame_stride=2, max_frames=4
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.media_id, []).append(r)
+        assert len(by[1]) == 1 and by[1][0].decoder == "ppm"
+        t = by[1][0]
+        assert t.frame_idx == 0 and t.n_frames == 1 and len(t.thumb) == 4
+        gray = raster.astype(float).mean(axis=2) / 255.0
+        want = gray[[0, 2]][:, [0, 3]].ravel()
+        assert np.allclose(t.thumb, want)
+        # video: frames 0 and 2 sampled (stride 2 of 3 frames)
+        vid = sorted(by[2], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in vid] == [0, 2]
+        assert all(r.n_frames == 3 and r.decoder == "y4m" for r in vid)
+        assert np.allclose(vid[0].thumb, 0.0)
+        assert np.allclose(vid[1].thumb, 200 / 255.0)
+        assert by[3][0].decoder == "skip" and by[3][0].thumb is None
+        assert by[4][0].decoder == "error" and by[4][0].thumb is None
+        assert by[5][0].decoder is None
