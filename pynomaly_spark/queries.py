@@ -2822,5 +2822,6 @@ ORACLES: Dict[str, str] = {
     # length features — argpartition's unordered k-subset diverges
     # across engines on ties; the tie-free emb twin covers the full
     # kernel incl. erf), doc_media_features / doc_media_wav /
-    # doc_media_qoi / doc_media_y4m (binary codec work)
+    # doc_media_qoi / doc_media_y4m / doc_media_thumbs (binary codec
+    # work)
 }
