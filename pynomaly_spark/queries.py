@@ -2044,6 +2044,52 @@ GROUP BY d.hour, pt.n
 """
 
 
+def q_emb_centroid_drift(spark, sf_dir):
+    """Embedding-centroid drift per label vs the pooled corpus centroid
+    (``similarity.centroid_drift``) — the representation-space drift
+    gate beside LoOP (row level) and PSI/KS (scalar distributions).
+    Per-dim sums are 64 flat aggregate expressions (no posexplode);
+    pooled centroid folded back via broadcast cross join."""
+    from pynomaly_spark.similarity import centroid_drift
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return centroid_drift(emb, "embedding", "label", dim=_EMB_DIM)
+
+
+def _centroid_drift_sql(dim: int = None) -> str:
+    dim = dim or _EMB_DIM
+    s_cols = ",\n         ".join(
+        f"sum(v[{i + 1}]) AS s{i}" for i in range(dim)
+    )
+    g_cols = ",\n         ".join(f"sum(s{i}) AS g{i}" for i in range(dim))
+    m = [f"(s.s{i} / s.n)" for i in range(dim)]
+    g = [f"(g.g{i} / g.nn)" for i in range(dim)]
+    dot = " + ".join(f"{a} * {b}" for a, b in zip(m, g))
+    qa = " + ".join(f"{a} * {a}" for a in m)
+    qb = " + ".join(f"{b} * {b}" for b in g)
+    l2 = " + ".join(f"({a} - {b}) * ({a} - {b})" for a, b in zip(m, g))
+    return f"""
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+), s AS (
+  SELECT label, count(*) AS n,
+         {s_cols}
+  FROM e GROUP BY label
+), g AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS nn,
+         {g_cols}
+  FROM s
+)
+SELECT s.label, s.n AS n_rows,
+       round(({dot})
+             / (greatest(sqrt({qa}), 1e-12)
+                * greatest(sqrt({qb}), 1e-12)), 6) AS centroid_cos,
+       round(sqrt({l2}), 6) AS centroid_l2
+FROM s CROSS JOIN g
+"""
+
+
 _DUPNG_N, _DUPNG_FLAG = 5, 0.5
 
 
@@ -2764,6 +2810,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25": q_doc_bm25,
     "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_funnel": q_doc_funnel,
+    "emb_centroid_drift": q_emb_centroid_drift,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2816,6 +2863,7 @@ ORACLES: Dict[str, str] = {
     "doc_bm25": _bm25_sql(),
     "doc_dup_ngrams": _dup_ngrams_sql(),
     "doc_funnel": _funnel_sql(),
+    "emb_centroid_drift": _centroid_drift_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

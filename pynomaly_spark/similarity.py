@@ -35,6 +35,7 @@ __all__ = [
     "ivf_topk",
     "two_phase_topk",
     "scalar_quantize",
+    "centroid_drift",
 ]
 
 
@@ -473,4 +474,70 @@ def ivf_topk(
         _rank_order(rank_round),
         k,
         phase1=phase1,
+    )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+    rank_round: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroid drift vs the pooled corpus centroid
+    — the embedding-space member of the drift-gate family (LoOP = row
+    level, PSI/KS = scalar distributions, this = representation space):
+    a partition whose mean vector rotates away from the pooled mean has
+    drifted even when every scalar stat looks stable.
+
+    Returns ``(group_col, n_rows, centroid_cos, centroid_l2)`` — cosine
+    of the group centroid to the pooled centroid and the L2 gap, both
+    rounded to ``rank_round``.
+
+    Plan shape (100 TB reasoning): per-dimension sums are ``dim`` FLAT
+    aggregate expressions over ``getItem`` projections — partial-
+    aggregated, whole-stage codegen, NO posexplode (an explode would
+    shuffle ``rows x dim`` narrow rows; this shuffles one ``dim``-wide
+    row per group).  The pooled centroid is a second tiny aggregate
+    over the per-group relation, folded back via a broadcast cross
+    join.  Zero-norm centroids guard with a 1e-12 floor instead of
+    dividing by zero.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(group_col, *[v.getItem(i).alias(f"_e{i}") for i in range(dim)])
+    per = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(f"_e{i}").alias(f"_s{i}") for i in range(dim)],
+    )
+    pooled = per.agg(
+        F.sum("n_rows").cast("double").alias("_nn"),
+        *[F.sum(f"_s{i}").alias(f"_g{i}") for i in range(dim)],
+    )
+    j = per.crossJoin(F.broadcast(pooled))
+
+    def _acc(terms):
+        out = terms[0]
+        for t in terms[1:]:  # left-assoc, same order the SQL twin renders
+            out = out + t
+        return out
+
+    m = [F.col(f"_s{i}") / F.col("n_rows") for i in range(dim)]
+    g = [F.col(f"_g{i}") / F.col("_nn") for i in range(dim)]
+    dot = _acc([a * b for a, b in zip(m, g)])
+    qa = _acc([a * a for a in m])
+    qb = _acc([b * b for b in g])
+    l2 = _acc([(a - b) * (a - b) for a, b in zip(m, g)])
+    eps = F.lit(1e-12)
+    return j.select(
+        group_col,
+        "n_rows",
+        F.round(
+            dot / (F.greatest(F.sqrt(qa), eps) * F.greatest(F.sqrt(qb), eps)),
+            rank_round,
+        ).alias("centroid_cos"),
+        F.round(F.sqrt(l2), rank_round).alias("centroid_l2"),
     )

@@ -1090,3 +1090,77 @@ class TestThumbnails:
         assert by[3][0].decoder == "skip" and by[3][0].thumb is None
         assert by[4][0].decoder == "error" and by[4][0].thumb is None
         assert by[5][0].decoder is None
+
+
+class TestCentroidDrift:
+    def test_matches_numpy(self, spark):
+        from pynomaly_spark.similarity import centroid_drift
+        rng = np.random.RandomState(12)
+        M = rng.randn(120, 8)
+        M[80:] += 3.0  # label 2 is shifted: low cosine, big L2
+        labels = [i // 40 for i in range(120)]
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(120),
+                "label": labels,
+                "embedding": [list(map(float, r)) for r in M],
+            }
+        )
+        got = {
+            r.label: r
+            for r in centroid_drift(
+                spark.createDataFrame(pdf), "embedding", "label", dim=8
+            ).collect()
+        }
+        gm = M.mean(axis=0)
+        for lab in (0, 1, 2):
+            mm = M[np.array(labels) == lab].mean(axis=0)
+            cos = float(mm @ gm / (np.linalg.norm(mm) * np.linalg.norm(gm)))
+            l2 = float(np.linalg.norm(mm - gm))
+            assert got[lab].n_rows == 40
+            assert got[lab].centroid_cos == pytest.approx(cos, abs=2e-6)
+            assert got[lab].centroid_l2 == pytest.approx(l2, abs=2e-6)
+        # the shifted label's mean dominates the pooled mean, so its
+        # centroid_l2 (distance from pool) is the standout signal
+        assert got[2].centroid_l2 > max(got[0].centroid_l2,
+                                        got[1].centroid_l2)
+
+    def test_guards_and_filters(self, spark):
+        from pynomaly_spark.similarity import centroid_drift
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3, 4],
+                "label": [0, 0, 1, 1],
+                "embedding": [
+                    [0.0, 0.0],          # zero vectors: eps guard
+                    [0.0, 0.0],
+                    [1.0, 2.0, 3.0],     # wrong dim -> filtered
+                    None,                # null -> filtered
+                ],
+            }
+        )
+        out = centroid_drift(
+            spark.createDataFrame(pdf), "embedding", "label", dim=2
+        ).collect()
+        assert len(out) == 1 and out[0].label == 0
+        assert out[0].centroid_cos == 0.0  # eps floor, not NaN/crash
+        with pytest.raises(ValueError):
+            centroid_drift(spark.createDataFrame(pdf), dim=0)
+
+    def test_no_explode_in_plan(self, spark):
+        from pynomaly_spark.similarity import centroid_drift
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(10),
+                "label": [0] * 10,
+                "embedding": [[float(i), 1.0] for i in range(10)],
+            }
+        )
+        plan = (
+            centroid_drift(spark.createDataFrame(pdf), "embedding",
+                           "label", dim=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Generate" not in plan  # flat sums, never posexplode

@@ -140,3 +140,45 @@ def test_pack_chunks_validates_args(spark):
         pack_chunks(df, "n", "doc_id", cap=0)
     with pytest.raises(ValueError):
         pack_chunks(df, "n", "doc_id", cap=8, n_buckets=0)
+
+
+def test_pack_chunks_properties_hypothesis(spark):
+    """Property check over random token streams: exact coverage — every
+    doc's span starts where the previous one ended, chunk ids tile the
+    stream, and offsets stay under cap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=700),
+                      min_size=1, max_size=40),
+        cap=st.integers(min_value=1, max_value=300),
+        buckets=st.integers(min_value=1, max_value=6),
+    )
+    def check(toks, cap, buckets):
+        rows = [("g", i, n) for i, n in enumerate(toks)]
+        df = spark.createDataFrame(
+            rows, "grp string, doc_id long, n long"
+        ).repartition(3)
+        got = sorted(
+            pack_chunks(
+                df, "n", "doc_id", cap=cap,
+                group_col="grp", n_buckets=buckets,
+            ).collect(),
+            key=lambda r: r.doc_id,
+        )
+        cum = 0
+        for r in got:
+            assert r.cum_before == cum                      # contiguity
+            assert r.first_chunk == cum // cap
+            assert r.last_chunk == (cum + r.n_tokens - 1) // cap
+            assert r.offset_in_chunk == cum % cap < cap
+            cum += r.n_tokens
+        assert cum == sum(toks)                             # coverage
+
+    check()
