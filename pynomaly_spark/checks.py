@@ -44,6 +44,7 @@ __all__ = [
     "ReferentialIntegrity",
     "RowInvariant",
     "Drift",
+    "PsiDrift",
     "CheckSuite",
     "SuiteResult",
     "run_suite",
@@ -152,6 +153,28 @@ class Drift:
     @property
     def name(self) -> str:
         return f"loop_drift(k={self.n_neighbors},ext={self.extent})"
+
+
+@dataclass(frozen=True)
+class PsiDrift:
+    """Partition-level distribution drift: PSI of each partition's
+    content-length histogram vs the pooled corpus
+    (:func:`pynomaly_spark.psi.histogram_psi` — one conditional-sum
+    groupBy over two slim columns of the staged relation, O(n_bins)
+    state per partition).  The O(1)-per-partition complement to the
+    row-level LoOP :class:`Drift` gate; opt-in (not in ``default()``)
+    so the published bench suite is unchanged.  Metrics-only: a
+    drifted partition fails the gate, there is no per-row violation.
+    """
+
+    column: str = "content"
+    n_bins: int = 16
+    bin_width: float = 256.0
+    max_psi: float = 0.25
+
+    @property
+    def name(self) -> str:
+        return f"psi_drift(len({self.column}))"
 
 
 @dataclass
@@ -455,6 +478,8 @@ def run_suite(
             _need(f"_len_{chk.column}", F.length(F.col(chk.column)))
         elif isinstance(chk, Cardinality):
             _need(f"_card_{chk.column}", F.col(chk.column))
+        elif isinstance(chk, PsiDrift):
+            _need(f"_len_{chk.column}", F.length(F.col(chk.column)))
         elif isinstance(chk, RowInvariant):
             # 32-byte binary digest, not the 64-char hex string: the
             # staged table carries this column for every row, and hex
@@ -557,6 +582,33 @@ def run_suite(
                 "partition_id", F.explode(F.array(*structs)).alias("_m")
             ).select("partition_id", "_m.*")
         )
+
+    # ---- 1b. partition-level PSI drift (opt-in) --------------------------
+    for chk in suite.checks:
+        if isinstance(chk, PsiDrift):
+            from .psi import histogram_psi
+
+            p = histogram_psi(
+                enriched,
+                f"_len_{chk.column}",
+                "partition_id",
+                n_bins=chk.n_bins,
+                bin_width=chk.bin_width,
+            )
+            metric_frames.append(
+                p.select(
+                    "partition_id",
+                    F.lit(chk.name).alias("check_name"),
+                    F.lit("psi").alias("metric"),
+                    F.col("psi").cast("double").alias("value"),
+                    F.lit(float(chk.max_psi)).cast("double").alias(
+                        "threshold"
+                    ),
+                    (F.col("psi") <= F.lit(float(chk.max_psi))).alias(
+                        "passed"
+                    ),
+                )
+            )
 
     # Partition universe for violation-count checks: aggregating only
     # violating rows leaves clean partitions with NO metric row —

@@ -365,3 +365,42 @@ def test_dup_candidate_small_set_keeps_broadcast_fast_path(spark):
     finally:
         for c in caches:
             c.unpersist()
+
+
+def test_psi_drift_check_flags_shifted_partition(spark):
+    """Opt-in PsiDrift suite check: a partition whose content-length
+    distribution shifts hard fails the PSI gate; look-alike partitions
+    pass; the metric joins the suite result like any other check."""
+    import numpy as np
+
+    from pynomaly_spark.checks import CheckSuite, PsiDrift, run_suite
+
+    rng = np.random.default_rng(21)
+    rows = []
+    rid = 0
+    # the drifted partition is a small minority — a dominant shifted
+    # partition would legitimately drag the POOLED baseline with it and
+    # flag everyone (PSI is a vs-corpus gate, not pairwise)
+    sizes = (("stable_a", 900, 600), ("stable_b", 900, 600), ("weird", 3600, 24))
+    for part, base, count in sizes:
+        for _ in range(count):
+            n = max(10, int(rng.normal(base, 120)))
+            rows.append(
+                (f"repo_{part}", f"f{rid}.py", f"c{rid}", part, "x" * n)
+            )
+            rid += 1
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    res = run_suite(
+        files,
+        CheckSuite(checks=[PsiDrift(n_bins=16, bin_width=256.0)]),
+        partition_expr=F.col("lang"),
+    )
+    m = res.metrics.toPandas()
+    res.unpersist()
+    assert set(m.partition_id) == {"stable_a", "stable_b", "weird"}
+    assert (m.check_name == "psi_drift(len(content))").all()
+    by = m.set_index("partition_id")
+    assert not by.loc["weird"].passed and by.loc["weird"].value > 0.25
+    assert by.loc["stable_a"].passed and by.loc["stable_b"].passed
