@@ -77,18 +77,28 @@ def pack_chunks(
     # sketch's approximation error is irrelevant to correctness
     if n_buckets > 1:
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = sorted(
-            set(
-                src.select(F.col(order_col).cast("double").alias("_o"))
-                .stat.approxQuantile("_o", probs, 0.01)
+        try:
+            bounds = sorted(
+                set(
+                    src.select(F.col(order_col).cast("double").alias("_o"))
+                    .where(F.col("_o").isNotNull())
+                    .stat.approxQuantile("_o", probs, 0.01)
+                )
             )
-        )
+        except Exception:
+            # non-castable order ids (string keys) can't range-bucket:
+            # fall back to one bucket — slower (single sort per group)
+            # but correct, instead of a sketch error or dropped rows
+            bounds = []
     else:
         bounds = []
     bkt = F.lit(0)
     for b in bounds:  # flat comparison sum — <=63 terms, whole-stage codegen
         bkt = bkt + (F.col(order_col).cast("double") >= F.lit(b)).cast("int")
-    keyed = src.withColumn("_bucket", bkt)
+    # a non-castable order value (string ids) would make the bucket NULL
+    # and the null-unsafe offsets join would silently DROP those rows —
+    # coalesce pins them to bucket 0 (correctness is bucket-invariant)
+    keyed = src.withColumn("_bucket", F.coalesce(bkt, F.lit(0)))
 
     # level 1: local exclusive cumsum inside each (group, bucket) slice
     w_local = (

@@ -182,3 +182,21 @@ def test_pack_chunks_properties_hypothesis(spark):
         assert cum == sum(toks)                             # coverage
 
     check()
+
+
+def test_pack_chunks_string_order_ids_survive(spark):
+    """String order ids can't range-bucket (cast -> NULL); they must
+    fall into one bucket and still pack correctly, not silently drop."""
+    rows = [("g", f"doc-{i:03d}", 10 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, doc_id string, n long")
+    got = sorted(
+        pack_chunks(
+            df, "n", "doc_id", cap=64, group_col="grp", n_buckets=8
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert len(got) == 20
+    cum = 0
+    for r in got:
+        assert r.cum_before == cum
+        cum += r.n_tokens
