@@ -382,3 +382,43 @@ def test_streaming_psi_drift_frozen_baseline(spark, tmp_path):
     # a bad baseline length must be rejected
     with pytest.raises(ValueError):
         streaming_psi_drift(ev, counts, n_bins=16)
+
+
+def test_streaming_psi_drift_keyed(spark):
+    """key_col path: each key's windows score independently against the
+    same frozen baseline (batch mode — the operator is identical)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from pynomaly_spark.psi import baseline_histogram
+    from pynomaly_spark.streaming import streaming_psi_drift
+
+    rng = np.random.default_rng(9)
+    train = spark.createDataFrame(
+        [(float(v),) for v in rng.uniform(0, 300, 400)], "value double"
+    )
+    counts = baseline_histogram(train, "value", n_bins=8, bin_width=40.0)
+
+    t0 = dt.datetime(2026, 2, 1)
+    rows = [
+        (t0 + dt.timedelta(seconds=10 * i), "stable", float(v))
+        for i, v in enumerate(rng.uniform(0, 300, 200))
+    ] + [
+        (t0 + dt.timedelta(seconds=10 * i), "shifted", float(v) + 900.0)
+        for i, v in enumerate(rng.uniform(0, 300, 200))
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, src string, value double")
+    got = {
+        (r.src, r.window_start): r
+        for r in streaming_psi_drift(
+            ev, counts, key_col="src", n_bins=8, bin_width=40.0,
+            window_duration="1 hour",
+        ).collect()
+    }
+    assert {k[0] for k in got} == {"stable", "shifted"}
+    for (src, _), r in got.items():
+        if src == "stable":
+            assert abs(r.psi) < 0.12, r
+        else:
+            assert r.psi > 0.25, r
