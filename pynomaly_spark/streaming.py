@@ -50,6 +50,7 @@ __all__ = [
     "running_violation_rate",
     "streaming_exact_dedup",
     "streaming_psi_drift",
+    "streaming_lm_scores",
 ]
 
 
@@ -442,3 +443,83 @@ def score_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_lm_scores(
+    stream_df: DataFrame,
+    model_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Frozen-model unigram-LM likelihood scoring of a DOCUMENT STREAM —
+    the streaming twin of :func:`pynomaly_spark.lm.score_unigram_logprob`
+    (same smoothing, same OOV floor), deployed fit-then-stream like the
+    reference's ``stream()`` (loop.py:993-1046: frozen fit state scores
+    arrivals, never updated by them).
+
+    Plan shape: tokens explode STATELESSLY, then a STREAM-STATIC left
+    join against the frozen vocabulary relation (Structured Streaming
+    joins a static DataFrame without state — the static side is simply
+    available to every micro-batch), then one watermarked aggregate
+    keyed on ``(window(ts), doc_id)`` — per-doc state is two numbers,
+    bounded by the watermark.  The model's ``(N, V)`` scalars are a
+    one-row control-plane aggregate collected at plan-build time (the
+    :func:`pynomaly_spark.psi.baseline_histogram` precedent), so they
+    travel as literals.
+
+    Returns ``(window_start, id_col, n_tokens, logprob)``; runs
+    identically on a batch frame (batch-parity tested).  Documents are
+    assumed to arrive within one window (a doc split across windows
+    scores per fragment).
+    """
+    from .textops import _TOKEN_SPLIT
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    row = model_df.agg(
+        F.coalesce(F.sum(F.col("c").cast("double")), F.lit(0.0)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    ).first()
+    denom = float(row["n"]) + alpha * (float(row["v"]) + 1.0)
+
+    toks = (
+        stream_df.where(
+            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .select(
+            id_col,
+            ts_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+            ).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+    )
+    vocab = model_df.select(
+        F.col("token").alias("_vt"), F.col("c").cast("double").alias("_vc")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("_vc"), F.lit(0.0)) + F.lit(alpha)) / F.lit(denom)
+    )
+    return (
+        toks.withWatermark(ts_col, watermark)
+        .join(vocab, F.col("_t") == F.col("_vt"), "left")
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("_w"), id_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("logprob"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            id_col,
+            "n_tokens",
+            "logprob",
+        )
+    )

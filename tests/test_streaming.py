@@ -422,3 +422,75 @@ def test_streaming_psi_drift_keyed(spark):
             assert abs(r.psi) < 0.12, r
         else:
             assert r.psi > 0.25, r
+
+
+def test_streaming_lm_scores_frozen_model(spark, tmp_path):
+    """Stream-static LM scoring: a frozen vocabulary relation joins a
+    live document stream; per-window per-doc logprobs match the batch
+    operator AND the batch lm scorer; OOV docs take the alpha floor."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from pynomaly_spark.lm import score_unigram_logprob, unigram_model
+    from pynomaly_spark.streaming import streaming_lm_scores
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ate the cat food")],
+        "doc_id long, text string",
+    )
+    model = unigram_model(train, "text")
+
+    t0 = dt.datetime(2026, 3, 1)
+    docs = [
+        (10, t0, "the cat food"),
+        (11, t0 + dt.timedelta(minutes=5), "zxqv glorp"),  # all OOV
+        (12, t0 + dt.timedelta(hours=3), "the the dog"),
+        (13, t0 + dt.timedelta(hours=3, minutes=1), None),  # dropped
+    ]
+    ev = spark.createDataFrame(docs, "doc_id long, ts timestamp, text string")
+
+    in_dir = str(tmp_path / "lm_in")
+    ev.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_lm_scores(stream, model, window_duration="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "lm_out"))
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "lm_out")).collect()
+    }
+    # the last window is still open at end-of-stream (watermark), so
+    # only closed-window docs land in append mode
+    assert 10 in got and 11 in got and 13 not in got
+    assert got[10].n_tokens == 3
+    # batch parity: same operator over the landed frame (batch mode
+    # emits every window, including the one append held back)
+    batch = {
+        r.doc_id: r
+        for r in streaming_lm_scores(ev, model, window_duration="1 hour")
+        .collect()
+    }
+    assert set(batch) == {10, 11, 12}
+    for d, r in got.items():
+        assert batch[d].logprob == _pt.approx(r.logprob, abs=2e-6)
+        assert batch[d].n_tokens == r.n_tokens
+    # parity with the batch lm scorer (tf-weighted form, same math)
+    ref = {
+        r.doc_id: r.logprob
+        for r in score_unigram_logprob(
+            ev.where("text is not null"), model, "text", "doc_id"
+        ).collect()
+    }
+    for d in (10, 11, 12):
+        assert batch[d].logprob == _pt.approx(ref[d], abs=2e-6)
+    # OOV floor: doc 11 scores strictly lowest
+    assert batch[11].logprob < batch[10].logprob
+    assert batch[11].logprob < batch[12].logprob
