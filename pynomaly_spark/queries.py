@@ -2044,6 +2044,71 @@ GROUP BY d.hour, pt.n
 """
 
 
+_LM_T0 = "2026-01-01 00:00:00"
+
+
+def q_doc_lm_stream(spark, sf_dir):
+    """Batch mode of ``streaming.streaming_lm_scores`` (the SAME
+    operator the stream runs — stream-static frozen-vocabulary join +
+    windowed per-doc aggregate): docs get synthetic arrival times
+    (one per minute from a fixed origin), the model is trained frozen
+    on the corpus, and each hourly window's docs score against it."""
+    from pynomaly_spark.lm import unigram_model
+    from pynomaly_spark.streaming import streaming_lm_scores
+
+    doc = _doc(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    model = unigram_model(doc, "text")
+    ev = doc.withColumn(
+        "ts",
+        F.to_timestamp(F.lit(_LM_T0))
+        + F.make_interval(mins=F.col("doc_id").cast("int")),
+    )
+    out = streaming_lm_scores(
+        ev, model, "text", "doc_id", "ts",
+        alpha=_LM_ALPHA, window_duration="1 hour",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "doc_id",
+        "n_tokens",
+        "logprob",
+    )
+
+
+def _lm_stream_sql() -> str:
+    from .textops import _TOKEN_SPLIT
+
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, text,
+         TIMESTAMP '{_LM_T0}' + to_minutes(doc_id) AS ts
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), tok AS (
+  SELECT doc_id, ts,
+         unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t
+  FROM d0
+), tok2 AS (
+  SELECT * FROM tok WHERE t <> ''
+), model AS (
+  SELECT t, count(*) AS c FROM tok2 GROUP BY t
+), stats AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM model
+)
+SELECT strftime(date_trunc('hour', k.ts), '%Y-%m-%d %H') AS hour,
+       k.doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln((COALESCE(m.c, 0) + {_LM_ALPHA})
+                    / (s.n + {_LM_ALPHA} * (s.v + 1.0)))), 6) AS logprob
+FROM tok2 k
+LEFT JOIN model m ON k.t = m.t
+CROSS JOIN stats s
+GROUP BY hour, k.doc_id
+"""
+
+
 def q_emb_centroid_drift(spark, sf_dir):
     """Embedding-centroid drift per label vs the pooled corpus centroid
     (``similarity.centroid_drift``) — the representation-space drift
@@ -2811,6 +2876,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_funnel": q_doc_funnel,
     "emb_centroid_drift": q_emb_centroid_drift,
+    "doc_lm_stream": q_doc_lm_stream,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2864,6 +2930,7 @@ ORACLES: Dict[str, str] = {
     "doc_dup_ngrams": _dup_ngrams_sql(),
     "doc_funnel": _funnel_sql(),
     "emb_centroid_drift": _centroid_drift_sql(),
+    "doc_lm_stream": _lm_stream_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

@@ -41,7 +41,7 @@ def test_queries_and_oracles_line_up():
     assert rows_only == {
         "doc_drift_loop",
         "doc_media_features", "doc_media_wav",
-        "doc_media_qoi", "doc_media_y4m",
+        "doc_media_qoi", "doc_media_y4m", "doc_media_thumbs",
     }
 
 
