@@ -36,6 +36,7 @@ __all__ = [
     "embedding_near_dups",
     "dup_clusters",
     "dup_ngram_fraction",
+    "incremental_dedup",
 ]
 
 
@@ -141,6 +142,34 @@ def minhash_signatures(
     return base.select(F.col(id_col), sig.alias("minhash_sig"))
 
 
+def _band_explode(
+    sigs: DataFrame, id_col: str, bands: int, num_perm: int
+) -> DataFrame:
+    """``(id, band, band_hash)`` rows: the signature sliced into
+    ``bands`` concatenated-and-hashed keys (shared by the self-join and
+    cross-corpus LSH paths)."""
+    rows_per_band = max(1, num_perm // bands)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("minhash_sig").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "row_id",
@@ -160,27 +189,7 @@ def lsh_candidate_pairs(
         # on head() (round-3 judge item 3)
         return _empty_pairs(sigs, id_col)
     num_perm = int(num_perm_row["s"])
-    rows_per_band = max(1, num_perm // bands)
-
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col("minhash_sig").getItem(b * rows_per_band + r)
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(band_hashes).alias("band", "band_hash"),
-    )
+    banded = _band_explode(sigs, id_col, bands, num_perm)
 
     counts = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("_n")
@@ -582,3 +591,111 @@ def dup_ngram_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Dedupe a NEW batch against a FROZEN existing corpus — the
+    incremental-ingestion path every production crawl runs: each new
+    crawl deduplicates against petabytes already ingested, never
+    against itself alone.
+
+    Returns ``new_df``'s rows plus ``drop_reason``: ``'exact'`` (its
+    content digest already exists), ``'near_dup'`` (a banded MinHash
+    candidate against an EXISTING doc verified at ``jaccard >=
+    threshold``), or NULL (survivor).  Exact precedence over near.
+    Null-text rows survive with a NULL reason (they carry no content
+    evidence), matching :func:`exact_dedup`'s null handling.
+
+    PRECONDITION: ids are unique ACROSS both frames (engine row ids are
+    xxhash64(repo, path, commit), which satisfies this).
+
+    Scale shape: the exact pass is a digest-keyed left join of narrow
+    keys against the existing digest set (no broadcast hint — the
+    existing corpus' digest relation is unbounded; AQE picks the
+    strategy).  The near pass bands BOTH sides and joins NEW x EXISTING
+    buckets only — never existing x existing (the petabyte side never
+    self-joins), with the viral-bucket guard applied to the EXISTING
+    side (boilerplate lives in the corpus).  Candidate verification is
+    the exact shingle Jaccard over the union'd slim text relation.
+    The whole pass is the xxhash64 scale path; cross-engine
+    verification runs through the md5-twin device in the registry
+    query (``doc_incremental_dedup``), exactly like ``doc_near_dups``.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    dg = F.sha2(F.col(text_col), 256)
+    existing_digests = (
+        existing_df.where(F.col(text_col).isNotNull())
+        .select(dg.alias("_xdg"))
+        .distinct()
+    )
+    keyed = new_df.withColumn("_dg", dg)
+    exact_hit = (
+        keyed.join(
+            existing_digests, F.col("_dg") == F.col("_xdg"), "left"
+        )
+        .withColumn("_exact", F.col("_xdg").isNotNull())
+        .drop("_xdg")
+    )
+
+    sigs_new = minhash_signatures(new_df, text_col, id_col, num_perm, shingle_n)
+    sigs_old = minhash_signatures(
+        existing_df, text_col, id_col, num_perm, shingle_n
+    )
+    if sigs_new.select(F.size("minhash_sig").alias("s")).head() is None:
+        near_ids = _empty_pairs(sigs_new, id_col).select(
+            F.col("id_a").alias("_nid")
+        )
+    else:
+        bn = _band_explode(sigs_new, id_col, bands, num_perm)
+        bo = _band_explode(sigs_old, id_col, bands, num_perm)
+        ok = (
+            bo.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        pairs = (
+            bn.join(ok, ["band", "band_hash"], "left_semi")
+            .select("band", "band_hash", F.col(id_col).alias("id_a"))
+            .join(
+                bo.select(
+                    "band", "band_hash", F.col(id_col).alias("id_b")
+                ),
+                ["band", "band_hash"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        texts = new_df.select(id_col, text_col).unionByName(
+            existing_df.select(id_col, text_col)
+        )
+        near_ids = (
+            ngram_jaccard(pairs, texts, text_col, id_col, shingle_n)
+            .where(F.col("jaccard") >= threshold)
+            .select(F.col("id_a").alias("_nid"))
+            .distinct()
+        )
+
+    out = (
+        exact_hit.join(
+            near_ids, F.col(id_col) == F.col("_nid"), "left"
+        )
+        .select(
+            *new_df.columns,
+            F.when(F.col("_exact"), F.lit("exact"))
+            .when(F.col("_nid").isNotNull(), F.lit("near_dup"))
+            .alias("drop_reason"),
+        )
+    )
+    return out

@@ -2044,6 +2044,77 @@ GROUP BY d.hour, pt.n
 """
 
 
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup report (``dedup.incremental_dedup``
+    semantics, md5-twin device for engine verification like
+    ``doc_near_dups``): even doc_ids play the FROZEN existing corpus,
+    odd doc_ids the new batch.  A new doc drops as 'exact' when its
+    digest already exists, as 'near' when a verified near-dup pair
+    crosses the batch boundary (vs-corpus only — new x new twins both
+    survive; the xxhash64 scale path is pytest-covered in
+    ``TestIncrementalDedup``)."""
+    doc = _doc(spark, sf_dir)
+    pairs = q_doc_near_dups(spark, sf_dir)
+    near_new = (
+        pairs.where((F.col("id_a") % 2) != (F.col("id_b") % 2))
+        .select(
+            F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("_nid")
+        )
+        .distinct()
+    )
+    ex_dg = (
+        doc.where((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select(F.md5("text").alias("_xdg"))
+        .distinct()
+    )
+    newd = doc.where(F.col("doc_id") % 2 == 1).withColumn(
+        "_dg", F.md5("text")
+    )
+    en = newd.join(ex_dg, F.col("_dg") == F.col("_xdg"), "left").join(
+        near_new, F.col("doc_id") == F.col("_nid"), "left"
+    )
+    is_exact = F.col("_xdg").isNotNull().cast("long")
+    is_near = (
+        F.col("_xdg").isNull() & F.col("_nid").isNotNull()
+    ).cast("long")
+    return en.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(is_exact).alias("dropped_exact"),
+        F.sum(is_near).alias("dropped_near"),
+        F.sum(F.lit(1) - is_exact - is_near).alias("survivors"),
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    return f"""
+WITH nd AS ({_near_dups_sql()}
+), ex AS (
+  SELECT DISTINCT md5(text) AS dg FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL
+), new_docs AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1
+), near_new AS (
+  SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+  FROM nd WHERE (id_a % 2) <> (id_b % 2)
+), en AS (
+  SELECT n.doc_id, n.source,
+         CASE WHEN e.dg IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+         CASE WHEN e.dg IS NULL AND r.doc_id IS NOT NULL
+              THEN 1 ELSE 0 END AS is_near
+  FROM new_docs n
+  LEFT JOIN ex e ON md5(n.text) = e.dg
+  LEFT JOIN near_new r ON n.doc_id = r.doc_id
+)
+SELECT source, count(*) AS n_new,
+       CAST(sum(is_exact) AS BIGINT) AS dropped_exact,
+       CAST(sum(is_near) AS BIGINT) AS dropped_near,
+       CAST(sum(1 - is_exact - is_near) AS BIGINT) AS survivors
+FROM en GROUP BY source
+"""
+
+
 _LM_T0 = "2026-01-01 00:00:00"
 
 
@@ -2877,6 +2948,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_funnel": q_doc_funnel,
     "emb_centroid_drift": q_emb_centroid_drift,
     "doc_lm_stream": q_doc_lm_stream,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "lineitem_rollup": q_lineitem_rollup,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
@@ -2931,6 +3003,7 @@ ORACLES: Dict[str, str] = {
     "doc_funnel": _funnel_sql(),
     "emb_centroid_drift": _centroid_drift_sql(),
     "doc_lm_stream": _lm_stream_sql(),
+    "doc_incremental_dedup": _incremental_dedup_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "doc_tfidf_terms": _tfidf_sql(),
     # rows-only (not oracle-SQL-expressible): doc_drift_loop (tie-heavy

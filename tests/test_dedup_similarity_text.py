@@ -1164,3 +1164,69 @@ class TestCentroidDrift:
             .toString()
         )
         assert "Generate" not in plan  # flat sums, never posexplode
+
+
+class TestIncrementalDedup:
+    BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def _frames(self, spark):
+        existing = spark.createDataFrame(
+            [
+                (1, self.BASE),
+                (2, "pack my box with five dozen liquor jugs for the trip"),
+            ],
+            "row_id long, content string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, self.BASE),                             # exact dup
+                (11, self.BASE.replace("quick", "clever")),  # near dup
+                (12, "completely novel content about spark planning"),
+                (13, None),                                  # null text
+            ],
+            "row_id long, content string",
+        )
+        return new, existing
+
+    def test_drop_reasons(self, spark):
+        from pynomaly_spark.dedup import incremental_dedup
+        new, existing = self._frames(spark)
+        got = {
+            r.row_id: r.drop_reason
+            for r in incremental_dedup(
+                new, existing, threshold=0.3, shingle_n=2
+            ).collect()
+        }
+        assert got == {10: "exact", 11: "near_dup", 12: None, 13: None}
+
+    def test_never_self_joins_new_batch(self, spark):
+        """Two identical NEW docs must both survive when the existing
+        corpus has no match — incremental dedup is vs-corpus only."""
+        from pynomaly_spark.dedup import incremental_dedup
+        new = spark.createDataFrame(
+            [(20, "twin text payload here exactly"),
+             (21, "twin text payload here exactly")],
+            "row_id long, content string",
+        )
+        _, existing = self._frames(spark)
+        got = {
+            r.row_id: r.drop_reason
+            for r in incremental_dedup(new, existing, threshold=0.3).collect()
+        }
+        assert got == {20: None, 21: None}
+
+    def test_all_null_new_batch(self, spark):
+        from pynomaly_spark.dedup import incremental_dedup
+        new = spark.createDataFrame(
+            [(30, None), (31, None)], "row_id long, content string"
+        )
+        _, existing = self._frames(spark)
+        got = incremental_dedup(new, existing).collect()
+        assert len(got) == 2 and all(r.drop_reason is None for r in got)
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pt
+        from pynomaly_spark.dedup import incremental_dedup
+        new, existing = self._frames(spark)
+        with _pt.raises(ValueError):
+            incremental_dedup(new, existing, threshold=1.5)
