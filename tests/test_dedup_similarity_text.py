@@ -1230,3 +1230,10 @@ class TestIncrementalDedup:
         new, existing = self._frames(spark)
         with _pt.raises(ValueError):
             incremental_dedup(new, existing, threshold=1.5)
+
+    def test_empty_existing_corpus_all_survive(self, spark):
+        from pynomaly_spark.dedup import incremental_dedup
+        new, _ = self._frames(spark)
+        empty = spark.createDataFrame([], "row_id long, content string")
+        got = incremental_dedup(new, empty, threshold=0.3).collect()
+        assert len(got) == 4 and all(r.drop_reason is None for r in got)

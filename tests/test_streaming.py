@@ -494,3 +494,19 @@ def test_streaming_lm_scores_frozen_model(spark, tmp_path):
     # OOV floor: doc 11 scores strictly lowest
     assert batch[11].logprob < batch[10].logprob
     assert batch[11].logprob < batch[12].logprob
+
+
+def test_streaming_lm_scores_empty_model_floor(spark):
+    """An all-pruned (empty) vocabulary scores every token at the
+    ln(alpha/alpha)=0 floor instead of dividing by zero."""
+    import datetime as dt
+
+    from pynomaly_spark.streaming import streaming_lm_scores
+
+    model = spark.createDataFrame([], "token string, c long")
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2026, 4, 1), "some words here")],
+        "doc_id long, ts timestamp, text string",
+    )
+    rows = streaming_lm_scores(ev, model).collect()
+    assert len(rows) == 1 and rows[0].logprob == 0.0
