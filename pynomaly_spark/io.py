@@ -19,12 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StringType, StructField, StructType
+
 from .schema import CODE_TABLE_SCHEMA
+
+
+def _permissive_schema() -> StructType:
+    """CODE_TABLE_SCHEMA + ``_corrupt_record`` as a FRESH StructType.
+
+    ``StructType.add`` MUTATES the receiver, so calling it on the shared
+    module constant appends ``_corrupt_record`` permanently — the second
+    text-format read in a session then collides with
+    ``COLUMN_ALREADY_EXISTS``.  Build a copy, and filter defensively in
+    case the constant was already polluted by older code paths.
+    """
+    fields = [
+        f for f in CODE_TABLE_SCHEMA.fields if f.name != "_corrupt_record"
+    ]
+    return StructType(fields + [StructField("_corrupt_record", StringType(), True)])
 
 __all__ = [
     "read_code_table",
     "read_code_table_catalog",
     "read_code_table_json",
+    "read_code_table_csv",
     "write_partitioned",
 ]
 
@@ -87,12 +105,33 @@ def read_code_table_json(
     constraint suite can count and quarantine them instead of crashing —
     the engine's version of the reference's coerce-and-warn behavior.
     """
-    schema = CODE_TABLE_SCHEMA.add("_corrupt_record", "string")
     return (
-        spark.read.schema(schema)
+        spark.read.schema(_permissive_schema())
         .option("mode", mode)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
+    )
+
+
+def read_code_table_csv(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingest under the same explicit malformed-row contract as
+    :func:`read_code_table_json` (PERMISSIVE keeps bad rows schema-null
+    with the raw line in ``_corrupt_record``); multiline quoted fields
+    and escaped quotes are on, since code content embeds newlines and
+    quotes routinely."""
+    return (
+        spark.read.schema(_permissive_schema())
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
     )
 
 

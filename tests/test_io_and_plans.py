@@ -107,3 +107,40 @@ def test_read_code_table_catalog_view(spark, code_dir):
     ]
     direct = read_code_table(spark, code_dir)
     assert df.count() == direct.count() > 0
+
+
+def test_permissive_csv_ingest(spark, tmp_path):
+    """CSV ingest: header, multiline quoted content with embedded
+    newlines/quotes (code!), and PERMISSIVE corrupt-row capture."""
+    from pynomaly_spark.io import read_code_table_csv
+
+    p = str(tmp_path / "rows.csv")
+    with open(p, "w") as fh:
+        fh.write("repo,path,commit,lang,content\n")
+        fh.write('a/b,x.py,c1,python,"def f():\n    return ""ok"""\n')
+        fh.write('a/b,y.py,c2,,\n')
+    df = read_code_table_csv(spark, p)
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == {"x.py", "y.py"}
+    assert rows["x.py"]["content"] == 'def f():\n    return "ok"'
+    assert rows["y.py"]["lang"] is None
+    assert all(r["_corrupt_record"] is None for r in rows.values())
+
+
+def test_text_readers_do_not_mutate_shared_schema(spark, tmp_path):
+    """StructType.add mutates its receiver: two text-format reads in one
+    session once collided with COLUMN_ALREADY_EXISTS.  Both readers must
+    build fresh schemas and leave the module constant untouched."""
+    from pynomaly_spark.io import read_code_table_csv, read_code_table_json
+    from pynomaly_spark.schema import CODE_TABLE_SCHEMA
+
+    j = str(tmp_path / "r.json")
+    c = str(tmp_path / "r.csv")
+    with open(j, "w") as fh:
+        fh.write('{"repo":"a","path":"p","commit":"c","lang":"l","content":"x"}\n')
+    with open(c, "w") as fh:
+        fh.write("repo,path,commit,lang,content\na,p,c,l,x\n")
+    for _ in range(2):  # twice each: the mutation bug fired on call 2
+        assert read_code_table_json(spark, j).count() == 1
+        assert read_code_table_csv(spark, c).count() == 1
+    assert "_corrupt_record" not in [f.name for f in CODE_TABLE_SCHEMA.fields]
