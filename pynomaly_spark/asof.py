@@ -80,12 +80,11 @@ def asof_join(
     # strict — the running last() then sees exactly the qualifying set
     right_ord = 2 if strict else 0
     # among equal-µs right rows the greatest tiebreak wins (last in
-    # window order); the oracle twin dedupes with the same rule
-    tb = (
-        F.col(right_tiebreak).cast("double")
-        if right_tiebreak
-        else F.lit(0.0)
-    )
+    # window order); the oracle twin dedupes with the same rule.  The
+    # tiebreak keeps its NATIVE type — casting to double would lose
+    # precision for 64-bit ids above 2^53 and equal-timestamp ties could
+    # then resolve differently from the oracle's exact integer ORDER BY
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
 
     pay_t = F.struct(
         F.col("_asof_us").alias("matched_us"),
@@ -103,7 +102,9 @@ def asof_join(
         *[F.col(k).alias(a) for k, a in zip(on, keys)],
         "_asof_us",
         F.lit(1).alias("_asof_ord"),
-        F.lit(0.0).alias("_asof_tb"),
+        # left rows never tie with right rows on (_asof_us, _asof_ord),
+        # so the tiebreak slot is a typed NULL, matching the right side
+        F.lit(None).cast(r.schema["_asof_tb"].dataType).alias("_asof_tb"),
         F.lit(None).cast(r.schema["_asof_pay"].dataType).alias("_asof_pay"),
         row_t.alias("_asof_row"),
     )

@@ -46,7 +46,9 @@ def histogram_psi(
     eps: float = 0.5,
 ) -> DataFrame:
     """Per-partition PSI of ``value_col``'s histogram vs the global
-    (all-partitions) baseline.  Nulls in ``value_col`` are excluded;
+    (all-partitions) baseline.  Nulls and NaNs in ``value_col`` are
+    excluded (Spark casts ``floor(NaN)`` to int 0, which would silently
+    bin NaN into bin 0 while DuckDB errors on the same cast);
     values outside ``[0, n_bins * bin_width)`` clamp into the edge bins.
 
     Returns ``(partition_col, n_rows, psi)`` — psi rounded to 6 dp.
@@ -57,7 +59,7 @@ def histogram_psi(
         raise ValueError("bin_width and eps must be > 0")
 
     x = F.col(value_col).cast("double")
-    obs = df.filter(x.isNotNull()).select(
+    obs = df.filter(x.isNotNull() & ~F.isnan(x)).select(
         F.col(partition_col), _bin(x, n_bins, bin_width).alias("_bin")
     )
     hist_cols = [
@@ -118,7 +120,7 @@ def baseline_histogram(
     if bin_width <= 0:
         raise ValueError("bin_width must be > 0")
     x = F.col(value_col).cast("double")
-    obs = df.filter(x.isNotNull()).select(
+    obs = df.filter(x.isNotNull() & ~F.isnan(x)).select(
         _bin(x, n_bins, bin_width).alias("_bin")
     )
     row = obs.agg(
@@ -168,7 +170,7 @@ def histogram_ks(
         raise ValueError("bin_width must be > 0")
 
     x = F.col(value_col).cast("double")
-    obs = df.filter(x.isNotNull()).select(
+    obs = df.filter(x.isNotNull() & ~F.isnan(x)).select(
         F.col(partition_col), _bin(x, n_bins, bin_width).alias("_bin")
     )
     cum_cols = [

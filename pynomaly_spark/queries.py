@@ -1651,7 +1651,8 @@ WITH e AS (
                              ROWS UNBOUNDED PRECEDING) AS sess_idx
   FROM marked
 )
-SELECT user_id, sess_idx,
+SELECT user_id,
+       CAST(sess_idx AS BIGINT) AS sess_idx,
        count(*) AS n_events,
        min(us) AS start_us,
        max(us) - min(us) AS duration_us,

@@ -51,6 +51,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_psi_drift",
     "streaming_lm_scores",
+    "streaming_sessions",
 ]
 
 

@@ -39,6 +39,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _render_cell(v) -> str:
+    """Driver-style rendering: the gate hashes each value AS RENDERED,
+    so an int64 ``5`` and a float64 ``5.0`` are different even though a
+    tolerant numeric compare treats them as equal (that asymmetry is
+    exactly how the round-4 ``events_sessions`` HUGEINT bug shipped —
+    the DuckDB window ``sum()`` arrived as float64 and hashed "5.0")."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\\N"
+        return repr(v)
+    return str(v)
+
+
+def _rendered(df: pd.DataFrame) -> list:
+    return [
+        "\x1f".join(_render_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
 def compare_all(spark, sf_dir: str, names=None):
     import __spark_entry__ as entry_mod
 
@@ -77,6 +99,18 @@ def compare_all(spark, sf_dir: str, names=None):
                 )
             except AssertionError as e:
                 ok, detail = False, str(e).split("\n")[0][:300]
+            if ok:
+                # Driver-strictness pass: compare RENDERED values the way
+                # the gate hashes them (type/rendering divergences such as
+                # int-vs-float are invisible to the tolerant compare).
+                ra, rb = _rendered(a), _rendered(b)
+                if ra != rb:
+                    bad_i = next(i for i, (x, y) in enumerate(zip(ra, rb)) if x != y)
+                    ok = False
+                    detail = (
+                        f"rendered-value mismatch (type/format) at row {bad_i}: "
+                        f"spark={ra[bad_i][:120]!r} oracle={rb[bad_i][:120]!r}"
+                    )
         results[name] = {"mode": "oracle", "rows": len(a), "ok": ok, "detail": detail}
     return results
 
