@@ -595,20 +595,35 @@ def run_suite(
                 n_bins=chk.n_bins,
                 bin_width=chk.bin_width,
             )
-            metric_frames.append(
-                p.select(
-                    "partition_id",
-                    F.lit(chk.name).alias("check_name"),
-                    F.lit("psi").alias("metric"),
-                    F.col("psi").cast("double").alias("value"),
-                    F.lit(float(chk.max_psi)).cast("double").alias(
-                        "threshold"
-                    ),
-                    (F.col("psi") <= F.lit(float(chk.max_psi))).alias(
-                        "passed"
-                    ),
+
+            # Left-join onto the partition universe: histogram_psi drops
+            # null/NaN values, so a partition whose column is ALL null
+            # emits no PSI row — absence-as-pass, the same defect the
+            # count/drift checks fixed.  Unscorable partitions surface
+            # as an explicit FAIL row (value NULL, passed false).  The
+            # PSI result is one tiny row per partition → broadcast.
+            # Built as a thunk so the universe resolves after primer
+            # job 1 (same discipline as the other universe consumers).
+            def _psi_metric_frame(p=p, chk=chk) -> DataFrame:
+                return (
+                    _universe()
+                    .join(F.broadcast(p), on="partition_id", how="left")
+                    .select(
+                        "partition_id",
+                        F.lit(chk.name).alias("check_name"),
+                        F.lit("psi").alias("metric"),
+                        F.col("psi").cast("double").alias("value"),
+                        F.lit(float(chk.max_psi)).cast("double").alias(
+                            "threshold"
+                        ),
+                        F.coalesce(
+                            F.col("psi") <= F.lit(float(chk.max_psi)),
+                            F.lit(False),
+                        ).alias("passed"),
+                    )
                 )
-            )
+
+            metric_frames.append(_psi_metric_frame)
 
     # Partition universe for violation-count checks: aggregating only
     # violating rows leaves clean partitions with NO metric row —

@@ -124,8 +124,17 @@ def loop_grouped(
     carry_cols: Optional[list] = None,
     salt_col: Optional[str] = None,
     feature_cols: Optional[list] = None,
+    exact_tiebreak: bool = False,
 ) -> DataFrame:
     """Exact per-group LoOP via one grouped Arrow UDF stage.
+
+    ``exact_tiebreak``: sort each group by ``id_col`` and select kNN
+    neighbors by ``(distance, id)`` lexicographic order
+    (:func:`pynomaly_spark.kernel.knn`) — required for cross-engine
+    oracle parity on tie-heavy features (identical feature rows make
+    the default argpartition subset arbitrary).  Ids must be orderable
+    consistently with the oracle's ``ORDER BY`` (integers, or strings
+    whose lexicographic order is the intended one).
 
     Input: ``(id_col, partition_col, features_col: array<double>)`` — or,
     with ``feature_cols``, one scalar double column per dimension, which
@@ -154,6 +163,10 @@ def loop_grouped(
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if exact_tiebreak:
+            # position order == id order, so the kernel's stable-sort
+            # tie-break equals the oracle's ORDER BY (dist, id)
+            pdf = pdf.sort_values(id_col, kind="stable")
         pid = _pid_str(pdf[partition_col].iloc[0])
         row_ids = pdf[id_col].to_numpy()
         if len(pdf) <= k:
@@ -163,7 +176,9 @@ def loop_grouped(
                 pts = pdf[fcols].to_numpy(dtype=np.float64)
             else:
                 pts = np.stack(pdf[features_col].to_numpy())
-            res = kernel.loop_scores(pts, n_neighbors=k, extent=ext)
+            res = kernel.loop_scores(
+                pts, n_neighbors=k, extent=ext, exact_tiebreak=exact_tiebreak
+            )
             out = _result_frame(pid, row_ids, res)
         for c in carry:
             out[c] = pdf[c].to_numpy()

@@ -68,6 +68,7 @@ def knn(
     chunk_size: int = 256,
     col_block: Optional[int] = None,
     progress_cb=None,
+    exact_tiebreak: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN per group (Euclidean), never across groups.
 
@@ -75,6 +76,20 @@ def knn(
     are **global row indexes** into ``points``.  The k columns are an
     unordered k-smallest subset (argpartition semantics), matching the
     reference; downstream math only consumes the multiset.
+
+    ``exact_tiebreak=True`` switches to the DETERMINISM path: the k
+    neighbors are selected by ``(squared distance, row position)``
+    lexicographic order — on tie-heavy features (identical rows →
+    exactly equal distances) the argpartition default picks an
+    arbitrary tied subset, which a cross-engine oracle cannot
+    reproduce.  Callers must order rows by their external id so that
+    position order == id order (the oracle twin's ``ORDER BY dist,
+    id``).  This path computes full float64 pairwise distances
+    (chunked rows, O(m) memory per row, no float32 candidate stage —
+    tied candidates beyond the 2k margin would otherwise be dropped
+    arbitrarily), so it costs more bandwidth than the default; it is
+    the validation/oracle path, not the 100-TB hot path (at scale,
+    dedup identical feature rows first — ties collapse).
 
     ``progress_cb(completed_rows, total_rows)`` is invoked after each
     chunk — the hook the library API uses for the reference's chunked
@@ -100,6 +115,29 @@ def knn(
             raise ValueError(
                 "group size %d requires n_neighbors < group size" % m
             )
+        if exact_tiebreak:
+            # determinism path: raw (uncentered) float64 diffs are
+            # translation-exact; stable argsort on squared distance
+            # breaks exact ties by COLUMN POSITION, i.e. ascending row
+            # order — the cross-engine (dist, id) contract
+            step = min(chunk_size, m)
+            for start in range(0, m, step):
+                end = min(start + step, m)
+                c = end - start
+                diff = gp[start:end, None, :] - gp[None, :, :]
+                sq = np.einsum("cnd,cnd->cn", diff, diff)
+                rows = np.arange(c)
+                sq[rows, rows + start] = np.inf  # mask self
+                knn_local = np.argsort(sq, axis=1, kind="stable")[:, :k]
+                knn_sq = np.take_along_axis(sq, knn_local, axis=1)
+                np.maximum(knn_sq, 0.0, out=knn_sq)
+                gsel = gidx[start:end]
+                dists[gsel] = np.sqrt(knn_sq)
+                idxs[gsel] = gidx[knn_local]
+                completed += c
+                if progress_cb is not None:
+                    progress_cb(completed, n)
+            continue
         # Two-stage selection, engineered for memory bandwidth (the kernel
         # saturates the bus long before the cores under Spark concurrency):
         #   1. CANDIDATES in float32 — squared-distance blocks at half the
@@ -306,9 +344,13 @@ def loop_scores(
     n_neighbors: int = 10,
     extent: int = 3,
     labels: Optional[np.ndarray] = None,
+    exact_tiebreak: bool = False,
 ) -> LoopResult:
-    """Raw-feature entry point: exact kNN then the LoOP pipeline."""
-    d, ids = knn(points, n_neighbors, labels=labels)
+    """Raw-feature entry point: exact kNN then the LoOP pipeline.
+
+    ``exact_tiebreak``: deterministic ``(dist, position)`` neighbor
+    selection for tie-heavy features — see :func:`knn`."""
+    d, ids = knn(points, n_neighbors, labels=labels, exact_tiebreak=exact_tiebreak)
     return loop_from_knn(d, ids, n_neighbors, extent=extent, labels=labels)
 
 

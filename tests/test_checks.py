@@ -404,3 +404,41 @@ def test_psi_drift_check_flags_shifted_partition(spark):
     by = m.set_index("partition_id")
     assert not by.loc["weird"].passed and by.loc["weird"].value > 0.25
     assert by.loc["stable_a"].passed and by.loc["stable_b"].passed
+
+
+def test_psi_drift_all_null_partition_emits_failed_row(spark):
+    """A partition whose gated column is ALL NULL has no scorable values
+    — histogram_psi emits nothing for it, which must surface as an
+    explicit FAILED metric row via the partition universe, never as a
+    missing row (absence-as-pass, the round-4 advice item)."""
+    import math
+
+    from pynomaly_spark.checks import CheckSuite, PsiDrift, run_suite
+
+    # real_a and real_b share the SAME length mix (alternating 200/500)
+    # so neither drifts vs the pooled baseline; ghost is all-NULL.
+    rows = []
+    for part, n_rows, content in (
+        ("real_a", 300, "x"),
+        ("real_b", 300, "y"),
+        ("ghost", 40, None),
+    ):
+        for i in range(n_rows):
+            body = None if content is None else content * (200, 500)[i % 2]
+            rows.append((f"r_{part}", f"f{i}.py", f"c{i}", part, body))
+    files = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    res = run_suite(
+        files,
+        CheckSuite(checks=[PsiDrift(n_bins=16, bin_width=256.0)]),
+        partition_expr=F.col("lang"),
+    )
+    m = res.metrics.toPandas().set_index("partition_id")
+    res.unpersist()
+    assert set(m.index) == {"real_a", "real_b", "ghost"}
+    ghost = m.loc["ghost"]
+    assert not ghost.passed
+    assert ghost.value is None or math.isnan(ghost.value)
+    assert m.loc["real_a"].passed and m.loc["real_b"].passed

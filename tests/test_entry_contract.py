@@ -32,15 +32,14 @@ def test_queries_and_oracles_line_up():
     o = mod.oracle_sql()
     assert set(o) <= set(q)
     # rows-only entries are the documented non-SQL-expressible ops:
-    # binary codec work, plus doc_drift_loop (tie-heavy length features
-    # make the kNN subset engine-dependent).  Round 4 flipped
-    # emb_drift_loop to oracle-checked (generated Taylor-erf twin) —
-    # the FULL kernel incl. the [0,1] map is now hash-verified on the
-    # tie-free embeddings.
+    # binary codec work whose containers DuckDB cannot decode.  Round 4
+    # flipped emb_drift_loop (generated Taylor-erf twin); round 5
+    # flipped doc_drift_loop (exact_tiebreak kNN: ties selected by
+    # (dist, doc_id) on BOTH engines) and doc_media_features (the PPM
+    # raster is recomputable in SQL from its md5 generation inputs).
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "doc_drift_loop",
-        "doc_media_features", "doc_media_wav",
+        "doc_media_wav",
         "doc_media_qoi", "doc_media_y4m", "doc_media_thumbs",
     }
 

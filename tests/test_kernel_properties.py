@@ -120,3 +120,47 @@ def test_blocked_path_over_65536_shape():
     d, ids = kernel.knn(pts, 10, col_block=40)
     assert d.shape == (606, 10)
     assert np.all(np.isfinite(d)) and np.all(ids >= 0)
+
+
+def test_exact_tiebreak_matches_lexicographic_bruteforce():
+    """exact_tiebreak=True must select neighbors by (squared distance,
+    row position) lexicographic order — the cross-engine ORDER BY
+    (dist, id) contract — including on tie-HEAVY inputs where the
+    default argpartition subset is arbitrary."""
+    rng = np.random.default_rng(42)
+    # heavy ties: only 6 distinct rows replicated across 60 positions
+    base = rng.integers(0, 4, size=(6, 3)).astype(np.float64)
+    pts = base[rng.integers(0, 6, size=60)]
+    k = 5
+    d, ids = kernel.knn(pts, k, exact_tiebreak=True)
+    for i in range(len(pts)):
+        sq = np.sum((pts - pts[i]) ** 2, axis=1)
+        sq[i] = np.inf
+        order = sorted(range(len(pts)), key=lambda j: (sq[j], j))
+        expect = order[:k]
+        # stable argsort returns the selection IN (sq, position) order
+        assert ids[i].tolist() == expect, i
+        # multiset of distances must be the true k-smallest either way
+        np.testing.assert_allclose(
+            np.sort(d[i] ** 2), np.sort(sq[expect]), rtol=0, atol=1e-12
+        )
+
+
+def test_exact_tiebreak_equals_default_on_tie_free_data():
+    """On tie-free data both selection strategies return the same
+    k-smallest multiset, so every LoOP stage is identical."""
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(80, 4))
+    a = kernel.loop_scores(pts, n_neighbors=10)
+    b = kernel.loop_scores(pts, n_neighbors=10, exact_tiebreak=True)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-12)
+    np.testing.assert_allclose(a.prob_distance_ev, b.prob_distance_ev, atol=1e-12)
+
+
+def test_exact_tiebreak_grouped_labels():
+    """Tie-break selection never crosses group boundaries."""
+    rng = np.random.default_rng(3)
+    pts = np.repeat(rng.normal(size=(8, 2)), 6, axis=0)  # 48 rows, ties
+    labels = np.array([0] * 24 + [1] * 24)
+    _, ids = kernel.knn(pts, 4, labels=labels, exact_tiebreak=True)
+    assert (ids[:24] < 24).all() and (ids[24:] >= 24).all()
