@@ -766,6 +766,23 @@ def run_suite(
         )
 
     # ---- 4. sha256 row invariant (digest precomputed in enriched) --------
+    # Engine-key path is TWO-PHASE (round-5 shuffle audit,
+    # tools/profile_shuffles.py): the old single join exchanged every
+    # key string + digest on BOTH sides — at 8M rows two ~1.04 GB
+    # exchanges into one sort-merge join, the suite's largest bus load
+    # by 2x.  Phase 1 ships only (row_id, 32-byte digest) per side
+    # (~40 B/row, a 3x narrower exchange, and the staged-parquet scan
+    # prunes to two columns) and keeps row_ids where ANY joined pair
+    # disagrees on the digest.  That candidate set is a strict superset
+    # of the true mismatches: key-equal rows always share a row_id and
+    # their digest comparison IS the final predicate, while hash
+    # collisions only ADD candidates.  Phase 2 semi-joins the (rare)
+    # candidates back onto both sides with full keys and re-applies the
+    # exact key-equality + digest predicate — the result set is
+    # identical to the single wide join, so exactness is preserved.
+    # Deferred like uniqueness: the candidate count collected by primer
+    # job 1 decides broadcast vs shuffle for the phase-2 semi-joins.
+    _deferred_sha: List = []
     for chk in suite.checks:
         if not isinstance(chk, RowInvariant):
             continue
@@ -773,26 +790,36 @@ def run_suite(
             continue
         keys = list(chk.join_keys)
         if tuple(keys) == ("repo", "path", "commit"):
-            # Equi-join on the 8-byte key hash (row_id) with exact
-            # post-verification of the true keys: the sort-merge then
-            # sorts/compares ONE long per side instead of three strings
-            # — the narrowest possible exchange for a 10^12 x 10^12 key
-            # join.  Hash-equal-but-key-different pairs (collisions)
-            # are dropped by the equality filter; key-equal pairs
-            # always hash equal, so the result is exactly the key join.
             o = sha_oracle
             for k in keys:
                 o = o.withColumnRenamed(k, f"_o_{k}")
             o = o.withColumn(
                 "row_id", F.xxhash64(*[F.col(f"_o_{k}") for k in keys])
             )
-            joined = enriched.join(o, on="row_id", how="inner")
-            for k in keys:
-                # plain (null-UNSAFE) equality: identical row set to the
-                # previous `on=keys` equi-join, where null keys never match
-                joined = joined.where(F.col(k) == F.col(f"_o_{k}"))
-        else:
-            joined = enriched.join(sha_oracle, on=keys, how="inner")
+            cand_rows = (
+                enriched.select(
+                    "row_id",
+                    F.col(f"_sha_{chk.content_col}").alias("_sha_l"),
+                )
+                .join(
+                    o.select(
+                        "row_id",
+                        F.unhex(F.col(chk.oracle_col)).alias("_sha_r"),
+                    ),
+                    on="row_id",
+                    how="inner",
+                )
+                .where(~F.col("_sha_l").eqNullSafe(F.col("_sha_r")))
+                .select("row_id")
+                .distinct()
+                .persist()
+            )
+            _persisted.append(cand_rows)
+            _deferred_sha.append(
+                (chk, keys, o, cand_rows, len(_persisted) - 1)
+            )
+            continue
+        joined = enriched.join(sha_oracle, on=keys, how="inner")
         mismatch = joined.where(
             ~F.col(f"_sha_{chk.content_col}").eqNullSafe(
                 F.unhex(F.col(chk.oracle_col))
@@ -929,8 +956,9 @@ def run_suite(
             .where(F.col("_cnt") > 1)
         ).persist()
         _persisted.append(dup_groups)
-        # job 2: small — probes the (cached) candidate set only
-        dup_groups.count()
+        # job 2: small — probes the (cached) candidate set only.  The
+        # count also sizes the fused join-back's bounded broadcast.
+        n_dup_groups = dup_groups.count()
         metric_frames.append(
             _count_metric(
                 dup_groups.groupBy("partition_id").agg(
@@ -940,9 +968,59 @@ def run_suite(
                 "duplicate_rows",
             )
         )
-        _fused_uniq.append((chk, dup_groups))
+        _fused_uniq.append((chk, dup_groups, n_dup_groups))
     if _deferred_uniq:
         _mark("dup-group primer (job 2)")
+
+    # ---- deferred sha invariant phase 2: exact check on candidates only ---
+    # Candidate row_ids are rare (a clean table has zero); a bounded
+    # broadcast makes both semi-joins map-only probes of the staged
+    # table with NO exchange of the big sides.  Over the threshold,
+    # plain shuffle semi-joins on the narrow 8-byte key — never an
+    # unconditional broadcast (same discipline as _cand_semi_join).
+    for chk, keys, o, cand_rows, cand_pos in _deferred_sha:
+        n_cand = _frame_counts[str(cand_pos)]
+        right = (
+            F.broadcast(cand_rows) if n_cand <= 200_000 else cand_rows
+        )
+        e_c = enriched.join(right, on="row_id", how="leftsemi")
+        o_c = o.join(right, on="row_id", how="leftsemi")
+        joined = e_c.join(o_c, on="row_id", how="inner")
+        for k in keys:
+            # plain (null-UNSAFE) equality: identical row set to an
+            # `on=keys` equi-join, where null keys never match
+            joined = joined.where(F.col(k) == F.col(f"_o_{k}"))
+        mismatch = joined.where(
+            ~F.col(f"_sha_{chk.content_col}").eqNullSafe(
+                F.unhex(F.col(chk.oracle_col))
+            )
+        ).persist()
+        _persisted.append(mismatch)
+        # job: small — probes the (cached) candidate row_ids only
+        mismatch.count()
+        violation_frames.append(
+            mismatch.select(
+                "partition_id",
+                F.lit(chk.name).alias("check_name"),
+                "row_id",
+                "repo",
+                "path",
+                "commit",
+                F.lit("content sha256 mismatch vs oracle").alias("detail"),
+                F.lit(None).cast("double").alias("loop_score"),
+            )
+        )
+        metric_frames.append(
+            _count_metric(
+                mismatch.groupBy("partition_id").agg(
+                    F.count(F.lit(1)).cast("double").alias("value")
+                ),
+                chk.name,
+                "sha_mismatch_rows",
+            )
+        )
+    if _deferred_sha:
+        _mark("sha-mismatch primer (job 2b)")
 
     # ---- fused violation join-backs: ONE enriched scan ---------------------
     # Uniqueness and drift violations both need key columns joined back
@@ -962,7 +1040,19 @@ def run_suite(
         base_cols = ["partition_id", "row_id", "repo", "path", "commit"]
         v = enriched.select(*base_cols)
         hits = []  # (hit predicate, check name, detail, loop_score)
-        for i, (chk, dup_groups) in enumerate(_fused_uniq):
+        # Bounded-adaptive EXPLICIT broadcasts (round-5 shuffle audit):
+        # leaving the choice to AQE is a measured race — AQE does flip
+        # the SMJ to a broadcast join, but only after BOTH map stages
+        # are submitted, and when the scheduler runs the probe side
+        # first the full enriched base-cols exchange (~570 MB at 8M
+        # rows) is already written.  The annotation frames are cached
+        # and counted by this point, so the explicit hint costs one
+        # comparison and removes the race; over the threshold the plain
+        # shuffle join stands (never an unconditional broadcast).
+        def _bounded(frame: DataFrame, n: int) -> DataFrame:
+            return F.broadcast(frame) if n <= 200_000 else frame
+
+        for i, (chk, dup_groups, n_dup_groups) in enumerate(_fused_uniq):
             keys = list(chk.keys)
             marker = f"_u{i}_hit"
             rcols = [f"_u{i}_pid"] + [f"_u{i}_{k}" for k in keys]
@@ -974,7 +1064,7 @@ def run_suite(
             cond = F.col("partition_id").eqNullSafe(F.col(rcols[0]))
             for k in keys:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"_u{i}_{k}"))
-            v = v.join(right, cond, "left").drop(*rcols)
+            v = v.join(_bounded(right, n_dup_groups), cond, "left").drop(*rcols)
             hits.append(
                 (
                     F.col(marker).isNotNull(),
@@ -985,17 +1075,25 @@ def run_suite(
             )
         for j, (chk, keyed) in enumerate(_fused_drift):
             marker = f"_d{j}_score"
-            right = keyed.where(
+            # materialize the violator subset off the hot keyed cache:
+            # the count (cheap cached scan) sizes the bounded broadcast
+            # — AQE cannot estimate the filter's selectivity and plans
+            # an SMJ whose probe exchange races the AQE flip (above)
+            violators = keyed.where(
                 F.col("loop_score") > chk.score_threshold
             ).select(
                 F.col("partition_id").alias(f"_d{j}_pid"),
                 F.col("row_id").alias(f"_d{j}_rid"),
                 F.col("loop_score").alias(marker),
-            )
+            ).persist()
+            _persisted.append(violators)
+            n_viol = violators.count()
             cond = (F.col("partition_id") == F.col(f"_d{j}_pid")) & (
                 F.col("row_id") == F.col(f"_d{j}_rid")
             )
-            v = v.join(right, cond, "left").drop(f"_d{j}_pid", f"_d{j}_rid")
+            v = v.join(_bounded(violators, n_viol), cond, "left").drop(
+                f"_d{j}_pid", f"_d{j}_rid"
+            )
             hits.append(
                 (
                     F.col(marker).isNotNull(),

@@ -129,6 +129,37 @@ def test_sha_invariant_detects_corruption(spark, code_tables):
     assert v.iloc[0].path == "src/orphan/file_0.py"
 
 
+def test_sha_invariant_two_phase_exactness(spark, code_tables):
+    """The round-5 narrow two-phase sha join must return EXACTLY the
+    wide-join result: every corrupted row flagged once per oracle match,
+    a duplicated corrupted key flagged per pair, and null-key rows never
+    flagged (null-unsafe key equality, the original join semantics)."""
+    files, commits, oracle, expected = code_tables
+    tampered = ["src/orphan/file_0.py", "src/python/mod_0/file_0.py"]
+    corrupted = files.withColumn(
+        "content",
+        F.when(F.col("path").isin(tampered), F.lit("TAMPERED")).otherwise(
+            F.col("content")
+        ),
+    )
+    # a corrupted row with a NULL commit key: phase 1 may flag it as a
+    # candidate, but phase 2's null-unsafe key equality must drop it
+    null_key = corrupted.limit(1).select(
+        "repo", "path", F.lit(None).cast("string").alias("commit"),
+        "lang", F.lit("NULLKEY-TAMPERED").alias("content"),
+    )
+    corrupted = corrupted.unionByName(null_key)
+    res = run_suite(
+        corrupted, CheckSuite(checks=[RowInvariant()]), sha_oracle=oracle
+    )
+    v = res.violations.toPandas()
+    assert sorted(v.path) == sorted(tampered)
+    assert v.commit.notna().all()
+    m = res.metrics.toPandas()
+    row = m[m.metric == "sha_mismatch_rows"]
+    assert row.value.sum() == 2 and not row[row.value > 0].passed.any()
+
+
 def test_drift_flags_shifted_partition(result):
     metrics, violations, expected = result
     dr = metrics[

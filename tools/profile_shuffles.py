@@ -77,8 +77,26 @@ def main() -> None:
     print(result or f"NO RESULT\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
 
     stages = []
-    for fn in os.listdir(evdir):
-        with open(os.path.join(evdir, fn)) as fh:
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<app>/
+    # events_1_<app>.zstd); walk every regular file under evdir and
+    # decompress .zstd via the zstd binary (no zstandard module here)
+    ev_files = []
+    for root, _dirs, files in os.walk(evdir):
+        ev_files.extend(
+            os.path.join(root, f)
+            for f in files
+            if "appstatus" not in f and not f.startswith(".")
+        )
+
+    def _open_ev(path):
+        import io
+        if path.endswith(".zstd"):
+            p = subprocess.run(["zstd", "-dc", path], capture_output=True)
+            return io.StringIO(p.stdout.decode())
+        return open(path)
+
+    for fn in ev_files:
+        with _open_ev(fn) as fh:
             for raw in fh:
                 try:
                     ev = json.loads(raw)
