@@ -1958,6 +1958,59 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us <= r.us
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase
+    (``sessions.funnel_counts``): users reaching each step, where step K
+    requires an event STRICTLY after the user's step-(K-1) time.  All
+    steps are unbounded per-user window mins over ONE user-keyed
+    exchange of the narrow (user, µs, type) projection — never one
+    self-join per step.  Integer-µs comparisons are exact cross-engine."""
+    from pynomaly_spark.sessions import funnel_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(events, _FUNNEL_STEPS).select(
+        F.col("step").cast("long").alias("step"),
+        "step_type",
+        "users_reached",
+    )
+
+
+def _funnel_steps_sql(steps=None) -> str:
+    """DuckDB twin of q_events_funnel: per-user FILTERed mins chained
+    through CTE joins (t1 -> t2 -> t3), then one count per step.  The
+    strict `us > t_prev` predicate and epoch_us integers match the
+    Spark contract exactly."""
+    steps = steps or _FUNNEL_STEPS
+    ctes = [
+        "e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events)",
+        f"""s1 AS (
+  SELECT user_id,
+         min(us) FILTER (WHERE event_type = '{steps[0]}') AS t1
+  FROM e GROUP BY user_id
+)""",
+    ]
+    for i in range(2, len(steps) + 1):
+        prev_cte, prev_t = f"s{i - 1}", f"t{i - 1}"
+        prev_cols = ", ".join(
+            f"any_value({prev_cte}.t{j}) AS t{j}" for j in range(1, i)
+        )
+        ctes.append(f"""s{i} AS (
+  SELECT e.user_id, {prev_cols},
+         min(us) FILTER (WHERE event_type = '{steps[i - 1]}'
+                         AND {prev_t} IS NOT NULL AND us > {prev_t}) AS t{i}
+  FROM e JOIN {prev_cte} USING (user_id) GROUP BY e.user_id
+)""")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS step_type,"
+        f" CAST(count(t{i}) AS BIGINT) AS users_reached FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 _PSI_BINS, _PSI_WIDTH, _PSI_EPS = 16, 40.0, 0.5
 
 
@@ -2332,6 +2385,108 @@ LEFT JOIN model m ON k.t = m.t
 CROSS JOIN stats s
 GROUP BY hour, k.doc_id
 """
+
+
+_KMEANS_K, _KMEANS_ITER = 4, 2
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Distributed full-table Lloyd k-means (``similarity.kmeans_fit``):
+    k=4 clusters, 2 iterations, init = the vectors of the 4 smallest
+    vec_ids.  Assignment is a map-only literal-centroid argmin (no
+    shuffle); the update is one k-group aggregate of 64 flat per-dim
+    means.  Every distance and centroid coordinate is rounded to 6 dp
+    before comparison on BOTH engines, so the iterated assignment is
+    reproducible cross-engine.  Output: per-cluster size + mean squared
+    distance after the final assignment — any flipped assignment
+    changes both."""
+    from pynomaly_spark.similarity import kmeans_fit
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_fit(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+        .select(F.col("cluster").cast("long").alias("cluster"), "n", "avg_dist")
+    )
+
+
+def _kmeans_sql(k: int = None, n_iter: int = None, dim: int = None,
+                dp: int = 6) -> str:
+    """Generated DuckDB twin of q_emb_kmeans: each iteration is an
+    assignment CTE (cross join vs the k-row centroid CTE, 64-term
+    left-assoc squared-distance sum rounded to 6 dp, row_number argmin
+    with cluster-index tiebreak — Spark's array_position-of-min picks
+    the first occurrence, i.e. the same lowest index) followed by an
+    update CTE (per-cluster 6-dp-rounded per-dim avg, LEFT JOIN onto the
+    previous centroids so an empty cluster keeps its coordinates —
+    kmeans_fit's ``new.get(i, cents[i])``)."""
+    k = k or _KMEANS_K
+    n_iter = n_iter or _KMEANS_ITER
+    dim = dim or _EMB_DIM
+
+    def dist_terms(cp: str) -> str:
+        return " + ".join(
+            f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - {cp}.d{i})"
+            f" * (CAST(e.embedding[{i + 1}] AS DOUBLE) - {cp}.d{i})"
+            for i in range(dim)
+        )
+
+    init_cols = ",\n         ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS d{i}" for i in range(dim)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         {init_cols}
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(n_iter):
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, c AS cluster, dist FROM (
+    SELECT vec_id, c, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM (SELECT e.vec_id, c{it}.c, round({dist_terms(f'c{it}')}, {dp})
+                   AS dist
+          FROM e CROSS JOIN c{it})
+  ) WHERE rn = 1
+)""")
+        if it < n_iter - 1:
+            mean_cols = ",\n         ".join(
+                f"round(avg(CAST(e.embedding[{i + 1}] AS DOUBLE)), {dp})"
+                f" AS d{i}"
+                for i in range(dim)
+            )
+            co_cols = ",\n         ".join(
+                f"coalesce(m{it}.d{i}, c{it}.d{i}) AS d{i}"
+                for i in range(dim)
+            )
+            ctes.append(f"""m{it} AS (
+  SELECT a.cluster,
+         {mean_cols}
+  FROM a{it} a JOIN e USING (vec_id) GROUP BY a.cluster
+)""")
+            ctes.append(f"""c{it + 1} AS (
+  SELECT c{it}.c,
+         {co_cols}
+  FROM c{it} LEFT JOIN m{it} ON m{it}.cluster = c{it}.c
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(dist), {dp}) AS avg_dist
+FROM a{n_iter - 1} GROUP BY cluster
+"""
+    )
 
 
 def q_emb_centroid_drift(spark, sf_dir):
@@ -3089,6 +3244,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props": q_events_props,
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
+    "events_funnel": q_events_funnel,
     "doc_psi_drift": q_doc_psi_drift,
     "doc_ks_drift": q_doc_ks_drift,
     "doc_temp_resample": q_doc_temp_resample,
@@ -3101,6 +3257,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_funnel": q_doc_funnel,
     "emb_centroid_drift": q_emb_centroid_drift,
+    "emb_kmeans": q_emb_kmeans,
     "doc_lm_stream": q_doc_lm_stream,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "lineitem_rollup": q_lineitem_rollup,
@@ -3144,6 +3301,7 @@ ORACLES: Dict[str, str] = {
     "events_props": SQL_EVENTS_PROPS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
+    "events_funnel": _funnel_steps_sql(),
     "doc_psi_drift": _psi_sql(),
     "doc_ks_drift": _ks_sql(),
     "doc_temp_resample": _temp_resample_sql(),
@@ -3156,6 +3314,7 @@ ORACLES: Dict[str, str] = {
     "doc_dup_ngrams": _dup_ngrams_sql(),
     "doc_funnel": _funnel_sql(),
     "emb_centroid_drift": _centroid_drift_sql(),
+    "emb_kmeans": _kmeans_sql(),
     "doc_lm_stream": _lm_stream_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,

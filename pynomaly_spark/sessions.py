@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats"]
+__all__ = ["sessionize", "session_stats", "funnel_steps", "funnel_counts"]
 
 
 def sessionize(
@@ -86,3 +86,77 @@ def session_stats(
             )
         )
     return s.groupBy(user_col, "sess_idx").agg(*aggs)
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion times: one row per user with
+    ``step1_us .. stepN_us``, where ``step1_us`` is the user's earliest
+    ``steps[0]`` event and ``stepK_us`` the earliest ``steps[K-1]``
+    event STRICTLY after ``step(K-1)_us`` (ties on the exact
+    microsecond do not advance the funnel — the documented contract;
+    integer-µs comparisons make it bit-identical cross-engine).
+
+    Plan shape: each step is an unbounded per-user window min over the
+    SAME partitioning — Catalyst plans consecutive Window operators on
+    one exchange of the narrow ``(user, µs, type)`` projection, so the
+    whole funnel costs ONE user-keyed shuffle regardless of depth, never
+    a self-join per step (a K-step funnel as K joins would be K
+    exchanges of the full event table).  At 100 TB the single exchange
+    is uniform in the user key; pathological bot keys serialize one
+    partition, same mitigation note as :func:`sessionize`.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {len(steps)}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    out = df.select(
+        F.col(user_col).alias("user_id"),
+        us.alias("_us"),
+        F.col(type_col).alias("_type"),
+    )
+    w = Window.partitionBy("user_id")
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        qual = F.col("_type") == F.lit(step)
+        if prev is not None:
+            qual = qual & F.col(prev).isNotNull() & (F.col("_us") > F.col(prev))
+        col = f"step{i}_us"
+        out = out.withColumn(col, F.min(F.when(qual, F.col("_us"))).over(w))
+        prev = col
+    return out.select(
+        "user_id", *[f"step{i}_us" for i in range(1, len(steps) + 1)]
+    ).distinct()
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel rollup: ``(step, step_type, users_reached)`` — the number
+    of users whose ordered funnel reached each step."""
+    per_user = funnel_steps(df, steps, user_col, ts_col, type_col)
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"step{i}_us")).alias(f"_c{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(s).alias("step_type"),
+                F.col(f"_c{i}").cast("long").alias("users_reached"),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("_f")).select("_f.*")

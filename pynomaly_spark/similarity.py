@@ -36,6 +36,7 @@ __all__ = [
     "two_phase_topk",
     "scalar_quantize",
     "centroid_drift",
+    "kmeans_fit",
 ]
 
 
@@ -541,3 +542,110 @@ def centroid_drift(
         ).alias("centroid_cos"),
         F.round(F.sqrt(l2), rank_round).alias("centroid_l2"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+):
+    """Distributed Lloyd k-means over the FULL table (squared-Euclidean).
+
+    Complements the driver-side sampled ``_spherical_kmeans`` (IVF
+    training): at 100 TB a bounded sample can miss small modes, so this
+    runs the classic two-step per iteration —
+
+    * **assign** (map-only, NO shuffle): the k centroids enter the plan
+      as ONE literal ``array<array<double>>``; per-row distances via one
+      ``transform`` + ``aggregate`` fold, argmin via
+      ``array_position(array_min)`` (first occurrence — ties go to the
+      lowest cluster index).  Same flat O(k)-literal plan shape as
+      ``ivf_topk`` assignment (the chained-``when`` argmax grows
+      quadratically).
+    * **update** (one tiny shuffle): ``groupBy(cluster)`` with ``dim``
+      flat per-dimension ``avg`` aggregates (no posexplode — the
+      ``centroid_drift`` transport), collected to the driver: k rows x
+      dim doubles, a bounded collect by construction.  An empty cluster
+      keeps its previous centroid.
+
+    Iterating re-scans ``df`` once per iteration (callers persist their
+    input when it is not a plain columnar scan; the map-only assign
+    keeps each pass shuffle-free, which is the cheapest possible shape
+    for a petabyte input — there is nothing to checkpoint because the
+    lineage never deepens: every iteration's plan is scan+literals).
+
+    Cross-engine determinism (the oracle contract): init centroids are
+    the vectors of the k smallest ``id_col`` values; every distance and
+    every updated centroid coordinate is rounded to ``round_dp`` before
+    any comparison, so the argmin and the next iteration's inputs agree
+    with an independent engine to rounding (ulp-level sum-order drift is
+    absorbed unless a value lands exactly on a rounding boundary — the
+    repo-wide 6-dp contract).
+
+    Returns ``(assigned, centroids)``: the final assignment frame
+    ``(id_col, cluster int, dist double)`` and the trained centroid
+    list.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError(f"k and n_iter must be >= 1, got k={k} n_iter={n_iter}")
+    init_rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    # bounded collect: exactly k rows (the seeded-init contract)
+    cents = [[float(x) for x in r[0]] for r in init_rows]
+    if not cents:
+        empty = df.sparkSession.createDataFrame(
+            [], schema=f"{id_col} long, cluster int, dist double"
+        )
+        return empty, []
+    dim = len(cents[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), v.alias("_v")
+    )
+
+    def _sqdist(c):
+        return F.aggregate(
+            F.zip_with(c, F.col("_v"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    assigned = None
+    for it in range(n_iter):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in cents]
+        )
+        dists = F.transform(cent_lit, lambda c: F.round(_sqdist(c), round_dp))
+        assigned = base.withColumn("_d", dists).select(
+            id_col,
+            "_v",
+            (F.array_position("_d", F.array_min("_d")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("_d").alias("dist"),
+        )
+        if it < n_iter - 1:
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(
+                    *[
+                        F.round(F.avg(F.col("_v")[d]), round_dp).alias(f"_m{d}")
+                        for d in range(dim)
+                    ]
+                )
+                .collect()
+            )  # bounded collect: at most k rows x dim doubles
+            new = {
+                int(r["cluster"]): [float(r[f"_m{d}"]) for d in range(dim)]
+                for r in rows
+            }
+            cents = [new.get(i, cents[i]) for i in range(k)]
+    return assigned.drop("_v"), cents

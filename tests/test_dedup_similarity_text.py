@@ -1237,3 +1237,78 @@ class TestIncrementalDedup:
         empty = spark.createDataFrame([], "row_id long, content string")
         got = incremental_dedup(new, empty, threshold=0.3).collect()
         assert len(got) == 4 and all(r.drop_reason is None for r in got)
+
+
+def test_kmeans_fit_separates_planted_blobs(spark):
+    """4 tight well-separated blobs: the full-table Lloyd loop must land
+    one cluster per blob and agree with a numpy reference implementing
+    the SAME contract (6-dp rounded distances/centroids, argmin ties to
+    the lowest index, init = vectors of the k smallest ids)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 8)) * 10.0
+    rows, vecs = [], []
+    # ids 0..3 are one point from each blob, so seeded init = one per blob
+    for i in range(200):
+        b = i % 4
+        v = centers[b] + rng.normal(scale=0.05, size=8)
+        vecs.append(v)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = similarity.kmeans_fit(df, k=4, n_iter=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert len(cents) == 4 and len(cents[0]) == 8
+    for i, _ in enumerate(vecs):
+        assert got[i] == got[i % 4], i  # same blob -> same cluster
+    assert len(set(got.values())) == 4
+
+    # numpy reference with identical rounding contract
+    pts = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in rows]
+    )
+    cref = pts[:4].copy()
+    for it in range(2):
+        d = np.round(
+            ((pts[:, None, :] - cref[None, :, :]) ** 2).sum(axis=2), 6
+        )
+        a = d.argmin(axis=1)
+        if it < 1:
+            cref = np.array(
+                [
+                    np.round(pts[a == c].mean(axis=0), 6)
+                    if (a == c).any()
+                    else cref[c]
+                    for c in range(4)
+                ]
+            )
+    assert all(got[i] == int(a[i]) for i in range(200))
+
+
+def test_kmeans_duplicate_init_keeps_empty_cluster_centroid(spark):
+    """Two identical init vectors: ties argmin to the lower index, the
+    higher cluster goes empty, and its centroid must survive the update
+    (the new.get(i, cents[i]) rule) without NaNs or crashes."""
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.1, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = similarity.kmeans_fit(df, k=2, n_iter=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # iter 1: ties send every row to cluster 0, cluster 1 goes EMPTY and
+    # must keep its [0,0] init through the update (new.get(i, cents[i]));
+    # iter 2+: cluster 0's centroid moved to the global mean, so rows
+    # 0,1 correctly migrate to the revived cluster 1 at [0,0]
+    assert cents[1] == [0.0, 0.0]  # empty cluster kept its init centroid
+    assert got[0] == 1 and got[1] == 1  # revived cluster captured them
+    assert got[2] == 0 and got[3] == 0
+    assert cents[0] == [5.05, 5.0]  # no NaNs, converged split
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The per-iteration assignment must be scan+literals — no join, so
+    each Lloyd pass over a petabyte table is one map-only scan plus a
+    k-row aggregate."""
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, _ = similarity.kmeans_fit(df, k=2, n_iter=1)
+    plan = (
+        assigned._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    )
+    assert "join" not in plan.lower(), plan

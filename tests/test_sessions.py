@@ -66,3 +66,81 @@ class TestSessionize:
     def test_bad_gap_raises(self, spark):
         with pytest.raises(ValueError):
             sessionize(_events(spark, []), gap_minutes=0)
+
+
+def _fevents(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+class TestFunnel:
+    def test_ordered_steps_and_strictness(self, spark):
+        from pynomaly_spark.sessions import funnel_counts, funnel_steps
+
+        rows = [
+            # user 1: completes view -> click -> purchase in order
+            (1, 1, _t(0), "view"),
+            (2, 1, _t(1), "click"),
+            (3, 1, _t(2), "purchase"),
+            # user 2: click BEFORE first view never counts; a later
+            # click does, but no purchase after it
+            (4, 2, _t(0), "click"),
+            (5, 2, _t(1), "view"),
+            (6, 2, _t(0, 30), "purchase"),  # before the view: ignored
+            (7, 2, _t(3), "click"),
+            # user 3: click at the EXACT view microsecond — strictly
+            #-after contract says it does not advance
+            (8, 3, _t(5), "view"),
+            (9, 3, _t(5), "click"),
+            # user 4: never views
+            (10, 4, _t(0), "purchase"),
+        ]
+        steps = ["view", "click", "purchase"]
+        per_user = {
+            r["user_id"]: (r["step1_us"], r["step2_us"], r["step3_us"])
+            for r in funnel_steps(_fevents(spark, rows), steps).collect()
+        }
+        assert per_user[1][2] is not None
+        assert per_user[2][1] is not None and per_user[2][2] is None
+        assert per_user[3][0] is not None and per_user[3][1] is None
+        assert per_user[4][0] is None
+        counts = {
+            r["step"]: r["users_reached"]
+            for r in funnel_counts(_fevents(spark, rows), steps).collect()
+        }
+        assert counts == {1: 3, 2: 2, 3: 1}
+
+    def test_earliest_qualifying_event_wins(self, spark):
+        from pynomaly_spark.sessions import funnel_steps
+
+        rows = [
+            (1, 1, _t(0), "view"),
+            (2, 1, _t(10), "click"),
+            (3, 1, _t(4), "click"),   # earlier qualifying click
+            (4, 1, _t(5), "purchase"),  # after t(4) click: completes
+        ]
+        r = funnel_steps(
+            _fevents(spark, rows), ["view", "click", "purchase"]
+        ).collect()[0]
+        base = r["step1_us"]
+        assert r["step2_us"] - base == 4 * 60_000_000
+        assert r["step3_us"] - base == 5 * 60_000_000
+
+    def test_needs_two_steps(self, spark):
+        from pynomaly_spark.sessions import funnel_steps
+
+        with pytest.raises(ValueError, match="2 steps"):
+            funnel_steps(_fevents(spark, []), ["view"])
+
+    def test_single_exchange_plan(self, spark):
+        """All step windows must share ONE user-keyed exchange — a
+        funnel as K self-joins would be K exchanges of the event table."""
+        from pynomaly_spark.sessions import funnel_steps
+
+        rows = [(1, 1, _t(0), "view"), (2, 1, _t(1), "click")]
+        plan = funnel_steps(
+            _fevents(spark, rows), ["view", "click", "purchase"]
+        )._jdf.queryExecution().optimizedPlan().numberedTreeString()
+        joins = plan.lower().count("join")
+        assert joins == 0, plan
