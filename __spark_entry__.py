@@ -6,7 +6,9 @@ code-table shape, returning the partition_metrics verdicts.
 
 ``queries()`` / ``oracle_sql()`` expose the operator surface from
 SURVEY.md §2 on the driver tables; oracles run in DuckDB on the same
-parquet (rows-only for the LoOP drift entries — not SQL-expressible).
+parquet.  Every registry query is oracle-checked — including the LoOP
+drift kernel (generated Taylor-erf twin) and the binary media codecs
+(decoded values recomputed from the md5 generation inputs).
 """
 
 from __future__ import annotations

@@ -44,22 +44,32 @@ def ensure_input(rows: int) -> str:
 
     cache = f"/tmp/pynomaly_bench/code_v{DATAGEN_VERSION}_{rows}"
     if not os.path.exists(f"{cache}/_DONE"):
-        sys.path.insert(0, REPO)
-        from pynomaly_spark.session import get_spark
-
-        spark = get_spark("scaling-datagen", cpus=32)
-        if rows > 500_000:
-            # Catalyst-native generator: benchmark-scale inputs are built
-            # distributed (the pandas path is for unit fixtures)
-            from pynomaly_spark.datagen_spark import write_code_table_spark
-
-            write_code_table_spark(spark, cache, rows, seed=7)
-        else:
-            from pynomaly_spark.datagen import CodeTableSpec, write_code_table
-
-            write_code_table(spark, cache, CodeTableSpec(n_rows=rows, seed=7))
-        open(f"{cache}/_DONE", "w").write("ok")
-        spark.stop()
+        # Datagen runs in a SUBPROCESS: an in-process SparkSession's
+        # py4j gateway JVM survives spark.stop() for the lifetime of
+        # THIS script (measured: a leftover datagen JVM idled at ~330%
+        # CPU through the first sample's legs, poisoning both
+        # measurements).  A child process guarantees the JVM dies
+        # before the first measured leg starts.
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from pynomaly_spark.session import get_spark\n"
+            "spark = get_spark('scaling-datagen', cpus=32)\n"
+            "rows = %d; cache = %r\n"
+            "if rows > 500000:\n"
+            "    from pynomaly_spark.datagen_spark import "
+            "write_code_table_spark\n"
+            "    write_code_table_spark(spark, cache, rows, seed=7)\n"
+            "else:\n"
+            "    from pynomaly_spark.datagen import CodeTableSpec, "
+            "write_code_table\n"
+            "    write_code_table(spark, cache, "
+            "CodeTableSpec(n_rows=rows, seed=7))\n"
+            "open(cache + '/_DONE', 'w').write('ok')\n"
+            "spark.stop()\n" % (REPO, rows, cache)
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], check=True, timeout=1800
+        )
     return cache
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "dup_clusters",
     "dup_ngram_fraction",
     "incremental_dedup",
+    "line_dedup",
 ]
 
 
@@ -699,3 +700,106 @@ def incremental_dedup(
         )
     )
     return out
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 6,
+    hash_keys: bool = True,
+    hot_min: int = 1000,
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup — the C4/RefinedWeb boilerplate
+    pass that the document-granular families cannot express: a line is
+    boilerplate when it appears (as a full line) in at least
+    ``min_docs`` DISTINCT documents (nav menus, license banners, cookie
+    notices), and every flagged line is REMOVED from every document
+    while the rest of the doc survives.  Lines shorter than
+    ``min_chars`` characters are never flagged (blank separators and
+    bullet glyphs repeat everywhere by nature and removing them would
+    mangle structure, per the C4 heuristic).
+
+    Returns one row per non-null-text document:
+    ``(id_col, n_lines, dup_lines, dup_frac, clean_sha)`` where
+    ``dup_frac`` is the exact integer ratio rounded to 6 dp and
+    ``clean_sha`` is the sha256 hex of the surviving lines re-joined
+    with ``\\n`` in original order — the row-level content invariant a
+    downstream writer can verify without shipping the cleaned text.
+
+    Scale shape (mirrors :func:`dup_ngram_fraction`): per-doc-DISTINCT
+    eligible lines -> one line-keyed count aggregate (partial-agg
+    combine; one row per distinct line) -> flag join back SKEW-SPLIT:
+    viral lines (``>= hot_min`` docs) are a tiny broadcast relation so
+    their postings never converge on one reducer, the remainder is
+    rare-by-construction.  ``hash_keys=True`` ships 8-byte xxhash64
+    line keys through both exchanges instead of raw line strings
+    (2^-64 per-pair collision risk); the oracle twin runs string keys.
+    Reassembly is one doc-keyed aggregate — a document's lines fit on
+    one reducer by the same contract every doc-level op assumes.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    if hot_min < min_docs:
+        raise ValueError(
+            f"hot_min must be >= min_docs, got {hot_min} < {min_docs}"
+        )
+    lines = docs.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    eligible = F.length("_line") >= min_chars
+    key = F.xxhash64("_line") if hash_keys else F.col("_line")
+    dl = lines.where(eligible).select(id_col, key.alias("_k")).distinct()
+    cnt = dl.groupBy("_k").agg(F.count(F.lit(1)).alias("_nd"))
+    hot = cnt.where(F.col("_nd") >= hot_min).select(F.col("_k").alias("_hk"))
+    tail = cnt.where(
+        (F.col("_nd") >= min_docs) & (F.col("_nd") < hot_min)
+    ).select(F.col("_k").alias("_tk"))
+    probed = lines.select(
+        id_col, "_pos", "_line", F.when(eligible, key).alias("_k")
+    )
+    j1 = probed.join(F.broadcast(hot), F.col("_k") == F.col("_hk"), "left")
+    matched = j1.where(F.col("_hk").isNotNull()).select(
+        id_col, "_pos", "_line", F.lit(True).alias("_dup")
+    )
+    missed = (
+        j1.where(F.col("_hk").isNull())
+        .join(tail, F.col("_k") == F.col("_tk"), "left")
+        .select(
+            id_col, "_pos", "_line", F.col("_tk").isNotNull().alias("_dup")
+        )
+    )
+    flagged = matched.unionByName(missed)
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("_dup"), F.struct("_pos", "_line"))
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_dup").cast("long")).alias("dup_lines"),
+            F.sha2(
+                F.array_join(
+                    F.transform(kept, lambda s: s["_line"]), "\n"
+                ),
+                256,
+            ).alias("clean_sha"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "dup_lines",
+            F.round(
+                F.col("dup_lines") / F.col("n_lines").cast("double"), 6
+            ).alias("dup_frac"),
+            "clean_sha",
+        )
+    )

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .textops import _TOKEN_SPLIT
 
-__all__ = ["unigram_model", "score_unigram_logprob"]
+__all__ = ["unigram_model", "score_unigram_logprob", "dsir_scores"]
 
 
 def _tokens(df: DataFrame, text_col: str, cols: list) -> DataFrame:
@@ -145,5 +145,87 @@ def score_unigram_logprob(
             F.round(
                 F.sum(F.col("_tf") * lp) / F.sum(F.col("_tf")), 6
             ).alias("logprob"),
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_chars: int = 3,
+    keep_threshold: float = 0.0,
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the mean hashed n-gram log-likelihood ratio between a
+    TARGET distribution (the high-quality set you want more of) and the
+    RAW distribution, ``w(x) = mean_g [ln p_t(bucket(g)) -
+    ln p_r(bucket(g))]`` with add-one smoothing over the
+    ``16^bucket_chars`` md5-prefix buckets.
+
+    Returns ``(id_col, n_grams, dsir_logratio, keep_flag)`` for every
+    raw doc with at least one n-gram; ``dsir_logratio`` is rounded to
+    6 dp BEFORE the threshold compare so the gate is identical across
+    engines (the repo-standard device).
+
+    Scale shape: both distributions are ONE bucket-keyed count
+    aggregate (partial combine; the result is at most 16^bucket_chars
+    rows — 4096 at the default — regardless of corpus size), the
+    weight table is broadcast, and scoring is a map-side join + one
+    doc-keyed mean.  Hash buckets are md5 PREFIXES (strings), not
+    numeric hashes, so the DuckDB twin reproduces them exactly and no
+    hex-to-int conversion is needed on either engine.
+    """
+    from .decontam import exploded_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not (1 <= bucket_chars <= 8):
+        raise ValueError(
+            f"bucket_chars must be in [1, 8], got {bucket_chars}"
+        )
+    n_buckets = float(16 ** bucket_chars)
+    bucket = F.substring(F.md5("gram"), 1, bucket_chars)
+    raw_b = exploded_ngrams(raw, text_col, [F.col(id_col)], n).select(
+        id_col, bucket.alias("_b")
+    )
+    tgt_b = exploded_ngrams(target, text_col, [], n).select(
+        bucket.alias("_b")
+    )
+    rc = raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tc = tgt_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    rtot = rc.agg(F.sum("_rc").cast("double").alias("_R"))
+    ttot = tc.agg(
+        F.coalesce(F.sum("_tc"), F.lit(0)).cast("double").alias("_T")
+    )
+    w = (
+        rc.join(tc, "_b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_T") + F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("_rc") + F.lit(1.0))
+                    / (F.col("_R") + F.lit(n_buckets))
+                )
+            ).alias("_w"),
+        )
+    )
+    score = F.round(F.avg("_w"), 6)
+    return (
+        raw_b.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            score.alias("dsir_logratio"),
+            (score >= F.lit(keep_threshold)).cast("int").alias("keep_flag"),
         )
     )

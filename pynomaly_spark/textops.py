@@ -17,6 +17,7 @@ __all__ = [
     "pii_counts",
     "pii_scrub",
     "repetition_stats",
+    "token_entropy",
 ]
 
 # Tokenizer charset shared by the Spark expression AND the generated
@@ -361,4 +362,50 @@ def repetition_stats(
         F.count(F.lit(1)).alias("distinct_grams"),
         (1.0 - F.count(F.lit(1)) / F.sum("_c")).alias("dup_gram_fraction"),
         (F.max("_c") / F.sum("_c")).alias("top_gram_fraction"),
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Per-document unigram token (Shannon) entropy in bits — the
+    classic diversity/quality signal: templated spam and keyword-stuffed
+    pages score far below prose of the same length, and near-zero
+    entropy flags single-token repetition that the length/punct ratios
+    miss.  Whitespace tokenization (the corpus-stats convention used by
+    ``q_doc_token_stats``); empty tokens are dropped.
+
+    Returns ``(id_col, n_tokens, uniq_tokens, entropy_bits)`` for every
+    doc with at least one token, where
+    ``entropy_bits = log2(n) - sum(c*log2(c))/n`` over per-token counts
+    ``c`` — the algebraic form that needs ONE pass over the
+    ``(id, token)`` counts and no per-token probability column.
+
+    Scale shape: explode -> (id, token) count (map-side partial
+    combine collapses each doc's repeats before the exchange) ->
+    one id-keyed aggregate.  Both shuffles are keyed, skew-free by
+    construction (a doc's distinct tokens land on one reducer only
+    after the first collapse).
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+        )
+        .where(F.length("_tok") > 0)
+    )
+    tc = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c")
+    return tc.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("uniq_tokens"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(F.col("_c") * F.log2(F.col("_c").cast("double")))
+            / n.cast("double"),
+            6,
+        ).alias("entropy_bits"),
     )

@@ -1312,3 +1312,136 @@ def test_kmeans_assignment_is_map_only(spark):
         assigned._jdf.queryExecution().optimizedPlan().numberedTreeString()
     )
     assert "join" not in plan.lower(), plan
+
+
+class TestLineDedup:
+    """dedup.line_dedup — C4-style corpus-wide line-level boilerplate
+    removal (flag + strip lines appearing in >= min_docs docs)."""
+
+    def _docs(self, spark):
+        boiler = "subscribe to our newsletter"
+        rows = [
+            (1, f"{boiler}\nalpha unique content one\nab\nshared tail line"),
+            (2, f"{boiler}\nbeta unique content two\nab\nshared tail line"),
+            (3, "gamma totally unique\nab"),
+            (4, boiler),  # every line dup -> empty cleaned text
+            (5, None),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_flags_and_clean_sha(self, spark):
+        import hashlib
+
+        from pynomaly_spark.dedup import line_dedup
+
+        got = {
+            r.doc_id: r
+            for r in line_dedup(
+                self._docs(spark), "text", "doc_id",
+                min_docs=2, min_chars=6, hash_keys=False, hot_min=100,
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}  # null text dropped
+        # doc1: boiler + tail shared with doc2; 'ab' too short to flag
+        assert got[1].n_lines == 4 and got[1].dup_lines == 2
+        assert got[1].dup_frac == 0.5
+        clean1 = "alpha unique content one\nab"
+        assert got[1].clean_sha == hashlib.sha256(
+            clean1.encode()
+        ).hexdigest()
+        # doc3 untouched: its full text survives
+        assert got[3].dup_lines == 0
+        assert got[3].clean_sha == hashlib.sha256(
+            b"gamma totally unique\nab"
+        ).hexdigest()
+        # doc4: single line, fully boilerplate -> sha of empty string
+        assert got[4].n_lines == 1 and got[4].dup_lines == 1
+        assert got[4].clean_sha == hashlib.sha256(b"").hexdigest()
+
+    def test_min_docs_counts_distinct_docs_not_rows(self, spark):
+        from pynomaly_spark.dedup import line_dedup
+
+        # the repeated line appears TWICE in one doc but in only one
+        # distinct doc -> never flagged at min_docs=2
+        df = spark.createDataFrame(
+            [(1, "repeat me please\nmiddle line here\nrepeat me please")],
+            ["doc_id", "text"],
+        )
+        row = line_dedup(
+            df, "text", "doc_id", min_docs=2, hash_keys=False
+        ).collect()[0]
+        assert row.n_lines == 3 and row.dup_lines == 0
+
+    def test_hash_keys_and_hot_min_invariance(self, spark):
+        from pynomaly_spark.dedup import line_dedup
+
+        df = self._docs(spark)
+        base = None
+        for hash_keys in (False, True):
+            for hot_min in (2, 3, 10**9):
+                rows = sorted(
+                    map(
+                        tuple,
+                        line_dedup(
+                            df, "text", "doc_id",
+                            hash_keys=hash_keys, hot_min=hot_min,
+                        ).collect(),
+                    )
+                )
+                if base is None:
+                    base = rows
+                assert rows == base, (hash_keys, hot_min)
+
+    def test_validates_args(self, spark):
+        from pynomaly_spark.dedup import line_dedup
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError):
+            line_dedup(df, "text", "doc_id", min_docs=1)
+        with pytest.raises(ValueError):
+            line_dedup(df, "text", "doc_id", min_chars=0)
+        with pytest.raises(ValueError):
+            line_dedup(df, "text", "doc_id", min_docs=5, hot_min=4)
+
+    def test_hot_join_is_broadcast(self, spark):
+        from pynomaly_spark.dedup import line_dedup
+
+        plan = (
+            line_dedup(self._docs(spark), "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestTokenEntropy:
+    def test_known_values(self, spark):
+        import math
+
+        from pynomaly_spark.textops import token_entropy
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a b"),
+                (2, "word word word word"),
+                (3, "w x y z"),
+                (4, None),
+                (5, "  padded   tokens  "),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r
+            for r in token_entropy(df, "text", "doc_id").collect()
+        }
+        assert set(got) == {1, 2, 3, 5}  # null text dropped
+        assert got[1].n_tokens == 3 and got[1].uniq_tokens == 2
+        expect = round(math.log2(3) - (2 * math.log2(2)) / 3, 6)
+        assert got[1].entropy_bits == pytest.approx(expect, abs=1e-9)
+        # single repeated token -> zero entropy
+        assert got[2].uniq_tokens == 1 and got[2].entropy_bits == 0.0
+        # uniform tokens -> log2(n) exactly
+        assert got[3].entropy_bits == pytest.approx(2.0, abs=1e-9)
+        # leading/trailing whitespace yields empty splits, dropped
+        assert got[5].n_tokens == 2 and got[5].uniq_tokens == 2

@@ -31,17 +31,14 @@ def test_queries_and_oracles_line_up():
     q = mod.queries()
     o = mod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only entries are the documented non-SQL-expressible ops:
-    # binary codec work whose containers DuckDB cannot decode.  Round 4
-    # flipped emb_drift_loop (generated Taylor-erf twin); round 5
-    # flipped doc_drift_loop (exact_tiebreak kNN: ties selected by
-    # (dist, doc_id) on BOTH engines) and doc_media_features (the PPM
-    # raster is recomputable in SQL from its md5 generation inputs).
+    # EVERY registry query is oracle-checked as of round 5: the last
+    # rows-only holdouts (binary media codecs) flipped by recomputing
+    # the DECODED values in SQL from the md5 generation inputs — QOI
+    # pixels equal the PPM raster, Y4M luma/motion and thumbnails are
+    # positional ascii lookups, and the WAV rfft power spectrum is a
+    # direct 48x25 DFT cross join.
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "doc_media_wav",
-        "doc_media_qoi", "doc_media_y4m", "doc_media_thumbs",
-    }
+    assert rows_only == set()
 
 
 def test_oracle_parity_all(spark):

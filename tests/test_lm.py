@@ -159,3 +159,100 @@ def test_self_trained_equals_explicit_model(spark):
     assert sorted(map(tuple, selftrained.collect())) == explicit
     plan = selftrained._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+class TestDsirScores:
+    def _py(self, texts, target_ids, n=2, bucket_chars=3):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        from pynomaly_spark.decontam import NGRAM_TOKEN_SPLIT
+
+        def grams(t):
+            tk = [x for x in re.split(NGRAM_TOKEN_SPLIT, t.lower()) if x]
+            return [
+                " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+            ]
+
+        nb = float(16 ** bucket_chars)
+        per, rc, tc = {}, Counter(), Counter()
+        for d, t in texts:
+            bs = [
+                hashlib.md5(g.encode()).hexdigest()[:bucket_chars]
+                for g in grams(t)
+            ]
+            per[d] = bs
+            rc.update(bs)
+            if d in target_ids:
+                tc.update(bs)
+        big_r, big_t = sum(rc.values()), sum(tc.values())
+        w = {
+            b: math.log((tc.get(b, 0) + 1.0) / (big_t + nb))
+            - math.log((c + 1.0) / (big_r + nb))
+            for b, c in rc.items()
+        }
+        return {
+            d: (len(bs), round(sum(w[b] for b in bs) / len(bs), 6))
+            for d, bs in per.items()
+            if bs
+        }
+
+    def test_matches_python_reference(self, spark):
+        from pynomaly_spark.lm import dsir_scores
+
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat still"),
+            (3, "numeric tables and boiler plate spam spam spam"),
+            (4, "one"),  # single token -> no bigrams -> absent
+            (5, None),
+        ]
+        raw = spark.createDataFrame(texts, ["doc_id", "text"])
+        target = raw.where("doc_id <= 2")
+        got = {
+            r.doc_id: r
+            for r in dsir_scores(raw, target, "text", "doc_id").collect()
+        }
+        want = self._py(
+            [(d, t) for d, t in texts if t is not None], {1, 2}
+        )
+        assert set(got) == set(want)
+        for d, (ng, score) in want.items():
+            assert got[d].n_grams == ng
+            assert got[d].dsir_logratio == pytest.approx(score, abs=2e-6)
+            assert got[d].keep_flag == int(got[d].dsir_logratio >= 0.0)
+        # target-like docs outscore the spam doc
+        assert got[1].dsir_logratio > got[3].dsir_logratio
+
+    def test_empty_target_is_uniform_prior(self, spark):
+        from pynomaly_spark.lm import dsir_scores
+
+        raw = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta alpha beta")],
+            ["doc_id", "text"],
+        )
+        target = raw.where("doc_id < 0")
+        rows = dsir_scores(raw, target, "text", "doc_id").collect()
+        assert len(rows) == 2  # scores exist; smoothing avoids log(0)
+        for r in rows:
+            assert r.dsir_logratio is not None
+
+    def test_validates_args_and_broadcasts(self, spark):
+        from pynomaly_spark.lm import dsir_scores
+
+        raw = spark.createDataFrame(
+            [(1, "alpha beta gamma")], ["doc_id", "text"]
+        )
+        with pytest.raises(ValueError):
+            dsir_scores(raw, raw, "text", "doc_id", n=0)
+        with pytest.raises(ValueError):
+            dsir_scores(raw, raw, "text", "doc_id", bucket_chars=9)
+        plan = (
+            dsir_scores(raw, raw, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
