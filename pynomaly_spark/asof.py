@@ -34,7 +34,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(
@@ -148,3 +148,124 @@ def asof_join(
         F.col(f"_asof_match.{c}").alias(f"{c}{suffix}") for c in payload_cols
     )
     return out.select(*proj)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    start_us_col: str = "start_us",
+    end_us_col: str = "end_us",
+    payload_cols: Optional[Sequence[str]] = None,
+    bucket_us: int = 3_600_000_000,
+    end_inclusive: bool = True,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Interval (range-containment) join without a range join: every
+    event row paired with every same-key interval containing its
+    timestamp — attribute events to campaigns, sessions, deploy
+    windows, maintenance periods.  Overlapping intervals yield one
+    output row per match; unmatched events are dropped (inner
+    semantics, the classic contract).
+
+    Spark executes a raw ``ts BETWEEN start AND end`` join as a
+    broadcast nested loop (or an exploded inequality sort-merge) —
+    quadratic per key at scale.  This operator BUCKETS the time axis
+    instead: each interval explodes into the ``bucket_us``-wide bucket
+    ids it covers (the small side fans out; ``max_span_buckets`` guards
+    a runaway interval — raise ``bucket_us`` for long spans), each
+    event maps to exactly ONE bucket, and the join is a plain
+    hash-partitioned equi-join on ``(keys..., bucket)`` followed by the
+    exact containment filter.  Each (event, interval) pair meets
+    exactly once — the event's single bucket appears once in the
+    interval's bucket set — so no post-join dedup is needed.
+
+    ``intervals`` carries integer-µs ``start_us_col``/``end_us_col``
+    (the engine's cross-engine time convention); ``ts_col`` is a
+    timestamp.  Output = every event column, plus each payload column
+    from the matched interval (collisions with event columns get an
+    ``_iv`` suffix), plus the matched ``start_us``/``end_us``.
+    """
+    on = list(on)
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+    if max_span_buckets < 1:
+        raise ValueError(
+            f"max_span_buckets must be >= 1, got {max_span_buckets}"
+        )
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in intervals.columns
+            if c not in on and c not in (start_us_col, end_us_col)
+        ]
+    payload_cols = list(payload_cols)
+
+    s_us, e_us = F.col(start_us_col), F.col(end_us_col)
+    span_buckets = (
+        F.floor(e_us / bucket_us) - F.floor(s_us / bucket_us) + 1
+    )
+    # The guard LIVES IN the sequence's end bound so column pruning
+    # cannot eliminate it: Spark's sequence(a, b) with b < a silently
+    # DESCENDS (the decontam.ngrams trap) — an inverted interval would
+    # fan out backwards, and a (0, 2^63) row would explode without
+    # bound.  A null/inverted/over-span interval routes to raise_error
+    # instead (when()'s null condition takes the otherwise branch, so
+    # null bounds cannot silently drop rows either).
+    ok = (
+        s_us.isNotNull()
+        & e_us.isNotNull()
+        & (e_us >= s_us)
+        & (span_buckets <= max_span_buckets)
+    )
+    end_bucket = F.when(ok, F.floor(e_us / bucket_us)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: null/inverted interval or span > "
+                    f"{max_span_buckets} buckets of {bucket_us}us "
+                    "(raise bucket_us): start_us="
+                ),
+                s_us.cast("string"),
+                F.lit(" end_us="),
+                e_us.cast("string"),
+            )
+        ).cast("long")
+    )
+
+    iv_keys = [f"_iv_k{i}" for i in range(len(on))]
+    iv = intervals.select(
+        *[F.col(k).alias(a) for k, a in zip(on, iv_keys)],
+        s_us.alias("_iv_s"),
+        e_us.alias("_iv_e"),
+        F.struct(
+            s_us.alias("start_us"),
+            e_us.alias("end_us"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_iv_pay"),
+        F.explode(
+            F.sequence(F.floor(s_us / bucket_us), end_bucket)
+        ).alias("_iv_b"),
+    )
+
+    ev_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.withColumn("_ev_us", ev_us).withColumn(
+        "_ev_b", F.floor(F.col("_ev_us") / bucket_us)
+    )
+    cond = [
+        ev[k] == iv[a] for k, a in zip(on, iv_keys)
+    ] + [ev["_ev_b"] == iv["_iv_b"]]
+    contain = (F.col("_ev_us") >= F.col("_iv_s")) & (
+        F.col("_ev_us") <= F.col("_iv_e")
+        if end_inclusive
+        else F.col("_ev_us") < F.col("_iv_e")
+    )
+    joined = ev.join(iv, cond, "inner").where(contain)
+    out_pay = [
+        F.col("_iv_pay")[f].alias(
+            f if f not in events.columns else f"{f}_iv"
+        )
+        for f in ["start_us", "end_us", *payload_cols]
+    ]
+    return joined.select(*[ev[c] for c in events.columns], *out_pay)

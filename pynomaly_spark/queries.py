@@ -3011,6 +3011,66 @@ GROUP BY d.source
 """
 
 
+_IV_H = 3_600_000_000  # 1h in µs
+
+
+def q_events_interval_join(spark, sf_dir):
+    """Interval-containment join (``asof.interval_join``) —
+    ORACLE-CHECKED against DuckDB's native range join: per event type,
+    eight 8-hour campaign windows laid every 6 hours from the type's
+    first event (adjacent windows OVERLAP by 2h, so overlap events
+    match TWO intervals — the multi-match contract), events attributed
+    by a bucketed equi-join (1h buckets) + exact containment filter,
+    rolled up to per-window counts and exact-cents value."""
+    from pynomaly_spark.asof import interval_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_b")
+    )
+    start = F.col("_b") + F.col("interval_idx") * F.lit(6 * _IV_H)
+    iv = base.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("interval_idx"),
+        "_b",
+    ).select(
+        "event_type",
+        F.col("interval_idx").cast("long").alias("interval_idx"),
+        start.alias("start_us"),
+        (start + F.lit(8 * _IV_H)).alias("end_us"),
+    )
+    joined = interval_join(
+        ev, iv, ["event_type"], ts_col="ts", bucket_us=_IV_H
+    )
+    return joined.groupBy("event_type", "interval_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = f"""
+WITH base AS (
+  SELECT event_type, min(epoch_us(ts)) AS b FROM events GROUP BY event_type
+), iv AS (
+  SELECT event_type, CAST(t.i AS BIGINT) AS interval_idx,
+         b + t.i * {6 * _IV_H} AS s,
+         b + t.i * {6 * _IV_H} + {8 * _IV_H} AS e
+  FROM base CROSS JOIN range(0, 8) t(i)
+), m AS (
+  SELECT ev.event_type, iv.interval_idx, ev.value
+  FROM events ev JOIN iv ON ev.event_type = iv.event_type
+    AND epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) <= iv.e
+)
+SELECT event_type, interval_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM m GROUP BY event_type, interval_idx
+"""
+
+
 def q_doc_dsir(spark, sf_dir):
     """DSIR importance scoring (``lm.dsir_scores``): every doc scored
     by the mean hashed-bigram log-likelihood ratio between a
@@ -3582,6 +3642,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_line_dedup": q_doc_line_dedup,
     "doc_dsir": q_doc_dsir,
+    "events_interval_join": q_events_interval_join,
     "doc_funnel": q_doc_funnel,
     "emb_centroid_drift": q_emb_centroid_drift,
     "emb_kmeans": q_emb_kmeans,
@@ -3642,6 +3703,7 @@ ORACLES: Dict[str, str] = {
     "doc_dup_ngrams": _dup_ngrams_sql(),
     "doc_line_dedup": _LINE_DEDUP_SQL,
     "doc_dsir": _dsir_sql(),
+    "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "doc_funnel": _funnel_sql(),
     "emb_centroid_drift": _centroid_drift_sql(),
     "emb_kmeans": _kmeans_sql(),

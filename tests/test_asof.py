@@ -139,3 +139,101 @@ class TestAsofJoin:
         left, right = frames
         with pytest.raises(ValueError):
             asof_join(left, right, on=["u"], tolerance_us=-1)
+
+
+class TestIntervalJoin:
+    def _frames(self, spark):
+        from datetime import datetime
+
+        ev = spark.createDataFrame(
+            [
+                (1, "a", datetime(2024, 1, 1, 0, 30)),
+                (2, "a", datetime(2024, 1, 1, 2, 30)),   # overlap zone
+                (3, "a", datetime(2024, 1, 1, 5, 30)),
+                (4, "a", datetime(2024, 1, 2, 0, 0)),    # no interval
+                (5, "b", datetime(2024, 1, 1, 0, 30)),   # other key
+                (6, None, datetime(2024, 1, 1, 0, 30)),  # null key
+            ],
+            ["event_id", "k", "ts"],
+        )
+        h = 3_600_000_000
+        base = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+        iv = spark.createDataFrame(
+            [
+                ("a", 0, base, base + 3 * h),          # [00:00, 03:00]
+                ("a", 1, base + 2 * h, base + 6 * h),  # [02:00, 06:00]
+            ],
+            ["k", "interval_idx", "start_us", "end_us"],
+        )
+        return ev, iv
+
+    def test_containment_overlap_and_null_key(self, spark):
+        from pynomaly_spark.asof import interval_join
+
+        ev, iv = self._frames(spark)
+        got = sorted(
+            (r.event_id, r.interval_idx)
+            for r in interval_join(
+                ev, iv, ["k"], bucket_us=3_600_000_000
+            ).collect()
+        )
+        # ev1 -> iv0; ev2 in the 02:00-03:00 overlap -> BOTH; ev3 -> iv1;
+        # ev4 outside; ev5 wrong key; ev6 null key never matches
+        assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
+
+    def test_end_exclusive_boundary(self, spark):
+        from datetime import datetime
+
+        from pynomaly_spark.asof import interval_join
+
+        h = 3_600_000_000
+        base = 1_704_067_200_000_000
+        ev = spark.createDataFrame(
+            [(1, "a", datetime(2024, 1, 1, 3, 0))], ["event_id", "k", "ts"]
+        )
+        iv = spark.createDataFrame(
+            [("a", 0, base, base + 3 * h)],
+            ["k", "interval_idx", "start_us", "end_us"],
+        )
+        incl = interval_join(ev, iv, ["k"]).count()
+        excl = interval_join(ev, iv, ["k"], end_inclusive=False).count()
+        assert (incl, excl) == (1, 0)
+
+    def test_raises_on_inverted_and_oversized_intervals(self, spark):
+        from datetime import datetime
+
+        import pyspark.sql.utils
+
+        from pynomaly_spark.asof import interval_join
+
+        ev = spark.createDataFrame(
+            [(1, "a", datetime(2024, 1, 1))], ["event_id", "k", "ts"]
+        )
+        base = 1_704_067_200_000_000
+        for s, e in [(base + 10, base), (0, 2**62)]:
+            iv = spark.createDataFrame(
+                [("a", 0, s, e)], ["k", "interval_idx", "start_us", "end_us"]
+            )
+            with pytest.raises(Exception, match="interval_join"):
+                interval_join(ev, iv, ["k"]).collect()
+
+    def test_plan_has_no_nested_loop(self, spark):
+        from pynomaly_spark.asof import interval_join
+
+        ev, iv = self._frames(spark)
+        plan = (
+            interval_join(ev, iv, ["k"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_validates_args(self, spark):
+        from pynomaly_spark.asof import interval_join
+
+        ev, iv = self._frames(spark)
+        with pytest.raises(ValueError):
+            interval_join(ev, iv, ["k"], bucket_us=0)
+        with pytest.raises(ValueError):
+            interval_join(ev, iv, ["k"], max_span_buckets=0)
