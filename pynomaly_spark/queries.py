@@ -3071,6 +3071,36 @@ FROM m GROUP BY event_type, interval_idx
 """
 
 
+def q_doc_shuffle_order(spark, sf_dir):
+    """Deterministic global training order (``sampling.shuffle_order``):
+    every doc's exact 0-based position in salted-md5 order plus its
+    round-robin data-parallel shard — computed with a TWO-LEVEL rank
+    (per-bucket row_number + broadcast bucket offsets; the md5 key is
+    uniform so bucketing needs no quantile sketch), never a global
+    single-reducer window.  The DuckDB twin is the definition itself:
+    ``row_number() OVER (ORDER BY md5(...), doc_id)``."""
+    from pynomaly_spark.sampling import shuffle_order
+
+    doc = _doc(spark, sf_dir).select("doc_id")
+    return shuffle_order(doc, "doc_id", seed="r5", n_shards=8).select(
+        "doc_id", "position", "shard"
+    )
+
+
+SQL_DOC_SHUFFLE_ORDER = """
+WITH ordered AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('r5:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS pos
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS position,
+       CAST(pos % 8 AS BIGINT) AS shard
+FROM ordered
+"""
+
+
 def q_doc_dsir(spark, sf_dir):
     """DSIR importance scoring (``lm.dsir_scores``): every doc scored
     by the mean hashed-bigram log-likelihood ratio between a
@@ -3642,6 +3672,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_line_dedup": q_doc_line_dedup,
     "doc_dsir": q_doc_dsir,
+    "doc_shuffle_order": q_doc_shuffle_order,
     "events_interval_join": q_events_interval_join,
     "doc_funnel": q_doc_funnel,
     "emb_centroid_drift": q_emb_centroid_drift,
@@ -3703,6 +3734,7 @@ ORACLES: Dict[str, str] = {
     "doc_dup_ngrams": _dup_ngrams_sql(),
     "doc_line_dedup": _LINE_DEDUP_SQL,
     "doc_dsir": _dsir_sql(),
+    "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "doc_funnel": _funnel_sql(),
     "emb_centroid_drift": _centroid_drift_sql(),

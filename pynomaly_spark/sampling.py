@@ -49,6 +49,7 @@ __all__ = [
     "temperature_resample",
     "split_thresholds",
     "split_assign",
+    "shuffle_order",
 ]
 
 _HASH_SPACE = float(1 << 32)
@@ -296,3 +297,92 @@ def temperature_resample(
         .where(keep)
         .select(*df.columns)
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    n_shards: int = 0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training order: every row gets its exact
+    0-based ``position`` in the corpus ordered by the salted md5 of its
+    id — the reproducible equivalent of "shuffle the dataset once
+    before training" — plus, when ``n_shards`` > 0, its round-robin
+    data-parallel ``shard`` (``position % n_shards``; shard sizes
+    differ by at most one).
+
+    Resume/audit contract: a rerun on any partitioning, any engine,
+    reproduces the identical order, so "continue from position P" is
+    well-defined and the oracle twin is a plain ``row_number() OVER
+    (ORDER BY md5(...), id)``.
+
+    Scale (100 TB reasoning): a global ``row_number`` with no
+    partition key funnels the corpus through ONE reducer — at 10^12
+    rows that single sort is the job.  Here the md5 key is uniform, so
+    the two-level scan needs no quantile sketch (unlike
+    :func:`~pynomaly_spark.packing.pack_chunks`, whose order ids are
+    arbitrary): ``bucket = floor(key16 * n_buckets / 65536)`` on the
+    first four hex chars is MONOTONE in the key string, each bucket
+    ranks its ~1/n_buckets slice in parallel, and bucket row-counts
+    (one tiny relation, ≤``n_buckets`` rows) prefix-sum into broadcast
+    offsets.  ``position = offset[bucket] + local_rank`` is exact
+    because bucket ranges partition the key order contiguously.
+
+    Rows with a NULL id carry no identity and are dropped (documented,
+    mirrored by the twin).  Ids are expected unique; duplicate ids tie
+    on the full sort key and receive an arbitrary but set-identical
+    block of positions.
+    """
+    if n_buckets < 1 or n_buckets > 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    if n_shards < 0:
+        raise ValueError(f"n_shards must be >= 0, got {n_shards}")
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    # key16 <= 65535, * n_buckets <= 2^32 — exact in double, floor exact
+    bkt = F.floor(
+        F.conv(F.substring(F.col("_key"), 1, 4), 16, 10).cast("long")
+        * n_buckets
+        / F.lit(65536)
+    ).cast("int")
+    keyed = (
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("_key", key)
+        .withColumn("_bucket", bkt)
+    )
+
+    # level 1: rank inside each bucket (parallel, ~n/n_buckets rows each)
+    w_local = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    local = keyed.withColumn(
+        "_local", F.row_number().over(w_local).cast("long") - 1
+    )
+
+    # level 2: exclusive prefix of bucket counts — a <=n_buckets-row
+    # control-plane relation (its single-partition window is bounded by
+    # construction); broadcast back
+    w_bkt = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .select(
+            F.col("_bucket").alias("_r_bucket"),
+            F.coalesce(F.sum("_bc").over(w_bkt), F.lit(0)).alias("_off"),
+        )
+    )
+    pos = (F.col("_off") + F.col("_local")).alias("position")
+    out = local.join(
+        F.broadcast(offsets), F.col("_bucket") == F.col("_r_bucket")
+    )
+    cols = [*df.columns, pos]
+    if n_shards:
+        cols.append(
+            F.pmod(F.col("_off") + F.col("_local"), F.lit(n_shards))
+            .cast("long")
+            .alias("shard")
+        )
+    return out.select(*cols)

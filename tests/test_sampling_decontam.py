@@ -466,3 +466,90 @@ class TestSplitAssign:
             split_thresholds({"a": 1.2, "b": -0.2})
         ts = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
         assert ts[0] == ("train", "e6666666") and ts[-1] == ("test", None)
+
+
+class TestShuffleOrder:
+    def _docs(self, spark, n=500):
+        return spark.range(n).select(F.col("id").alias("doc_id")).repartition(7)
+
+    def test_positions_are_the_md5_permutation(self, spark):
+        from pynomaly_spark.sampling import shuffle_order
+
+        df = self._docs(spark)
+        got = {
+            r.doc_id: r.position
+            for r in shuffle_order(df, "doc_id", seed="t").collect()
+        }
+        # reference: single global sort by the same key
+        ref_rows = (
+            df.withColumn(
+                "_k", F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string")))
+            )
+            .orderBy("_k", "doc_id")
+            .collect()
+        )
+        ref = {r.doc_id: i for i, r in enumerate(ref_rows)}
+        assert got == ref
+        assert sorted(got.values()) == list(range(500))
+
+    def test_bucket_count_invariance_and_shards(self, spark):
+        from pynomaly_spark.sampling import shuffle_order
+
+        df = self._docs(spark, 200)
+        a = {
+            r.doc_id: (r.position, r.shard)
+            for r in shuffle_order(df, "doc_id", n_shards=4).collect()
+        }
+        b = {
+            r.doc_id: (r.position, r.shard)
+            for r in shuffle_order(df, "doc_id", n_shards=4, n_buckets=1).collect()
+        }
+        assert a == b
+        sizes = {}
+        for _, sh in a.values():
+            sizes[sh] = sizes.get(sh, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert set(sizes) == {0, 1, 2, 3}
+
+    def test_null_ids_dropped_and_seed_changes_order(self, spark):
+        from pynomaly_spark.sampling import shuffle_order
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (None,), (3,)], "doc_id bigint"
+        )
+        rows = shuffle_order(df, "doc_id", seed="a").collect()
+        assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+        assert sorted(r.position for r in rows) == [0, 1, 2]
+        pa = {r.doc_id: r.position
+              for r in shuffle_order(self._docs(spark), "doc_id", seed="a").collect()}
+        pb = {r.doc_id: r.position
+              for r in shuffle_order(self._docs(spark), "doc_id", seed="b").collect()}
+        assert pa != pb  # fresh hash family per seed
+
+    def test_big_window_is_bucket_partitioned(self, spark):
+        from pynomaly_spark.sampling import shuffle_order
+
+        plan = (
+            shuffle_order(self._docs(spark), "doc_id")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .numberedTreeString()
+        )
+        # the corpus-sized rank must be keyed by _bucket; the only
+        # unkeyed window is the <=n_buckets offsets prefix sum
+        import re
+
+        wins = re.findall(r"Window \[.*?\]", plan)
+        ranked = [w for w in wins if "row_number" in w]
+        assert ranked and all("_bucket" in w for w in ranked)
+
+    def test_validates_args(self, spark):
+        from pynomaly_spark.sampling import shuffle_order
+
+        df = self._docs(spark, 10)
+        with pytest.raises(ValueError):
+            shuffle_order(df, "doc_id", n_buckets=0)
+        with pytest.raises(ValueError):
+            shuffle_order(df, "doc_id", n_buckets=65537)
+        with pytest.raises(ValueError):
+            shuffle_order(df, "doc_id", n_shards=-1)
