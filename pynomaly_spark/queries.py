@@ -2276,6 +2276,74 @@ GROUP BY d.lang, ptot.n
 """
 
 
+def q_emb_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (``similarity.pq_codes``): every
+    embedding compressed to 8 sub-codebook byte codes + reconstruction
+    error — the billion-vector ANN memory cut (FAISS IVF-PQ).  Fixed
+    seeded codebooks (the IVF oracle device); each squared distance is
+    the identical left-associated IEEE sum on both engines, so the
+    per-subspace argmin crosses engines with no rounding at all."""
+    from pynomaly_spark.similarity import pq_codes
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return pq_codes(emb).select(
+        "vec_id", *[f"code{j}" for j in range(8)], "qerr"
+    )
+
+
+def _pq_sql() -> str:
+    """DuckDB twin of q_emb_pq_codes — the same codebook literals in a
+    VALUES table, the same 8-term left-assoc squared distance, argmin =
+    rank-1 by (d ASC, ci ASC), exactly pq_codes' lowest-index
+    array_position rule."""
+    from .similarity import pq_codebooks
+
+    cbs = pq_codebooks()
+    m, k, sub = len(cbs), len(cbs[0]), len(cbs[0][0])
+    rows = []
+    for s, cb in enumerate(cbs):
+        for ci, c in enumerate(cb):
+            coords = ", ".join(repr(float(x)) for x in c)
+            rows.append(f"({s}, {ci}, {coords})")
+    values = ",\n    ".join(rows)
+    cols = ", ".join(f"c{i + 1}" for i in range(sub))
+    term = " + ".join(
+        f"(v[s*{sub}+{i + 1}] - c{i + 1}) * (v[s*{sub}+{i + 1}] - c{i + 1})"
+        for i in range(sub)
+    )
+    code_cases = ",\n       ".join(
+        f"CAST(max(CASE WHEN s = {j} THEN code END) AS BIGINT) AS code{j}"
+        for j in range(m)
+    )
+    err_sum = " + ".join(
+        f"max(CASE WHEN s = {j} THEN d END)" for j in range(m)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {m * sub}
+), cents(s, ci, {cols}) AS (
+  VALUES
+    {values}
+), dists AS (
+  SELECT b.vec_id, c.s, c.ci,
+         {term} AS d
+  FROM base b CROSS JOIN cents c
+), sel AS (
+  SELECT vec_id, s, ci AS code, d FROM (
+    SELECT vec_id, s, ci, d,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, ci ASC) AS rn
+    FROM dists) t WHERE rn = 1
+)
+SELECT vec_id,
+       {code_cases},
+       round(sqrt({err_sum}), 6) AS qerr
+FROM sel GROUP BY vec_id
+"""
+
+
 def q_emb_quantize(spark, sf_dir):
     """int8 scalar quantization quality (``similarity.scalar_quantize``):
     per-label mean max-reconstruction-error and cosine preservation of
@@ -3663,6 +3731,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_psi_drift": q_doc_psi_drift,
     "doc_ks_drift": q_doc_ks_drift,
     "doc_temp_resample": q_doc_temp_resample,
+    "emb_pq_codes": q_emb_pq_codes,
     "emb_quantize": q_emb_quantize,
     "events_window_psi": q_events_window_psi,
     "doc_pack_chunks": q_doc_pack_chunks,
@@ -3725,6 +3794,7 @@ ORACLES: Dict[str, str] = {
     "doc_psi_drift": _psi_sql(),
     "doc_ks_drift": _ks_sql(),
     "doc_temp_resample": _temp_resample_sql(),
+    "emb_pq_codes": _pq_sql(),
     "emb_quantize": _EMB_QUANT_SQL,
     "events_window_psi": _window_psi_sql(),
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,

@@ -35,6 +35,8 @@ __all__ = [
     "ivf_topk",
     "two_phase_topk",
     "scalar_quantize",
+    "pq_codebooks",
+    "pq_codes",
     "centroid_drift",
     "kmeans_fit",
 ]
@@ -222,6 +224,89 @@ def scalar_quantize(
         "dequant",
         qerr.alias("qerr_max"),
         cos.alias("cos_keep"),
+    )
+
+
+def pq_codebooks(
+    dim: int = 64, m: int = 8, k: int = 16, seed: int = 11, scale: float = 0.12
+) -> list:
+    """Seeded product-quantization codebooks: ``m`` sub-codebooks of
+    ``k`` centroids each over ``dim/m`` dims.  Fixed seeded centroids
+    (the :func:`ivf_topk` oracle device) keep every PQ stage
+    byte-comparable across engines at any scale factor; a production
+    pipeline would train them with per-subspace k-means instead."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return (rng.randn(m, k, dim // m) * scale).tolist()
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Product-quantization encoding — the memory workhorse of
+    billion-vector ANN (FAISS IVF-PQ): the vector splits into ``m``
+    contiguous sub-vectors, each replaced by the index of its nearest
+    sub-codebook centroid, so a 64-dim float32 vector compresses to
+    ``m`` byte codes (32x here) while asymmetric distances remain
+    computable from code lookups.
+
+    Appends ``code0..code{m-1}`` (long: argmin squared-L2 centroid per
+    subspace, ties to the LOWEST index) and ``qerr`` (total
+    reconstruction L2 error, 6 dp).  Everything is JVM higher-order
+    functions on literal codebooks — map-side, no shuffle, no UDF, one
+    whole-stage-codegen span; the plan is flat in ``k`` (a distances
+    array + ``array_min``/``array_position``, the IVF argmax device —
+    never a when-chain).  Cross-engine contract: each squared distance
+    is the SAME left-associated 8-term IEEE sum on both engines, so the
+    argmin needs no rounding.  Sub-vectors are MATERIALIZED columns
+    before any lambda references them (an inline ``slice`` inside
+    ``transform`` re-evaluates per centroid).  Rows whose vector is
+    NULL or mis-sized are dropped (documented; the oracle twin filters
+    identically).
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks()
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if any(len(cb) != k or any(len(c) != sub for c in cb) for cb in codebooks):
+        raise ValueError("codebooks must be rectangular m x k x sub")
+    keep = list(df.columns)
+    d = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == m * sub)
+    ).withColumn("_e", F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    for j in range(m):
+        d = d.withColumn(f"_s{j}", F.slice("_e", j * sub + 1, sub))
+    def _sq_dists(sub_col: str):
+        # closure, NOT a default-arg lambda: pyspark counts lambda
+        # parameters, and a second (defaulted) parameter would flip
+        # transform into its (element, index) two-arg form
+        return lambda c: F.aggregate(
+            F.zip_with(F.col(sub_col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for j, cb in enumerate(codebooks):
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cb]
+        )
+        d = d.withColumn(f"_d{j}", F.transform(cents, _sq_dists(f"_s{j}")))
+    err = F.array_min("_d0")
+    for j in range(1, m):
+        err = err + F.array_min(f"_d{j}")
+    return d.select(
+        *keep,
+        *[
+            (F.array_position(F.col(f"_d{j}"), F.array_min(f"_d{j}")) - 1)
+            .cast("long")
+            .alias(f"code{j}")
+            for j in range(m)
+        ],
+        F.round(F.sqrt(err), 6).alias("qerr"),
     )
 
 

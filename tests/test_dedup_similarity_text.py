@@ -1445,3 +1445,66 @@ class TestTokenEntropy:
         assert got[3].entropy_bits == pytest.approx(2.0, abs=1e-9)
         # leading/trailing whitespace yields empty splits, dropped
         assert got[5].n_tokens == 2 and got[5].uniq_tokens == 2
+
+
+class TestPqCodes:
+    def test_codes_match_numpy_argmin(self, spark):
+        import numpy as np
+
+        from pynomaly_spark.similarity import pq_codebooks, pq_codes
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 64) * 0.12
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        cbs = np.array(pq_codebooks())
+        got = {r.vec_id: r for r in pq_codes(df).collect()}
+        for i, v in enumerate(vecs):
+            errs = []
+            for j in range(8):
+                s = v[j * 8 : (j + 1) * 8]
+                d = ((cbs[j] - s) ** 2).sum(axis=1)
+                assert got[i][f"code{j}"] == int(d.argmin())
+                errs.append(d.min())
+            assert got[i].qerr == pytest.approx(
+                float(np.sqrt(np.sum(errs))), abs=1e-5
+            )
+
+    def test_tie_breaks_to_lowest_index_and_drops_bad_rows(self, spark):
+        from pynomaly_spark.similarity import pq_codes
+
+        # duplicated centroid: the tie must resolve to index 0
+        cb = [[[0.0, 0.0], [0.0, 0.0], [9.0, 9.0]]]
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.1]), (2, None), (3, [0.1, 0.1, 0.3])],
+            "vec_id bigint, embedding array<double>",
+        )
+        rows = pq_codes(df, codebooks=cb).collect()
+        assert [(r.vec_id, r.code0) for r in rows] == [(1, 0)]
+
+    def test_map_side_plan_no_shuffle_no_python(self, spark):
+        from pynomaly_spark.similarity import pq_codebooks, pq_codes
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+        )
+        plan = (
+            pq_codes(df, codebooks=pq_codebooks())
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_validates_ragged_codebooks(self, spark):
+        from pynomaly_spark.similarity import pq_codebooks, pq_codes
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4)], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            pq_codes(df, codebooks=[[[0.0, 1.0]], [[0.0]]])
+        with pytest.raises(ValueError):
+            pq_codebooks(dim=10, m=3)
