@@ -38,6 +38,7 @@ __all__ = [
     "dup_ngram_fraction",
     "incremental_dedup",
     "line_dedup",
+    "phash_near_dups",
 ]
 
 
@@ -802,4 +803,84 @@ def line_dedup(
             ).alias("dup_frac"),
             "clean_sha",
         )
+    )
+
+
+def phash_near_dups(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    n_bands: int = 4,
+    band_bits: int = 8,
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal member of the dedup family (exact digest / MinHash /
+    SimHash / embedding-LSH / ...), fed by
+    :func:`pynomaly_spark.multimodal.perceptual_hash`.
+
+    Banded blocking, never all-pairs (the SimHash device applied to
+    image bits): each hash splits into ``n_bands`` contiguous
+    ``band_bits``-bit slices, candidates are pairs agreeing EXACTLY on
+    at least one slice (guaranteed complete for ``hamming <
+    n_bands`` — a pair below that bound cannot differ in every band —
+    and a high-recall heuristic above it, the standard LSH trade
+    documented at the call site), and only candidates pay the exact
+    ``bit_count(xor)`` verify.  All JVM bit expressions; the join is a
+    hash equi-join on ``(band, slice)``.  Hot buckets: a constant band
+    value (e.g. all-dark images sharing a zero slice) concentrates a
+    bucket exactly like a hot LSH band — at corpus scale apply the same
+    skew remedy as ``lsh_candidate_pairs`` (AQE skew join; the verify
+    filter keeps output bounded).  Null hashes are dropped.
+
+    Returns ``id_a < id_b`` pairs with both hashes and the exact
+    ``hamming`` distance (<= ``max_hamming``), deduped across bands.
+    """
+    if n_bands < 1 or band_bits < 1 or n_bands * band_bits > 64:
+        raise ValueError(
+            f"need 1 <= n_bands*band_bits <= 64, got {n_bands}x{band_bits}"
+        )
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    mask = F.lit((1 << band_bits) - 1).cast("long")
+    slices = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), b * band_bits).bitwiseAND(
+                mask
+            )
+            for b in range(n_bands)
+        ]
+    )
+    it = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(slices).alias("_band", "_bv"),
+    )
+    left = it.select(
+        F.col("_id").alias("id_a"),
+        F.col("_h").alias("phash_a"),
+        "_band",
+        "_bv",
+    )
+    right = it.select(
+        F.col("_id").alias("id_b"),
+        F.col("_h").alias("phash_b"),
+        F.col("_band").alias("_rband"),
+        F.col("_bv").alias("_rbv"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("_band") == F.col("_rband"))
+            & (F.col("_bv") == F.col("_rbv"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "phash_a", "phash_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("phash_a").bitwiseXOR(F.col("phash_b"))
+    ).cast("long")
+    return pairs.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
     )

@@ -856,6 +856,79 @@ FROM stats GROUP BY doc_id
 """
 
 
+def q_doc_media_phash(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs
+    (``multimodal.perceptual_hash`` -> ``dedup.phash_near_dups``),
+    ORACLE-CHECKED end to end: the REAL PPM decode feeds an
+    integer-exact aHash (cross-multiplied mean compare — no float ever
+    touches a bit decision), banded 8-bit slices block the join, and
+    only candidates pay the exact bit_count(xor) verify.  The DuckDB
+    twin recomputes every pixel from the md5 generation inputs and
+    mirrors hash, bands, and Hamming verify in BIGINT arithmetic.  The
+    synthetic rasters are random, so the 12-bit threshold exercises the
+    band-match + verify pipeline (the production threshold for true
+    near-dups is ~4)."""
+    from .dedup import phash_near_dups
+    from .multimodal import perceptual_hash
+
+    doc = _doc(spark, sf_dir).where(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
+    raster = F.rpad(
+        F.concat(
+            F.md5("text"),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ),
+        96,
+        "0",
+    )
+    payload = F.concat(F.lit(b"P6\n8 4\n255\n"), F.encode(raster, "utf-8"))
+    media = doc.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return phash_near_dups(
+        perceptual_hash(media), n_bands=4, band_bits=8, max_hamming=12
+    ).select("id_a", "id_b", "phash_a", "phash_b", "hamming")
+
+
+SQL_DOC_MEDIA_PHASH = """
+WITH src AS (
+  SELECT doc_id, md5(text) || md5('x' || text) || md5('y' || text) AS raster
+  FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+), px AS (
+  SELECT doc_id, CAST(t.p AS INTEGER) AS p,
+         CAST(ascii(substr(raster, CAST(3*t.p+1 AS INTEGER), 1))
+            + ascii(substr(raster, CAST(3*t.p+2 AS INTEGER), 1))
+            + ascii(substr(raster, CAST(3*t.p+3 AS INTEGER), 1)) AS BIGINT)
+           AS s
+  FROM src CROSS JOIN range(0, 32) t(p)
+), tot AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM px GROUP BY doc_id
+), h AS (
+  SELECT px.doc_id,
+         CAST(sum(CASE WHEN 32 * s > total
+                       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+), bands AS (
+  SELECT doc_id, phash,
+         CAST(b.b AS INTEGER) AS band,
+         (phash >> CAST(8 * b.b AS INTEGER)) & 255 AS bv
+  FROM h CROSS JOIN range(0, 4) b(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.phash AS phash_a, c.phash AS phash_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, phash_a, phash_b,
+       CAST(bit_count(xor(phash_a, phash_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(phash_a, phash_b)) <= 12
+"""
+
+
 def _ivf_fixed_centroids(dim: int = _EMB_DIM, n: int = 16, seed: int = 7):
     """Seeded unit-vector cell centers for the ORACLE-CHECKED IVF query.
 
@@ -3714,6 +3787,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_media_features": q_doc_media_features,
     "doc_media_wav": q_doc_media_wav,
+    "doc_media_phash": q_doc_media_phash,
     "doc_media_qoi": q_doc_media_qoi,
     "doc_media_y4m": q_doc_media_y4m,
     "doc_media_thumbs": q_doc_media_thumbs,
@@ -3822,6 +3896,7 @@ ORACLES: Dict[str, str] = {
     # lookups, and the WAV rfft spectrum is a direct 48x25 DFT — so
     # the real decoders are hash-verified against an independent
     # engine; the compressed/corrupt paths stay roundtrip/fuzz pytest.
+    "doc_media_phash": SQL_DOC_MEDIA_PHASH,
     "doc_media_qoi": _media_features_sql(decoder="qoi", n_bytes=150),
     "doc_media_wav": _media_wav_sql(),
     "doc_media_y4m": _media_y4m_sql(),

@@ -1508,3 +1508,84 @@ class TestPqCodes:
             pq_codes(df, codebooks=[[[0.0, 1.0]], [[0.0]]])
         with pytest.raises(ValueError):
             pq_codebooks(dim=10, m=3)
+
+
+class TestPerceptualHash:
+    def _ppm(self, raster_bytes, w=8, h=4):
+        return b"P6\n%d %d\n255\n" % (w, h) + raster_bytes
+
+    def test_ahash_known_bits_and_sign_wrap(self):
+        import numpy as np
+
+        from pynomaly_spark.multimodal import ahash_bits
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        px[0, 1] = 200  # only pixel 1 above the mean
+        assert ahash_bits(px) == (2, 4)
+        # 8x8 with exactly the top-left half bright: bit 63 lands set
+        # somewhere -> result must wrap into a signed 64-bit long
+        big = np.zeros((8, 8, 3), dtype=np.uint8)
+        big[4:, :] = 255
+        ph, n = ahash_bits(big)
+        assert n == 64 and -(1 << 63) <= ph < (1 << 63) and ph < 0
+
+    def test_ahash_downsamples_large_images(self):
+        import numpy as np
+
+        from pynomaly_spark.multimodal import ahash_bits
+
+        big = np.zeros((16, 16, 3), dtype=np.uint8)
+        big[8:, :] = 255
+        small = np.zeros((8, 8, 3), dtype=np.uint8)
+        small[4:, :] = 255
+        assert ahash_bits(big) == ahash_bits(small)
+
+    def test_perceptual_hash_decodes_and_isolates_errors(self, spark):
+        import numpy as np
+
+        from pynomaly_spark.multimodal import ahash_bits, decode_ppm, perceptual_hash
+
+        raster = bytes(range(40, 136))  # 96 deterministic bytes
+        rows = [
+            (1, self._ppm(raster)),
+            (2, b"NOTANIMAGE"),
+            (3, None),
+            (4, self._ppm(b"\x00" * 10)),  # truncated raster
+        ]
+        df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+        got = {r.media_id: r for r in perceptual_hash(df).collect()}
+        exp_ph, exp_n = ahash_bits(decode_ppm(self._ppm(raster)))
+        assert (got[1].phash, got[1].n_bits, got[1].decoder) == (
+            exp_ph, exp_n, "ppm",
+        )
+        for bad in (2, 3, 4):
+            assert got[bad].phash is None and got[bad].decoder == "error"
+
+    def test_phash_near_dups_exact_hamming_and_banding(self, spark):
+        from pynomaly_spark.dedup import phash_near_dups
+
+        rows = [
+            (1, 0x00000000),
+            (2, 0x00000003),        # hamming 2 vs id 1; shares 3 bands
+            (3, 0x0F0F0F0F),        # differs in every band from 1 and 2
+            (4, None),              # dropped
+            (5, 0x00000000),        # identical to 1 -> hamming 0
+        ]
+        df = spark.createDataFrame(rows, "media_id bigint, phash bigint")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_near_dups(df, max_hamming=12).collect()
+        }
+        # pairs deduped across multiple matching bands; hamming exact
+        assert got == {(1, 2): 2, (1, 5): 0, (2, 5): 2}
+        # guaranteed-complete regime: hamming < n_bands can't be missed
+        assert (1, 2) in got and got[(1, 2)] < 4
+
+    def test_phash_near_dups_validates_args(self, spark):
+        from pynomaly_spark.dedup import phash_near_dups
+
+        df = spark.createDataFrame([(1, 0)], "media_id bigint, phash bigint")
+        with pytest.raises(ValueError):
+            phash_near_dups(df, n_bands=9, band_bits=8)
+        with pytest.raises(ValueError):
+            phash_near_dups(df, max_hamming=-1)
