@@ -2417,6 +2417,84 @@ FROM sel GROUP BY vec_id
 """
 
 
+def q_emb_pq_adc(spark, sf_dir):
+    """Asymmetric-distance ANN over PQ codes
+    (``similarity.pq_adc_topk``): items exist only as 8 byte codes,
+    each query's LUT is its exact sub-distance table to every centroid,
+    and candidate distance is 8 lookups + adds — FAISS-style serving.
+    Same seeded codebooks as emb_pq_codes; salted two-phase rank by
+    (rounded distance ASC, neighbor ASC) on both engines."""
+    from pynomaly_spark.similarity import pq_adc_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(
+        emb, q, k=5, phase1=len(emb.inputFiles()) > 4
+    ).select("query_id", "rnk", "neighbor_id", "adc_dist")
+
+
+def _pq_adc_sql(k: int = 5) -> str:
+    """DuckDB twin of q_emb_pq_adc: codes from the pq twin's argmin,
+    query LUT values from the SAME dists relation, ADC = pivoted
+    left-assoc sum over subspaces, rank by (round(d,6) ASC, id ASC)."""
+    from .similarity import pq_codebooks
+
+    cbs = pq_codebooks()
+    m, sub = len(cbs), len(cbs[0][0])
+    rows = []
+    for s, cb in enumerate(cbs):
+        for ci, c in enumerate(cb):
+            coords = ", ".join(repr(float(x)) for x in c)
+            rows.append(f"({s}, {ci}, {coords})")
+    values = ",\n    ".join(rows)
+    cols = ", ".join(f"c{i + 1}" for i in range(sub))
+    term = " + ".join(
+        f"(v[s*{sub}+{i + 1}] - c{i + 1}) * (v[s*{sub}+{i + 1}] - c{i + 1})"
+        for i in range(sub)
+    )
+    adc_sum = " + ".join(
+        f"max(CASE WHEN s = {j} THEN d END)" for j in range(m)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {m * sub}
+), cents(s, ci, {cols}) AS (
+  VALUES
+    {values}
+), dists AS (
+  SELECT b.vec_id, c.s, c.ci,
+         {term} AS d
+  FROM base b CROSS JOIN cents c
+), codes AS (
+  SELECT vec_id, s, ci AS code FROM (
+    SELECT vec_id, s, ci,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, ci ASC) AS rn
+    FROM dists) t WHERE rn = 1
+), qd AS (
+  SELECT vec_id AS query_id, s, ci, d FROM dists WHERE vec_id < 5
+), pair AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.s, q.d
+  FROM qd q JOIN codes c ON q.s = c.s AND q.ci = c.code
+  WHERE c.vec_id <> q.query_id
+), adc AS (
+  SELECT query_id, neighbor_id, {adc_sum} AS dist
+  FROM pair GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dist, 6) ASC, neighbor_id ASC)
+           AS rnk
+  FROM adc
+)
+SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {k}
+"""
+
+
 def q_emb_quantize(spark, sf_dir):
     """int8 scalar quantization quality (``similarity.scalar_quantize``):
     per-label mean max-reconstruction-error and cosine preservation of
@@ -3805,6 +3883,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_psi_drift": q_doc_psi_drift,
     "doc_ks_drift": q_doc_ks_drift,
     "doc_temp_resample": q_doc_temp_resample,
+    "emb_pq_adc": q_emb_pq_adc,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_quantize": q_emb_quantize,
     "events_window_psi": q_events_window_psi,
@@ -3868,6 +3947,7 @@ ORACLES: Dict[str, str] = {
     "doc_psi_drift": _psi_sql(),
     "doc_ks_drift": _ks_sql(),
     "doc_temp_resample": _temp_resample_sql(),
+    "emb_pq_adc": _pq_adc_sql(),
     "emb_pq_codes": _pq_sql(),
     "emb_quantize": _EMB_QUANT_SQL,
     "events_window_psi": _window_psi_sql(),

@@ -37,6 +37,7 @@ __all__ = [
     "scalar_quantize",
     "pq_codebooks",
     "pq_codes",
+    "pq_adc_topk",
     "centroid_drift",
     "kmeans_fit",
 ]
@@ -270,16 +271,45 @@ def pq_codes(
     if codebooks is None:
         codebooks = pq_codebooks()
     m = len(codebooks)
+    keep = list(df.columns)
+    d = _pq_dist_arrays(df, vec_col, codebooks)
+    err = F.array_min("_d0")
+    for j in range(1, m):
+        err = err + F.array_min(f"_d{j}")
+    return d.select(
+        *keep,
+        *[
+            (F.array_position(F.col(f"_d{j}"), F.array_min(f"_d{j}")) - 1)
+            .cast("long")
+            .alias(f"code{j}")
+            for j in range(m)
+        ],
+        F.round(F.sqrt(err), 6).alias("qerr"),
+    )
+
+
+def _pq_dist_arrays(
+    df: DataFrame, vec_col: str, codebooks: list
+) -> DataFrame:
+    """Shared PQ distance builder: appends ``_d{j}`` — the array of
+    squared L2 distances from sub-vector j to sub-codebook j's
+    centroids — for every subspace.  Encoding argmins these arrays
+    (:func:`pq_codes`); ADC search uses them directly as the query's
+    lookup tables (:func:`pq_adc_topk`).  Validates codebook shape and
+    drops null/mis-sized vectors; sub-vectors are MATERIALIZED columns
+    before any lambda references them (an inline slice inside
+    transform re-evaluates per centroid)."""
+    m = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
     if any(len(cb) != k or any(len(c) != sub for c in cb) for cb in codebooks):
         raise ValueError("codebooks must be rectangular m x k x sub")
-    keep = list(df.columns)
     d = df.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == m * sub)
     ).withColumn("_e", F.transform(F.col(vec_col), lambda x: x.cast("double")))
     for j in range(m):
         d = d.withColumn(f"_s{j}", F.slice("_e", j * sub + 1, sub))
+
     def _sq_dists(sub_col: str):
         # closure, NOT a default-arg lambda: pyspark counts lambda
         # parameters, and a second (defaulted) parameter would flip
@@ -295,18 +325,68 @@ def pq_codes(
             *[F.array(*[F.lit(float(x)) for x in c]) for c in cb]
         )
         d = d.withColumn(f"_d{j}", F.transform(cents, _sq_dists(f"_s{j}")))
-    err = F.array_min("_d0")
+    return d
+
+
+def pq_adc_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    phase1: bool = True,
+    rank_round: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — how a billion-vector
+    index actually serves queries (FAISS ADC): items exist ONLY as
+    ``m`` byte codes (32x smaller than the vectors), each query builds
+    an ``m x k`` lookup table of exact sub-distances to every centroid
+    once, and a candidate's approximate distance is ``m`` table
+    lookups + adds instead of a ``dim``-term float dot product.
+
+    ``queries`` is expected small (broadcast, carrying its LUT arrays);
+    the item side streams its codes past it map-side — the item VECTORS
+    are never read after encoding, which is the whole point at corpus
+    scale.  Ranking is the engine's salted :func:`two_phase_topk`
+    (ascending rounded distance, neighbor id tiebreak — the
+    ``rank_round`` cross-engine device).  Returns ``(query_id, rnk,
+    neighbor_id, adc_dist)`` with ``adc_dist`` rounded to 6 dp.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks()
+    m = len(codebooks)
+    codes = pq_codes(items, vec_col, codebooks).select(
+        F.col(id_col), *[f"code{j}" for j in range(m)]
+    )
+    luts = _pq_dist_arrays(queries, vec_col, codebooks).select(
+        F.col(query_id_col),
+        *[F.col(f"_d{j}").alias(f"_lut{j}") for j in range(m)],
+    )
+    dist = F.element_at("_lut0", F.col("code0").cast("int") + 1)
     for j in range(1, m):
-        err = err + F.array_min(f"_d{j}")
-    return d.select(
-        *keep,
-        *[
-            (F.array_position(F.col(f"_d{j}"), F.array_min(f"_d{j}")) - 1)
-            .cast("long")
-            .alias(f"code{j}")
-            for j in range(m)
-        ],
-        F.round(F.sqrt(err), 6).alias("qerr"),
+        dist = dist + F.element_at(
+            f"_lut{j}", F.col(f"code{j}").cast("int") + 1
+        )
+    scored = codes.join(
+        F.broadcast(luts), F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        dist.alias("_adc"),
+    )
+    order = [
+        F.round(F.col("_adc"), int(rank_round)).asc(),
+        F.col("neighbor_id").asc(),
+    ]
+    return two_phase_topk(
+        scored, [query_id_col], order, k, phase1=phase1
+    ).select(
+        query_id_col,
+        "rnk",
+        "neighbor_id",
+        F.round("_adc", 6).alias("adc_dist"),
     )
 
 

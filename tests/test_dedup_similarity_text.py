@@ -1589,3 +1589,60 @@ class TestPerceptualHash:
             phash_near_dups(df, n_bands=9, band_bits=8)
         with pytest.raises(ValueError):
             phash_near_dups(df, max_hamming=-1)
+
+
+class TestPqAdcTopk:
+    def test_matches_numpy_adc(self, spark):
+        import numpy as np
+
+        from pynomaly_spark.similarity import pq_adc_topk, pq_codebooks
+
+        rng = np.random.RandomState(9)
+        vecs = rng.randn(30, 64) * 0.12
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        q = df.where("vec_id < 2").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+            for r in pq_adc_topk(df, q, k=3, phase1=False).collect()
+        }
+        cbs = np.array(pq_codebooks())
+        subs = vecs.reshape(30, 8, 8)
+        # codes per item, then ADC dist per (query, item)
+        codes = np.array(
+            [[((cbs[j] - subs[i, j]) ** 2).sum(1).argmin() for j in range(8)]
+             for i in range(30)]
+        )
+        for qi in range(2):
+            dists = []
+            for i in range(30):
+                if i == qi:
+                    continue
+                d = sum(
+                    ((cbs[j][codes[i, j]] - subs[qi, j]) ** 2).sum()
+                    for j in range(8)
+                )
+                dists.append((round(d, 6), i))
+            dists.sort()
+            for rnk, (d, i) in enumerate(dists[:3], start=1):
+                ni, nd = got[(qi, rnk)]
+                assert ni == i
+                assert nd == pytest.approx(d, abs=1e-5)
+
+    def test_item_vectors_pruned_after_encoding(self, spark):
+        from pynomaly_spark.similarity import pq_adc_topk
+
+        df = spark.createDataFrame(
+            [(i, [0.01 * i] * 64) for i in range(10)],
+            "vec_id bigint, embedding array<double>",
+        )
+        q = df.where("vec_id = 0").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        out = pq_adc_topk(df, q, k=2, phase1=False)
+        assert {r.neighbor_id for r in out.collect()}.isdisjoint({0})
+        assert out.count() == 2
