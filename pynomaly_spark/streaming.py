@@ -52,6 +52,7 @@ __all__ = [
     "streaming_psi_drift",
     "streaming_lm_scores",
     "streaming_sessions",
+    "streaming_interval_join",
 ]
 
 
@@ -412,6 +413,37 @@ def streaming_sessions(
             "value_cents",
         )
     )
+
+
+def streaming_interval_join(
+    stream_df: DataFrame,
+    intervals: DataFrame,
+    on,
+    ts_col: str = "ts",
+    **kwargs,
+) -> DataFrame:
+    """STREAM-STATIC interval attribution — live events tagged with the
+    campaign/deploy/maintenance windows containing them, the streaming
+    twin of :func:`pynomaly_spark.asof.interval_join` (same bucketed
+    equi-join; identical semantics batch vs stream, parity-tested).
+
+    Entirely STATELESS: the static interval table explodes into its
+    time buckets once at plan build, each micro-batch maps events to
+    their single bucket and hash-joins — no state store, no watermark
+    (this is enrichment, not aggregation; a downstream windowed
+    aggregate adds its own watermark).  That is the scale story too:
+    state never grows with stream history, and a refreshed interval
+    table is a plan swap, not a state migration.  ``intervals`` must be
+    a bounded (non-streaming) frame — a stream-stream containment join
+    needs event-time range watermarks instead, a different operator.
+    """
+    if intervals.isStreaming:
+        raise ValueError(
+            "streaming_interval_join: intervals must be a static frame"
+        )
+    from .asof import interval_join
+
+    return interval_join(stream_df, intervals, on, ts_col=ts_col, **kwargs)
 
 
 def score_stream(

@@ -510,3 +510,75 @@ def test_streaming_lm_scores_empty_model_floor(spark):
     )
     rows = streaming_lm_scores(ev, model).collect()
     assert len(rows) == 1 and rows[0].logprob == 0.0
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-static interval attribution over the replayed events
+    stream: every emitted (event, interval) match must agree exactly
+    with the batch interval_join; the plan must carry no state store."""
+    from pynomaly_spark.asof import interval_join
+    from pynomaly_spark.streaming import streaming_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    h = 3_600_000_000
+    base = ev.groupBy("event_type").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_b")
+    )
+    start = F.col("_b") + F.col("interval_idx") * F.lit(6 * h)
+    iv = base.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("interval_idx"),
+        "_b",
+    ).select(
+        "event_type",
+        F.col("interval_idx").cast("long").alias("interval_idx"),
+        start.alias("start_us"),
+        (start + F.lit(8 * h)).alias("end_us"),
+    )
+    iv.persist().count()
+
+    in_dir = str(tmp_path / "iv_stream_in")
+    ev.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+
+    joined = streaming_interval_join(
+        stream, iv, ["event_type"], bucket_us=h
+    ).select("event_id", "event_type", "interval_idx", "value")
+    out_dir = str(tmp_path / "iv_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_iv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert "stateOperators" not in str(q.lastProgress) or not (
+        q.lastProgress or {}
+    ).get("stateOperators")
+
+    got = sorted(
+        (r.event_id, r.interval_idx)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert len(got) > 0
+    batch = sorted(
+        (r.event_id, r.interval_idx)
+        for r in interval_join(ev, iv, ["event_type"], bucket_us=h)
+        .select("event_id", "interval_idx")
+        .collect()
+    )
+    assert got == batch
+    iv.unpersist()
+
+
+def test_streaming_interval_join_rejects_streaming_intervals(spark, tmp_path):
+    from pynomaly_spark.streaming import streaming_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "iv_bad_in")
+    ev.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    with pytest.raises(ValueError, match="static"):
+        streaming_interval_join(stream, stream, ["event_type"])
