@@ -3290,6 +3290,61 @@ FROM m GROUP BY event_type, interval_idx
 """
 
 
+def q_nation_revenue(spark, sf_dir):
+    """Multi-table relational rollup (TPC-H Q5 flavor): 1997 revenue
+    per customer nation over lineitem JOIN orders JOIN customer JOIN
+    nation.  The plan is the one a 100-TB run needs: the date filter
+    pushes into the orders parquet scan, the 25-row nation dim is an
+    explicit broadcast, the two big joins shuffle on their keys with
+    AQE free to re-plan, and revenue is EXACT integer arithmetic —
+    cents x (100 - discount_pct) — so the sum is order-independent and
+    hashes identically cross-engine (float revenue would not)."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+    )
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum("_rev").alias("revenue_c4"),
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
 def q_doc_shuffle_order(spark, sf_dir):
     """Deterministic global training order (``sampling.shuffle_order``):
     every doc's exact 0-based position in salted-md5 order plus its
@@ -3902,6 +3957,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_stream": q_doc_lm_stream,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "lineitem_rollup": q_lineitem_rollup,
+    "nation_revenue": q_nation_revenue,
     "doc_tfidf_terms": q_doc_tfidf_terms,
 }
 
@@ -3966,6 +4022,7 @@ ORACLES: Dict[str, str] = {
     "doc_lm_stream": _lm_stream_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+    "nation_revenue": SQL_NATION_REVENUE,
     "doc_tfidf_terms": _tfidf_sql(),
     "doc_drift_loop": _doc_drift_loop_sql(),
     "doc_media_features": _media_features_sql(),

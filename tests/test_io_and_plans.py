@@ -144,3 +144,22 @@ def test_text_readers_do_not_mutate_shared_schema(spark, tmp_path):
         assert read_code_table_json(spark, j).count() == 1
         assert read_code_table_csv(spark, c).count() == 1
     assert "_corrupt_record" not in [f.name for f in CODE_TABLE_SCHEMA.fields]
+
+
+def test_nation_revenue_plan_pushdown_and_broadcast(spark):
+    """The multi-join rollup must push the 1997 date filter into the
+    orders parquet scan and broadcast the 25-row nation dim — the two
+    plan properties that keep it viable at 100 TB."""
+    from pynomaly_spark.queries import q_nation_revenue
+
+    df = q_nation_revenue(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert pushed, "date filter not pushed to the orders scan"
+    # exact integer revenue: 25 nations, deterministic sum
+    rows = df.collect()
+    assert len(rows) == 25 and all(r.revenue_c4 > 0 for r in rows)
