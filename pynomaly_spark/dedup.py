@@ -39,6 +39,7 @@ __all__ = [
     "incremental_dedup",
     "line_dedup",
     "phash_near_dups",
+    "bitstring_near_dups",
 ]
 
 
@@ -883,4 +884,81 @@ def phash_near_dups(
     ).cast("long")
     return pairs.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
+    )
+
+
+def bitstring_near_dups(
+    df: DataFrame,
+    id_col: str = "row_id",
+    bits_col: str = "simhash_bits",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Text near-duplicate pairs by SimHash Hamming distance — the
+    serving half of the SimHash family (:func:`simhash64` /
+    :func:`simhash_md5_bits` produce the fingerprints; this is the
+    Google-style banded Hamming join that turns them into dedup
+    decisions at corpus scale).
+
+    Same blocking shape as :func:`phash_near_dups`, specialized to the
+    engine's oracle-checkable BIT-STRING fingerprints: the string
+    splits into ``n_bands`` contiguous ``n_bits/n_bands``-char slices,
+    candidates agree exactly on >= 1 slice (complete for ``hamming <
+    n_bands``), and only candidates pay the exact Hamming count — a
+    flat ``n_bits``-term per-char comparison sum, whole-stage codegen,
+    never all-pairs.  Rows with a null or mis-sized bit string are
+    dropped.  Returns ``id_a < id_b`` pairs with the exact ``hamming``
+    (<= ``max_hamming``), deduped across bands.
+    """
+    if n_bands < 1 or n_bits < 1 or n_bits % n_bands:
+        raise ValueError(
+            f"n_bits {n_bits} must be a positive multiple of n_bands "
+            f"{n_bands}"
+        )
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    w = n_bits // n_bands
+    src = df.where(
+        F.col(bits_col).isNotNull() & (F.length(bits_col) == n_bits)
+    )
+    slices = F.array(
+        *[F.substring(F.col(bits_col), b * w + 1, w) for b in range(n_bands)]
+    )
+    it = src.select(
+        F.col(id_col).alias("_id"),
+        F.col(bits_col).alias("_h"),
+        F.posexplode(slices).alias("_band", "_bv"),
+    )
+    left = it.select(
+        F.col("_id").alias("id_a"),
+        F.col("_h").alias("_ba"),
+        "_band",
+        "_bv",
+    )
+    right = it.select(
+        F.col("_id").alias("id_b"),
+        F.col("_h").alias("_bb"),
+        F.col("_band").alias("_rband"),
+        F.col("_bv").alias("_rbv"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("_band") == F.col("_rband"))
+            & (F.col("_bv") == F.col("_rbv"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "_ba", "_bb")
+        .distinct()
+    )
+    ham = F.lit(0).cast("long")
+    for i in range(1, n_bits + 1):
+        ham = ham + (
+            F.substring("_ba", i, 1) != F.substring("_bb", i, 1)
+        ).cast("long")
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -602,6 +602,56 @@ SELECT row_id, {bit_concat} AS simhash_bits FROM votes
 """
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs (``dedup.bitstring_near_dups``):
+    the serving half of the SimHash family — banded Hamming join over
+    the md5-bit fingerprints of ``doc_simhash``, exact flat 64-term
+    Hamming verify on candidates only.  Docs capped at id < 300 and the
+    gate at hamming <= 8 (the synthetic docs' template tokens correlate
+    fingerprints heavily — 16 would pass ~40% of all pairs; 8 keeps the
+    genuinely-similar tail) so the pair relation is scale-stable (the
+    media-query device)."""
+    from .dedup import bitstring_near_dups, simhash_md5_bits
+
+    doc = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.col("doc_id") < 300))
+        .select(
+            F.col("doc_id").alias("row_id"), F.col("text").alias("content")
+        )
+    )
+    return bitstring_near_dups(simhash_md5_bits(doc), max_hamming=8)
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """DuckDB twin of q_doc_simhash_pairs: the full simhash twin as a
+    CTE, identical 8-char band blocking and 64-term Hamming sum."""
+    ham = " + ".join(
+        f"(CASE WHEN substr(ba, {i}, 1) <> substr(bb, {i}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH sims AS (
+  {_simhash_sql()}
+), f AS (
+  SELECT row_id, simhash_bits FROM sims WHERE row_id < 300
+), bands AS (
+  SELECT row_id, simhash_bits, CAST(b.b AS INTEGER) AS band,
+         substr(simhash_bits, CAST(b.b * 8 + 1 AS INTEGER), 8) AS bv
+  FROM f CROSS JOIN range(0, 8) b(b)
+), cand AS (
+  SELECT DISTINCT a.row_id AS id_a, c.row_id AS id_b,
+         a.simhash_bits AS ba, c.simhash_bits AS bb
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.bv = c.bv AND a.row_id < c.row_id
+), ham AS (
+  SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming FROM cand
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}
+"""
+
+
 def q_doc_lang_guess(spark, sf_dir):
     from .textops import language_id
 
@@ -3911,6 +3961,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_near_dups": q_doc_near_dups,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_lang_guess": q_doc_lang_guess,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "emb_ann_lsh": q_emb_ann_lsh,
@@ -3982,6 +4033,7 @@ ORACLES: Dict[str, str] = {
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "emb_loop_stages": SQL_EMB_LOOP_STAGES,
     "doc_simhash": _simhash_sql(),
+    "doc_simhash_pairs": _simhash_pairs_sql(),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ann_ivf": _ann_ivf_sql(),
     "emb_ann_recall": _ann_recall_sql(),

@@ -1646,3 +1646,40 @@ class TestPqAdcTopk:
         out = pq_adc_topk(df, q, k=2, phase1=False)
         assert {r.neighbor_id for r in out.collect()}.isdisjoint({0})
         assert out.count() == 2
+
+
+class TestBitstringNearDups:
+    def test_exact_hamming_and_completeness_bound(self, spark):
+        from pynomaly_spark.dedup import bitstring_near_dups
+
+        z = "0" * 64
+        flip = lambda s, idxs: "".join(
+            ("1" if c == "0" else "0") if i in idxs else c
+            for i, c in enumerate(s)
+        )
+        rows = [
+            (1, z),
+            (2, flip(z, {0, 9})),       # hamming 2, differs in 2 bands
+            (3, flip(z, set(range(7)))),  # hamming 7 < n_bands: guaranteed found
+            (4, None),                  # dropped
+            (5, "01"),                  # mis-sized: dropped
+            (6, z),                     # identical to 1
+        ]
+        df = spark.createDataFrame(rows, "row_id bigint, simhash_bits string")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in bitstring_near_dups(df, max_hamming=8).collect()
+        }
+        # (2,3): bit0 flipped in BOTH (agrees), bits1-6 + bit9 differ = 7
+        assert got == {(1, 2): 2, (1, 3): 7, (1, 6): 0, (2, 3): 7,
+                       (2, 6): 2, (3, 6): 7}
+
+    def test_validates_args(self, spark):
+        from pynomaly_spark.dedup import bitstring_near_dups
+
+        df = spark.createDataFrame([(1, "0" * 64)],
+                                   "row_id bigint, simhash_bits string")
+        with pytest.raises(ValueError):
+            bitstring_near_dups(df, n_bits=64, n_bands=7)
+        with pytest.raises(ValueError):
+            bitstring_near_dups(df, max_hamming=-1)
