@@ -318,6 +318,66 @@ FROM documents GROUP BY lang
 # windowed event aggregation (streaming-shaped; batch semantics here)
 # --------------------------------------------------------------------------
 
+_DAY_US = 86_400_000_000
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active day, the
+    share still active at each day offset — the canonical product
+    analytics rollup.  Day ids are INTEGER division of epoch-µs (`div`
+    / `//`, never a float floor: a double quotient can mis-bin an
+    exact midnight boundary), so every stage is integer-exact
+    cross-engine.  Scale shape: one (user, day) distinct shuffle, a
+    user-keyed first-day aggregate that CO-PARTITIONS with the
+    activity join (no second user shuffle), cohort sizes broadcast."""
+    ev = _tbl(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+        ).alias("day"),
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    act = (
+        ud.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_day"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return act.join(
+        F.broadcast(sizes.withColumnRenamed("cohort_day", "_c")),
+        F.col("cohort_day") == F.col("_c"),
+    ).select(
+        "cohort_day",
+        "offset_day",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), _R).alias("retention"),
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM first GROUP BY cohort_day
+), act AS (
+  SELECT f.cohort_day, ud.day - f.cohort_day AS offset_day,
+         CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+  FROM ud JOIN first f USING (user_id)
+  GROUP BY f.cohort_day, ud.day - f.cohort_day
+)
+SELECT a.cohort_day, a.offset_day, a.n_active, s.n_cohort,
+       round(a.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM act a JOIN sizes s USING (cohort_day)
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     return (
@@ -3953,6 +4013,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_entropy": q_doc_token_entropy,
     "doc_quality": q_doc_quality,
     "events_hourly": q_events_hourly,
+    "events_retention": q_events_retention,
     "ann_cosine_topk": q_ann_cosine_topk,
     "lineitem_pricing": q_lineitem_pricing,
     "doc_drift_loop": q_doc_drift_loop,
@@ -4026,6 +4087,7 @@ ORACLES: Dict[str, str] = {
     "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
     "doc_quality": SQL_DOC_QUALITY,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_retention": SQL_EVENTS_RETENTION,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
