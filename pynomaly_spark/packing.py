@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_chunks", "chunk_stats"]
+__all__ = ["pack_chunks", "chunk_stats", "sliding_chunks"]
 
 
 def pack_chunks(
@@ -181,4 +181,57 @@ def chunk_stats(
             F.sum(fill).alias("chunk_tokens"),
             F.min(order_col).alias("first_doc"),
         )
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval-indexing
+    sibling of :func:`pack_chunks` (RAG corpora chunk documents into
+    ``width``-token windows every ``stride`` tokens so no passage is
+    split across a hard boundary; ``stride < width`` = overlap).
+
+    One map-side pass, no shuffle at all: the token array is a
+    MATERIALIZED column (the higher-order-function re-evaluation trap),
+    window starts are a bounded per-row ``sequence(0, n-1, stride)``
+    explode, and each chunk emits its exact token span plus the sha256
+    of its re-joined text — the content key downstream dedup/indexing
+    joins on, and the invariant the oracle twin pins byte-for-byte.
+    Rows with null id/text or zero tokens produce no chunks.  Output:
+    ``(id_col, chunk_idx, start_tok, n_chunk_tokens, chunk_sha)``.
+    """
+    if width < 1 or stride < 1:
+        raise ValueError(
+            f"width and stride must be >= 1, got {width}/{stride}"
+        )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    d = (
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .withColumn("_toks", toks)
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    d = d.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice("_toks", F.col("start_tok") + 1, width)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(width), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.sha2(F.concat_ws(" ", chunk), 256).alias("chunk_sha"),
     )

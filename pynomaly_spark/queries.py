@@ -3735,6 +3735,41 @@ FROM scored GROUP BY source
 _PACK_CAP = 512
 
 
+def q_doc_rag_chunks(spark, sf_dir):
+    """Sliding-window RAG chunking (``packing.sliding_chunks``):
+    32-token windows every 24 tokens (25% overlap) over every doc — one
+    map-side pass, zero shuffle; each chunk's sha256 of its re-joined
+    text is the content key the twin pins byte-for-byte."""
+    from pynomaly_spark.packing import sliding_chunks
+
+    return sliding_chunks(_doc(spark, sf_dir), width=32, stride=24)
+
+
+SQL_DOC_RAG_CHUNKS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+), st AS (
+  -- scalar-list range + unnest: the table function range() rejects
+  -- lateral column bounds in DuckDB
+  SELECT doc_id, toks, n,
+         unnest(range(0, CAST(n AS BIGINT), 24)) AS i
+  FROM nz
+)
+SELECT doc_id,
+       CAST(i // 24 AS BIGINT) AS chunk_idx,
+       CAST(i AS BIGINT) AS start_tok,
+       CAST(least(32, n - i) AS BIGINT) AS n_chunk_tokens,
+       sha256(array_to_string(
+         toks[CAST(i + 1 AS INTEGER):CAST(i + 32 AS INTEGER)], ' '
+       )) AS chunk_sha
+FROM st
+"""
+
+
 def q_doc_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing (``packing.pack_chunks`` +
     ``chunk_stats``): each language's documents concatenated into one
@@ -4055,6 +4090,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantize": q_emb_quantize,
     "events_window_psi": q_events_window_psi,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "doc_rag_chunks": q_doc_rag_chunks,
     "doc_lm_quality": q_doc_lm_quality,
     "doc_split": q_doc_split,
     "doc_bm25": q_doc_bm25,
@@ -4122,6 +4158,7 @@ ORACLES: Dict[str, str] = {
     "emb_quantize": _EMB_QUANT_SQL,
     "events_window_psi": _window_psi_sql(),
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
+    "doc_rag_chunks": SQL_DOC_RAG_CHUNKS,
     "doc_lm_quality": _lm_quality_sql(),
     "doc_split": _doc_split_sql(),
     "doc_bm25": _bm25_sql(),

@@ -200,3 +200,53 @@ def test_pack_chunks_string_order_ids_survive(spark):
     for r in got:
         assert r.cum_before == cum
         cum += r.n_tokens
+
+
+class TestSlidingChunks:
+    def test_spans_overlap_and_shas(self, spark):
+        import hashlib
+
+        from pynomaly_spark.packing import sliding_chunks
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, text), (2, "one"), (3, None), (None, "x"), (4, "  ")],
+            "doc_id bigint, text string",
+        )
+        rows = sorted(
+            (r.doc_id, r.chunk_idx, r.start_tok, r.n_chunk_tokens, r.chunk_sha)
+            for r in sliding_chunks(df, width=4, stride=3).collect()
+        )
+        toks = text.split()
+        exp = []
+        for ci, s in enumerate(range(0, 10, 3)):
+            chunk = " ".join(toks[s : s + 4])
+            exp.append(
+                (1, ci, s, min(4, 10 - s),
+                 hashlib.sha256(chunk.encode()).hexdigest())
+            )
+        exp.append(
+            (2, 0, 0, 1, hashlib.sha256(b"one").hexdigest())
+        )
+        assert rows == sorted(exp)
+
+    def test_map_side_no_shuffle(self, spark):
+        from pynomaly_spark.packing import sliding_chunks
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        plan = (
+            sliding_chunks(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_validates_args(self, spark):
+        from pynomaly_spark.packing import sliding_chunks
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            sliding_chunks(df, width=0)
+        with pytest.raises(ValueError):
+            sliding_chunks(df, stride=0)
