@@ -41,6 +41,37 @@ HEADLINE = [
 CODE_TABLE_ROWS = int(os.environ.get("BENCH_CODE_ROWS", "1000000"))
 
 
+def _box_probe() -> dict:
+    """Pre-run host-health telemetry embedded in the output JSON.
+
+    Absolute wall-times on this sandbox swing 3-10x with hypervisor
+    neighbor load (2026-08-18: a reboot landed the VM on a contended
+    host — suite 31.9s vs the 11.6-12.3s quiet steady state, with zero
+    local load).  ``numpy_gbps`` is the memory-bandwidth canary
+    (healthy >= 9.5, degraded days measured 1.9-8.5); judge this run's
+    numbers against these fields before comparing across rounds.  Cost
+    ~1s; see tools/box_probe.py for the full probe.
+    """
+    out = {}
+    try:
+        out["load1"] = round(os.getloadavg()[0], 2)
+    except Exception:
+        pass
+    try:
+        import numpy as np
+
+        x = np.random.rand(25_000_000)
+        x.sum()  # touch
+        t0 = time.perf_counter()
+        for _ in range(4):
+            x.sum()
+        dt = (time.perf_counter() - t0) / 4
+        out["numpy_gbps"] = round(25e6 * 8 / dt / 1e9, 2)
+    except Exception:
+        pass
+    return out
+
+
 def _noop_run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -62,6 +93,7 @@ def _code_table_dir(spark) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    box = _box_probe()  # pre-run conditions, before the JVM competes
 
     from pynomaly_spark.queries import QUERIES
     from pynomaly_spark.session import get_spark
@@ -141,6 +173,7 @@ def main() -> None:
         "code_table_rows": n_files,
         "cpus": cpus,
         "suite_warmup": True,
+        "box": box,
     }
     print(json.dumps(out))
 
