@@ -766,23 +766,50 @@ def run_suite(
         )
 
     # ---- 4. sha256 row invariant (digest precomputed in enriched) --------
-    # Engine-key path is TWO-PHASE (round-5 shuffle audit,
-    # tools/profile_shuffles.py): the old single join exchanged every
-    # key string + digest on BOTH sides — at 8M rows two ~1.04 GB
-    # exchanges into one sort-merge join, the suite's largest bus load
-    # by 2x.  Phase 1 ships only (row_id, 32-byte digest) per side
-    # (~40 B/row, a 3x narrower exchange, and the staged-parquet scan
-    # prunes to two columns) and keeps row_ids where ANY joined pair
-    # disagrees on the digest.  That candidate set is a strict superset
-    # of the true mismatches: key-equal rows always share a row_id and
-    # their digest comparison IS the final predicate, while hash
-    # collisions only ADD candidates.  Phase 2 semi-joins the (rare)
-    # candidates back onto both sides with full keys and re-applies the
-    # exact key-equality + digest predicate — the result set is
-    # identical to the single wide join, so exactness is preserved.
-    # Deferred like uniqueness: the candidate count collected by primer
-    # job 1 decides broadcast vs shuffle for the phase-2 semi-joins.
+    # Engine-key path is THREE-PHASE (round-5 shuffle audits,
+    # tools/profile_shuffles.py + the event-log pass recorded in
+    # BENCH/SCALING_ANALYSIS.md):
+    #
+    # * Phase 0 — order-independent checksum, NO SHUFFLE AT ALL: each
+    #   side reduces map-side to (row count, two independent
+    #   decimal-summed xxhash64 digests of (row_id, sha)).  Equal
+    #   checksums prove the two (row_id, digest) multisets identical up
+    #   to a ~2^-128 two-sum collision — strictly stronger than the
+    #   check's own premise (sha256 equality already rests on a 2^-256
+    #   collision bound), so the clean-table case pays two column-pruned
+    #   scans and zero exchange.  The pre-phase-0 plan exchanged
+    #   (row_id, 32-byte digest) on both sides — 2 x 371 MB written +
+    #   742 MB read + two 8M-row sorts at 8M rows, the suite's largest
+    #   remaining exchange (event-log profile, 2026-08-18).
+    # * Phase 1 (only when phase 0 differs) — the narrow candidate join:
+    #   ship (row_id, digest) per side, keep row_ids where ANY joined
+    #   pair disagrees.  A strict superset of the true mismatches:
+    #   key-equal rows always share a row_id and their digest comparison
+    #   IS the final predicate, while hash collisions only ADD
+    #   candidates.
+    # * Phase 2 — exact re-check of the (rare) candidates with full
+    #   keys; result identical to the original single wide join.
+    #
+    # Deferred like uniqueness: primer job 1 materializes the phase-0
+    # sums; the phase-1/2 plans are built afterwards only if needed.
     _deferred_sha: List = []
+
+    def _sha_side_sums(df, sha_col, prefix):
+        # decimal(38,0) sums: Spark 4 runs ANSI mode, where a long SUM
+        # overflow raises; 10^12 rows x |xxhash64| < 10^31 fits decimal
+        h1 = F.xxhash64(F.col("row_id"), sha_col)
+        h2 = F.xxhash64(F.lit("sha-ck2"), F.col("row_id"), sha_col)
+        zero = F.lit(0).cast("decimal(38,0)")
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{prefix}n"),
+            F.coalesce(
+                F.sum(h1.cast("decimal(38,0)")), zero
+            ).alias(f"{prefix}s1"),
+            F.coalesce(
+                F.sum(h2.cast("decimal(38,0)")), zero
+            ).alias(f"{prefix}s2"),
+        )
+
     for chk in suite.checks:
         if not isinstance(chk, RowInvariant):
             continue
@@ -796,28 +823,17 @@ def run_suite(
             o = o.withColumn(
                 "row_id", F.xxhash64(*[F.col(f"_o_{k}") for k in keys])
             )
-            cand_rows = (
-                enriched.select(
-                    "row_id",
-                    F.col(f"_sha_{chk.content_col}").alias("_sha_l"),
+            sums = (
+                _sha_side_sums(
+                    enriched, F.col(f"_sha_{chk.content_col}"), "_l"
                 )
-                .join(
-                    o.select(
-                        "row_id",
-                        F.unhex(F.col(chk.oracle_col)).alias("_sha_r"),
-                    ),
-                    on="row_id",
-                    how="inner",
+                .crossJoin(
+                    _sha_side_sums(o, F.unhex(F.col(chk.oracle_col)), "_r")
                 )
-                .where(~F.col("_sha_l").eqNullSafe(F.col("_sha_r")))
-                .select("row_id")
-                .distinct()
                 .persist()
             )
-            _persisted.append(cand_rows)
-            _deferred_sha.append(
-                (chk, keys, o, cand_rows, len(_persisted) - 1)
-            )
+            _persisted.append(sums)
+            _deferred_sha.append((chk, keys, o, sums, len(_persisted) - 1))
             continue
         joined = enriched.join(sha_oracle, on=keys, how="inner")
         mismatch = joined.where(
@@ -972,32 +988,68 @@ def run_suite(
     if _deferred_uniq:
         _mark("dup-group primer (job 2)")
 
-    # ---- deferred sha invariant phase 2: exact check on candidates only ---
-    # Candidate row_ids are rare (a clean table has zero); a bounded
-    # broadcast makes both semi-joins map-only probes of the staged
-    # table with NO exchange of the big sides.  Over the threshold,
-    # plain shuffle semi-joins on the narrow 8-byte key — never an
-    # unconditional broadcast (same discipline as _cand_semi_join).
-    for chk, keys, o, cand_rows, cand_pos in _deferred_sha:
-        n_cand = _frame_counts[str(cand_pos)]
-        right = (
-            F.broadcast(cand_rows) if n_cand <= 200_000 else cand_rows
-        )
-        e_c = enriched.join(right, on="row_id", how="leftsemi")
-        o_c = o.join(right, on="row_id", how="leftsemi")
-        joined = e_c.join(o_c, on="row_id", how="inner")
-        for k in keys:
-            # plain (null-UNSAFE) equality: identical row set to an
-            # `on=keys` equi-join, where null keys never match
-            joined = joined.where(F.col(k) == F.col(f"_o_{k}"))
-        mismatch = joined.where(
-            ~F.col(f"_sha_{chk.content_col}").eqNullSafe(
-                F.unhex(F.col(chk.oracle_col))
+    # ---- deferred sha invariant: phase-0 verdict, then phases 1+2 ---------
+    # Equal phase-0 checksums (the always case on a clean table) prove
+    # zero mismatches — the violation/metric frames come from an empty
+    # local relation, no join is ever planned.  Otherwise phase 1 finds
+    # candidate row_ids (rare); a bounded broadcast makes the phase-2
+    # semi-joins map-only probes of the staged table with NO exchange
+    # of the big sides; over the threshold, plain shuffle semi-joins on
+    # the narrow 8-byte key — never an unconditional broadcast (same
+    # discipline as _cand_semi_join).
+    for chk, keys, o, sums, sums_pos in _deferred_sha:
+        srow = sums.first()  # cached by primer job 1
+        if (
+            srow["_ln"] == srow["_rn"]
+            and srow["_ls1"] == srow["_rs1"]
+            and srow["_ls2"] == srow["_rs2"]
+        ):
+            # PropagateEmptyRelation folds this to an empty local
+            # relation: zero scans, zero exchange
+            mismatch = enriched.where(F.lit(False)).select(
+                "partition_id", "row_id", "repo", "path", "commit"
             )
-        ).persist()
-        _persisted.append(mismatch)
-        # job: small — probes the (cached) candidate row_ids only
-        mismatch.count()
+        else:
+            cand_rows = (
+                enriched.select(
+                    "row_id",
+                    F.col(f"_sha_{chk.content_col}").alias("_sha_l"),
+                )
+                .join(
+                    o.select(
+                        "row_id",
+                        F.unhex(F.col(chk.oracle_col)).alias("_sha_r"),
+                    ),
+                    on="row_id",
+                    how="inner",
+                )
+                .where(~F.col("_sha_l").eqNullSafe(F.col("_sha_r")))
+                .select("row_id")
+                .distinct()
+                .persist()
+            )
+            _persisted.append(cand_rows)
+            n_cand = cand_rows.count()  # also primes the cache
+            right = (
+                F.broadcast(cand_rows) if n_cand <= 200_000 else cand_rows
+            )
+            e_c = enriched.join(right, on="row_id", how="leftsemi")
+            o_c = o.join(right, on="row_id", how="leftsemi")
+            joined = e_c.join(o_c, on="row_id", how="inner")
+            for k in keys:
+                # plain (null-UNSAFE) equality: identical row set to an
+                # `on=keys` equi-join, where null keys never match
+                joined = joined.where(F.col(k) == F.col(f"_o_{k}"))
+            mismatch = joined.where(
+                ~F.col(f"_sha_{chk.content_col}").eqNullSafe(
+                    F.unhex(F.col(chk.oracle_col))
+                )
+            ).select(
+                "partition_id", "row_id", "repo", "path", "commit"
+            ).persist()
+            _persisted.append(mismatch)
+            # job: small — probes the (cached) candidate row_ids only
+            mismatch.count()
         violation_frames.append(
             mismatch.select(
                 "partition_id",
