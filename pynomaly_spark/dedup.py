@@ -40,6 +40,7 @@ __all__ = [
     "line_dedup",
     "phash_near_dups",
     "bitstring_near_dups",
+    "fuzzy_blocked_pairs",
 ]
 
 
@@ -961,4 +962,89 @@ def bitstring_near_dups(
         pairs.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col,
+    max_dist: int = 2,
+    max_block_keys: int = 100_000,
+) -> DataFrame:
+    """Blocked edit-distance entity resolution: candidate name pairs
+    within a blocking key at levenshtein distance <= ``max_dist``.
+
+    The classic ER recipe — never all-pairs: rows first collapse to
+    DISTINCT (block, name) with a canonical id (smallest ``id_col``)
+    and a row count, then names self-join ONLY within a block, with
+    ``name_a < name_b`` so each unordered pair appears once.  Both
+    Spark and DuckDB implement classic unit-cost levenshtein, so the
+    distance (and therefore the pair set) is integer-exact
+    cross-engine — the oracle twin in queries.py.
+
+    Scale (100 TB): the heavy pass is one groupBy to distinct names —
+    everything after runs on the collapsed frame.  Pair count within a
+    block is quadratic in DISTINCT names, so a block whose name
+    cardinality exceeds ``max_block_keys`` raises up front (an in-plan
+    check would silently bill the quadratic join first); production
+    callers split hot blocks with a longer blocking key (e.g. add a
+    length bucket) rather than raise the cap.
+
+    Returns ``block, name_a, name_b, id_a, id_b, n_rows_a, n_rows_b,
+    dist``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
+    names = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(block.alias("block"), F.col(text_col).alias("name"))
+        .agg(
+            F.min(id_col).alias("canon_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    # hot-block guard: quadratic pair growth is the one failure mode of
+    # blocking — refuse rather than melt (same discipline as the
+    # hot-bucket guard in embedding_near_dups)
+    sizes = names.groupBy("block").agg(F.count(F.lit(1)).alias("_nk"))
+    oversize = sizes.where(F.col("_nk") > max_block_keys)
+    if oversize.limit(1).count() > 0:  # bounded control-plane action
+        worst = oversize.agg(F.max("_nk")).first()[0]
+        raise ValueError(
+            f"fuzzy_blocked_pairs: a block has {worst} distinct names "
+            f"(> max_block_keys={max_block_keys}); use a finer block key"
+        )
+    a = names.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.col("canon_id").alias("id_a"),
+        F.col("n_rows").alias("n_rows_a"),
+    )
+    b = names.select(
+        F.col("block").alias("_rblock"),
+        F.col("name").alias("name_b"),
+        F.col("canon_id").alias("id_b"),
+        F.col("n_rows").alias("n_rows_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("_rblock"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            "id_a",
+            "id_b",
+            "n_rows_a",
+            "n_rows_b",
+            "dist",
+        )
     )

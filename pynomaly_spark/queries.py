@@ -4031,6 +4031,139 @@ FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
 
 
 # --------------------------------------------------------------------------
+# pre-shuffle profiling (profiling.py) + blocked fuzzy ER (dedup.py)
+# --------------------------------------------------------------------------
+
+def q_events_key_skew(spark, sf_dir):
+    """Key-skew frequency histogram (``profiling.
+    key_frequency_histogram``) over the keys a pipeline would shuffle
+    on: events.user_id / events.event_type / documents.lang /
+    documents.source.  Power-of-two buckets via binary-string length —
+    no float log2 — so bucket edges are identical cross-engine; the
+    grand total comes from the same ROLLUP aggregate, not a second
+    scan."""
+    from pynomaly_spark.profiling import key_frequency_histogram
+
+    ev = _tbl(spark, sf_dir, "events")
+    doc = _doc(spark, sf_dir)
+    parts = [
+        key_frequency_histogram(ev, "user_id"),
+        key_frequency_histogram(ev, "event_type"),
+        key_frequency_histogram(doc, "lang"),
+        key_frequency_histogram(doc, "source"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _key_skew_hist_sql(table: str, key: str) -> str:
+    return f"""
+  SELECT '{key}' AS key_name, coalesce(bucket, -1) AS bucket,
+         CAST(n_keys AS BIGINT) AS n_keys,
+         CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(max_cnt AS BIGINT) AS max_cnt,
+         round(n_rows / CAST(max(n_rows) OVER () AS DOUBLE), 6)
+           AS row_share
+  FROM (
+    SELECT length(bin(cnt)) - 1 AS bucket, count(*) AS n_keys,
+           sum(cnt) AS n_rows, max(cnt) AS max_cnt
+    FROM (SELECT {key} AS k, count(*) AS cnt FROM {table} GROUP BY 1)
+    GROUP BY ROLLUP(bucket)
+  )"""
+
+
+def _key_skew_sql() -> str:
+    # row_share divides by the grand-total row count; the ROLLUP total
+    # row is the max n_rows in the subquery, so a window max over the
+    # whole frame recovers it without a second scan of the base table
+    blocks = [
+        _key_skew_hist_sql("events", "user_id"),
+        _key_skew_hist_sql("events", "event_type"),
+        _key_skew_hist_sql("documents", "lang"),
+        _key_skew_hist_sql("documents", "source"),
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
+def q_orders_join_profile(spark, sf_dir):
+    """Exact pre-join key profile (``profiling.join_key_profile``) of
+    orders ⋈ lineitem on orderkey: per-side rows/keys, overlap,
+    orphans, exact inner-join cardinality and max single-key fanout —
+    the numbers that decide broadcast vs shuffle vs salt before the
+    join runs.  All BIGINT."""
+    from pynomaly_spark.profiling import join_key_profile
+
+    return join_key_profile(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+SQL_ORDERS_JOIN_PROFILE = """
+WITH l AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders
+           WHERE o_orderkey IS NOT NULL GROUP BY 1),
+r AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem
+      WHERE l_orderkey IS NOT NULL GROUP BY 1),
+j AS (SELECT l.cl, r.cr FROM l FULL OUTER JOIN r USING (k))
+SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) AS rows_left,
+       CAST(coalesce(sum(cr), 0) AS BIGINT) AS rows_right,
+       CAST(count(cl) AS BIGINT) AS keys_left,
+       CAST(count(cr) AS BIGINT) AS keys_right,
+       CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS keys_both,
+       CAST(sum(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS keys_left_only,
+       CAST(sum(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS keys_right_only,
+       CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est_join_rows,
+       CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_fanout
+FROM j
+"""
+
+
+_FUZZY_MAX_DIST = 2
+
+
+def q_part_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance entity resolution
+    (``dedup.fuzzy_blocked_pairs``) over part names: block on the noun
+    (last token), pair distinct names within a block at levenshtein
+    <= 2.  Both engines implement classic unit-cost levenshtein, so
+    the pair set is integer-exact; the hot-block guard raises instead
+    of letting a viral block go quadratic."""
+    from pynomaly_spark.dedup import fuzzy_blocked_pairs
+
+    part = _tbl(spark, sf_dir, "part")
+    return fuzzy_blocked_pairs(
+        part,
+        "p_name",
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=_FUZZY_MAX_DIST,
+    )
+
+
+SQL_PART_FUZZY_PAIRS = f"""
+WITH nm AS (
+  SELECT (string_split(p_name, ' '))[-1] AS block, p_name AS name,
+         min(p_partkey) AS canon_id, count(*) AS n_rows
+  FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2
+)
+SELECT a.block, a.name AS name_a, b.name AS name_b,
+       a.canon_id AS id_a, b.canon_id AS id_b,
+       CAST(a.n_rows AS BIGINT) AS n_rows_a,
+       CAST(b.n_rows AS BIGINT) AS n_rows_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM nm a JOIN nm b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAX_DIST}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4107,6 +4240,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_rollup": q_lineitem_rollup,
     "nation_revenue": q_nation_revenue,
     "doc_tfidf_terms": q_doc_tfidf_terms,
+    "events_key_skew": q_events_key_skew,
+    "orders_join_profile": q_orders_join_profile,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4189,4 +4325,7 @@ ORACLES: Dict[str, str] = {
     "doc_media_wav": _media_wav_sql(),
     "doc_media_y4m": _media_y4m_sql(),
     "doc_media_thumbs": _media_thumbs_sql(),
+    "events_key_skew": _key_skew_sql(),
+    "orders_join_profile": SQL_ORDERS_JOIN_PROFILE,
+    "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
 }

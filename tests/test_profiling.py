@@ -1,0 +1,202 @@
+"""Pre-shuffle profiling ops (profiling.py) + blocked fuzzy ER
+(dedup.fuzzy_blocked_pairs).
+
+Cross-engine value parity for the three registry queries lives in the
+oracle gate (tests/oracle_compare.py); these tests pin the operator
+semantics on hand-built frames where the right answers are computable
+by eye: bucket edges, total rows, orphan/fanout accounting, null-key
+handling, the hot-block guard, and the single-scan plan shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pynomaly_spark.dedup import fuzzy_blocked_pairs
+from pynomaly_spark.profiling import join_key_profile, key_frequency_histogram
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# --------------------------------------------------------------------------
+# key_frequency_histogram
+# --------------------------------------------------------------------------
+
+def test_key_hist_buckets_and_total(spark):
+    # key a: 1 row (bucket 0), b: 3 rows (bucket 1), c: 4 rows
+    # (bucket 2), d: 8 rows (bucket 3) -> 16 rows total
+    data = (
+        [("a",)] + [("b",)] * 3 + [("c",)] * 4 + [("d",)] * 8
+    )
+    df = spark.createDataFrame(data, ["k"])
+    out = key_frequency_histogram(df, "k").collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    assert set(by_bucket) == {-1, 0, 1, 2, 3}
+    tot = by_bucket[-1]
+    assert (tot["n_keys"], tot["n_rows"], tot["max_cnt"]) == (4, 16, 8)
+    assert tot["row_share"] == 1.0
+    assert (by_bucket[0]["n_keys"], by_bucket[0]["n_rows"]) == (1, 1)
+    assert (by_bucket[1]["n_keys"], by_bucket[1]["n_rows"]) == (1, 3)
+    assert (by_bucket[3]["max_cnt"]) == 8
+    assert by_bucket[3]["row_share"] == 0.5
+    assert all(r["key_name"] == "k" for r in out)
+
+
+def test_key_hist_bucket_edges_exact(spark):
+    # counts 1,2,3,4,7,8 -> buckets 0,1,1,2,2,3: edges are binary
+    # length, immune to float log2 ulp drift
+    data = []
+    for key, n in [("p", 1), ("q", 2), ("r", 3), ("s", 4), ("t", 7), ("u", 8)]:
+        data += [(key,)] * n
+    df = spark.createDataFrame(data, ["k"])
+    out = {
+        r["bucket"]: r["n_keys"]
+        for r in key_frequency_histogram(df, "k").collect()
+        if r["bucket"] >= 0
+    }
+    assert out == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_key_hist_null_key_is_one_key(spark):
+    df = spark.createDataFrame(
+        [(None,), (None,), ("x",)], schema="k string"
+    )
+    out = {r["bucket"]: r for r in key_frequency_histogram(df, "k").collect()}
+    # null key groups once (count 2, bucket 1); x -> bucket 0
+    assert out[-1]["n_keys"] == 2 and out[-1]["n_rows"] == 3
+    assert out[1]["n_keys"] == 1 and out[1]["n_rows"] == 2
+
+
+def test_key_hist_composite_key_and_name(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], ["x", "y"]
+    )
+    out = key_frequency_histogram(df, ["x", "y"], key_name="xy").collect()
+    tot = [r for r in out if r["bucket"] == -1][0]
+    assert tot["n_keys"] == 2 and tot["n_rows"] == 3
+    assert all(r["key_name"] == "xy" for r in out)
+
+
+def test_key_hist_reuses_count_exchange(spark):
+    # the total-row broadcast branch must reuse the per-key count
+    # exchange, not recompute the base scan (ReusedExchange in the
+    # physical plan).  AQE only stitches the reuse into the FINAL plan,
+    # so execute first, then read isFinalPlan=true
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    out = key_frequency_histogram(df, "k")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# join_key_profile
+# --------------------------------------------------------------------------
+
+def test_join_profile_overlap_orphans_fanout(spark):
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], schema="k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (4,), (None,)], schema="k long"
+    )
+    r = join_key_profile(left, right, "k", "k").first()
+    # null keys never equi-match: excluded from both sides
+    assert r["rows_left"] == 4 and r["rows_right"] == 5
+    assert r["keys_left"] == 3 and r["keys_right"] == 3
+    assert r["keys_both"] == 2
+    assert r["keys_left_only"] == 1 and r["keys_right_only"] == 1
+    # key 1: 2*3=6; key 3: 1*1=1
+    assert r["est_join_rows"] == 7 and r["max_fanout"] == 6
+    # est_join_rows equals the real inner-join cardinality
+    real = left.join(right, "k").count()
+    assert real == r["est_join_rows"]
+
+
+def test_join_profile_disjoint_sides(spark):
+    left = spark.createDataFrame([(1,)], schema="k long")
+    right = spark.createDataFrame([(2,)], schema="k long")
+    r = join_key_profile(left, right, "k", "k").first()
+    assert r["keys_both"] == 0
+    assert r["est_join_rows"] == 0 and r["max_fanout"] == 0
+
+
+def test_join_profile_single_aggregate_plan(spark):
+    # both sides pre-aggregate to distinct keys before the full-outer
+    # join: the plan must NOT contain a row-level join of the bases
+    # (two HashAggregates feed the SortMergeJoin)
+    left = spark.range(100).select((F.col("id") % 10).alias("k"))
+    right = spark.range(100).select((F.col("id") % 7).alias("k"))
+    plan = join_key_profile(left, right, "k", "k")._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+# --------------------------------------------------------------------------
+# fuzzy_blocked_pairs
+# --------------------------------------------------------------------------
+
+def _names_df(spark):
+    rows = [
+        (1, "cold anvil"), (2, "cold anvil"), (3, "old anvil"),
+        (4, "red anvil"), (5, "blue anvil"),
+        (6, "cold bolt"), (7, "gold bolt"),
+        (8, None),
+    ]
+    return spark.createDataFrame(rows, ["pid", "name"])
+
+
+def test_fuzzy_pairs_within_block_only(spark):
+    df = _names_df(spark)
+    out = fuzzy_blocked_pairs(
+        df, "name", "pid",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=2,
+    )
+    pairs = {(r["name_a"], r["name_b"], r["dist"]) for r in out.collect()}
+    # cold/old anvil dist 1; old/red anvil dist 2; cold/gold bolt 1;
+    # blue anvil is >2 from everything; cross-block pairs never form
+    assert ("cold anvil", "old anvil", 1) in pairs
+    assert ("old anvil", "red anvil", 2) in pairs
+    assert ("cold bolt", "gold bolt", 1) in pairs
+    assert not any("bolt" in a and "anvil" in b for a, b, _ in pairs)
+    assert all(a < b for a, b, _ in pairs)
+
+
+def test_fuzzy_pairs_canonical_id_and_counts(spark):
+    df = _names_df(spark)
+    out = fuzzy_blocked_pairs(
+        df, "name", "pid",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=1,
+    )
+    row = [r for r in out.collect() if r["name_a"] == "cold anvil"][0]
+    # duplicate "cold anvil" rows collapse: canon_id = min(pid) = 1,
+    # n_rows_a = 2
+    assert row["id_a"] == 1 and row["n_rows_a"] == 2
+    assert row["n_rows_b"] == 1
+
+
+def test_fuzzy_pairs_hot_block_guard(spark):
+    df = spark.range(50).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+    )
+    with pytest.raises(ValueError, match="max_block_keys"):
+        fuzzy_blocked_pairs(
+            df, "name", "pid", F.lit("one-block"),
+            max_dist=1, max_block_keys=10,
+        )
+
+
+def test_fuzzy_pairs_max_dist_zero_empty(spark):
+    # distinct names at dist 0 cannot pair (a < b excludes equality)
+    df = _names_df(spark)
+    out = fuzzy_blocked_pairs(
+        df, "name", "pid",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=0,
+    )
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        fuzzy_blocked_pairs(df, "name", "pid", F.lit("b"), max_dist=-1)
