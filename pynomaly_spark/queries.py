@@ -4164,6 +4164,131 @@ WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAX_DIST}
 
 
 # --------------------------------------------------------------------------
+# CDC (cdc.py) + trailing-window features (features.py)
+# --------------------------------------------------------------------------
+
+def q_events_latest_state(spark, sf_dir):
+    """Latest-state compaction (``cdc.latest_state``): the lakehouse
+    MERGE materialization — one current row per user from the event
+    stream, attributes taken atomically from the last update in
+    (µs, event_id) order.  ONE map-side-combining max_by aggregate; the
+    shuffle never carries the update history (the window row_number
+    idiom, which does, is the DuckDB twin).  Value as exact cents."""
+    from pynomaly_spark.cdc import latest_state
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = latest_state(
+        ev, "user_id", "ts", ["event_type", "props", "value"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("props").alias("last_props"),
+        F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+        "last_us",
+        "first_us",
+        "n_updates",
+    )
+
+
+SQL_EVENTS_LATEST_STATE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value, props
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_updates,
+         min(us) OVER (PARTITION BY user_id) AS first_us
+  FROM e
+)
+SELECT user_id, event_type AS last_event_type, props AS last_props,
+       CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+       CAST(us AS BIGINT) AS last_us,
+       CAST(first_us AS BIGINT) AS first_us,
+       CAST(n_updates AS BIGINT) AS n_updates
+FROM r WHERE rn = 1
+"""
+
+
+def q_events_scd2(spark, sf_dir):
+    """SCD2 history (``cdc.scd2_history``): every user-state version as
+    a ``[valid_from, valid_to)`` interval with an is_current flag (0/1
+    — booleans are not hash-safe cross-engine) and -1 for the open
+    interval's end (NULL render divergence, the key_skew discipline).
+    One keyed shuffle + sort, lead() of one row of state."""
+    from pynomaly_spark.cdc import scd2_history
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = scd2_history(ev, "user_id", "ts", ["event_type", "value"])
+    return out.select(
+        "user_id",
+        "version",
+        "valid_from_us",
+        F.coalesce(F.col("valid_to_us"), F.lit(-1)).alias("valid_to_us"),
+        F.col("is_current").cast("long").alias("is_current"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        "event_id",
+    )
+
+
+SQL_EVENTS_SCD2 = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(us AS BIGINT) AS valid_from_us,
+       CAST(coalesce(lead(us) OVER w, -1) AS BIGINT) AS valid_to_us,
+       CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current,
+       event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       event_id
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+_ROLLING_MIN = 1440  # 24 h: median per-user gap is ~7.5 h (measured),
+# so frames are routinely multi-row at both sf scales
+
+
+def q_events_rolling(spark, sf_dir):
+    """Trailing-24h per-user activity features
+    (``features.rolling_range_aggs``): for each event, the count / sum
+    / max of that user's value-cents over the preceding day, inclusive.
+    RANGE frames include boundary peers by SQL definition, so frame
+    membership is set-identical cross-engine; integer cents make the
+    sums order-independent.  One keyed shuffle, one sorted pass."""
+    from pynomaly_spark.features import rolling_range_aggs
+
+    ev = _tbl(spark, sf_dir, "events")
+    return rolling_range_aggs(
+        ev, "user_id", "ts", "value", window_minutes=_ROLLING_MIN
+    )
+
+
+SQL_EVENTS_ROLLING = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT user_id, event_id, CAST(us AS BIGINT) AS us, value_cents,
+       CAST(count(*) OVER w AS BIGINT) AS trail_cnt,
+       CAST(sum(value_cents) OVER w AS BIGINT) AS trail_sum_cents,
+       CAST(max(value_cents) OVER w AS BIGINT) AS trail_max_cents
+FROM e WINDOW w AS (
+  PARTITION BY user_id ORDER BY us
+  RANGE BETWEEN {_ROLLING_MIN * 60 * 1_000_000} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4243,6 +4368,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_key_skew": q_events_key_skew,
     "orders_join_profile": q_orders_join_profile,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
+    "events_latest_state": q_events_latest_state,
+    "events_scd2": q_events_scd2,
+    "events_rolling": q_events_rolling,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4328,4 +4456,7 @@ ORACLES: Dict[str, str] = {
     "events_key_skew": _key_skew_sql(),
     "orders_join_profile": SQL_ORDERS_JOIN_PROFILE,
     "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
+    "events_latest_state": SQL_EVENTS_LATEST_STATE,
+    "events_scd2": SQL_EVENTS_SCD2,
+    "events_rolling": SQL_EVENTS_ROLLING,
 }

@@ -1,0 +1,179 @@
+"""CDC (cdc.latest_state / scd2_history) + trailing-range features
+(features.rolling_range_aggs).
+
+Cross-engine value parity for the three registry queries lives in the
+oracle gate; these tests pin operator semantics on hand-built frames:
+atomic last-version selection, tie handling, interval chaining, the
+no-Window compaction plan, RANGE boundary inclusivity, and null
+behavior.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pynomaly_spark.cdc import latest_state, scd2_history
+from pynomaly_spark.features import rolling_range_aggs
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _updates_df(spark):
+    rows = [
+        # user 1: three versions, last at s=200
+        (1, 1, _ts(0), "a", 1.0),
+        (2, 1, _ts(100), "b", 2.0),
+        (3, 1, _ts(200), "c", 3.0),
+        # user 2: timestamp tie at s=50 -> event_id breaks it
+        (4, 2, _ts(50), "x", 4.0),
+        (5, 2, _ts(50), "y", 5.0),
+        # keyless update: targets no entity
+        (6, None, _ts(10), "z", 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+
+# --------------------------------------------------------------------------
+# latest_state
+# --------------------------------------------------------------------------
+
+def test_latest_state_picks_last_version_atomically(spark):
+    out = {
+        r["user_id"]: r
+        for r in latest_state(
+            _updates_df(spark), "user_id", "ts", ["event_type", "value"]
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # NULL key dropped
+    assert out[1]["event_type"] == "c" and out[1]["value"] == 3.0
+    assert out[1]["n_updates"] == 3
+    assert out[1]["first_us"] < out[1]["last_us"]
+    # tie at the same µs: larger event_id wins
+    assert out[2]["event_type"] == "y"
+    assert out[2]["first_us"] == out[2]["last_us"]
+
+
+def test_latest_state_is_one_aggregate_no_window(spark):
+    # the compaction claim: map-side-combining max_by, never a window
+    # sort of the update history
+    df = _updates_df(spark)
+    plan = (
+        latest_state(df, "user_id", "ts", ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+
+
+def test_latest_state_requires_attrs(spark):
+    with pytest.raises(ValueError):
+        latest_state(_updates_df(spark), "user_id", "ts", [])
+
+
+# --------------------------------------------------------------------------
+# scd2_history
+# --------------------------------------------------------------------------
+
+def test_scd2_intervals_chain_and_one_current(spark):
+    out = scd2_history(
+        _updates_df(spark), "user_id", "ts", ["event_type"]
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {1, 2}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        # intervals chain: each version ends where the next begins
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to_us"] is None
+    # tie at the same µs: zero-length first interval, event_id order
+    u2 = by_user[2]
+    assert u2[0]["event_type"] == "x" and u2[0]["valid_to_us"] == u2[0]["valid_from_us"]
+    assert u2[1]["event_type"] == "y"
+
+
+def test_scd2_point_in_time_lookup_exact(spark):
+    # [from, to) semantics: a lookup at any instant matches exactly one
+    # version per key
+    out = scd2_history(
+        _updates_df(spark), "user_id", "ts", ["event_type"]
+    )
+    for probe_s in (0, 99, 100, 150, 200, 999):
+        us = int(_ts(probe_s).timestamp() * 1_000_000)
+        hits = (
+            out.where(F.col("user_id") == 1)
+            .where(
+                (F.col("valid_from_us") <= us)
+                & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > us))
+            )
+            .count()
+        )
+        assert hits == 1, probe_s
+
+
+# --------------------------------------------------------------------------
+# rolling_range_aggs
+# --------------------------------------------------------------------------
+
+def test_rolling_boundary_inclusive_and_exact_cents(spark):
+    # window = 1 minute; events at 0s, 60s (exactly at the boundary ->
+    # included), 61s (0s now outside, 60s inside)
+    rows = [
+        (1, 7, _ts(0), 1.10),
+        (2, 7, _ts(60), 2.25),
+        (3, 7, _ts(61), 4.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in rolling_range_aggs(
+            df, "user_id", "ts", "value", window_minutes=1
+        ).collect()
+    }
+    assert (out[1]["trail_cnt"], out[1]["trail_sum_cents"]) == (1, 110)
+    assert (out[2]["trail_cnt"], out[2]["trail_sum_cents"]) == (2, 335)
+    assert (out[3]["trail_cnt"], out[3]["trail_sum_cents"]) == (2, 625)
+    assert out[3]["trail_max_cents"] == 400
+
+
+def test_rolling_ties_share_frames_and_null_value(spark):
+    # two events at the identical µs are RANGE peers: both frames see
+    # both rows; a NULL value counts as activity but not in sum/max
+    rows = [
+        (1, 9, _ts(0), 1.00),
+        (2, 9, _ts(0), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in rolling_range_aggs(
+            df, "user_id", "ts", "value", window_minutes=1
+        ).collect()
+    }
+    for eid in (1, 2):
+        assert out[eid]["trail_cnt"] == 2
+        assert out[eid]["trail_sum_cents"] == 100
+        assert out[eid]["trail_max_cents"] == 100
+    assert out[2]["value_cents"] is None
+
+
+def test_rolling_validates_window(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError):
+        rolling_range_aggs(df, "user_id", "ts", "value", window_minutes=0)
