@@ -4288,6 +4288,48 @@ FROM e WINDOW w AS (
 """
 
 
+_POSTINGS_CAP = 8
+
+
+def q_doc_postings(spark, sf_dir):
+    """Impact-ordered inverted index (``retrieval.build_postings``):
+    per term, full-corpus df/cf stats plus the top-8 postings by
+    (tf DESC, doc ASC) rendered as a ``doc:tf|...`` string.  The
+    template vocabulary makes EVERY term viral (df in the hundreds),
+    so the salted two-phase cap — never a single-reducer sort of a hot
+    term's postings — is exercised on every row."""
+    from pynomaly_spark.retrieval import build_postings
+
+    return build_postings(
+        _doc(spark, sf_dir), "text", "doc_id", max_postings=_POSTINGS_CAP
+    )
+
+
+def _postings_sql() -> str:
+    from .textops import _TOKEN_SPLIT
+
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+  WHERE t != '' GROUP BY 1, 2
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+)
+SELECT term, CAST(s.df AS BIGINT) AS df, CAST(s.cf AS BIGINT) AS cf,
+       CAST(c.n_postings AS BIGINT) AS n_postings, c.postings
+FROM (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1) s
+JOIN (SELECT term, count(*) AS n_postings,
+             string_agg(doc_id || ':' || tf, '|' ORDER BY rn) AS postings
+      FROM ranked WHERE rn <= {_POSTINGS_CAP} GROUP BY 1) c USING (term)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4371,6 +4413,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_latest_state": q_events_latest_state,
     "events_scd2": q_events_scd2,
     "events_rolling": q_events_rolling,
+    "doc_postings": q_doc_postings,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4459,4 +4502,5 @@ ORACLES: Dict[str, str] = {
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
     "events_scd2": SQL_EVENTS_SCD2,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "doc_postings": _postings_sql(),
 }

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from .similarity import two_phase_topk
 from .textops import _TOKEN_SPLIT
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "build_postings"]
 
 
 def bm25_topk(
@@ -130,3 +130,103 @@ def bm25_topk(
         k,
         phase1=phase1,
     ).select("query_id", F.col("rnk").cast("long").alias("rnk"), id_col, "score")
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 1000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Build an impact-ordered inverted index: per term, corpus stats
+    plus the top-``max_postings`` postings by term frequency.
+
+    Returns ``term, df`` (documents containing the term), ``cf``
+    (corpus frequency — total occurrences), ``n_postings``
+    (``min(df, max_postings)``), ``postings`` — the capped posting list
+    rendered ``"doc:tf|doc:tf|..."`` ordered by (tf DESC, doc ASC).
+    ``df``/``cf`` are computed over ALL postings; only the stored list
+    is truncated (impact-ordered pruning, the standard IR trade: the
+    highest-tf postings dominate any tf-weighted score, so serving
+    keeps rank quality while the index stays bounded per term).
+
+    Scale (100 TB): a web-corpus stopword has ~1e9 postings, so the cap
+    cannot be a plain per-term window (one reducer sorts the whole
+    posting list).  The top-k is SALTED TWO-PHASE and exact: postings
+    first rank within (term, salt-of-doc) — ``n_salt`` bounded local
+    sorts — and only the ≤ ``n_salt * max_postings`` local winners per
+    term reach the final window; the per-term top-k is always contained
+    in the union of per-salt top-ks.  The postings string itself is
+    bounded by ``max_postings`` — no unbounded collect_list.
+
+    Cross-engine determinism: tf/df/cf are integers, the posting order
+    (tf DESC, doc ASC) is a total order, and the rendered string is
+    byte-identical to DuckDB's ``string_agg(... ORDER BY ...)``
+    (the oracle twin in queries.py).  Tokenizer is the shared
+    ``textops._TOKEN_SPLIT``, same as BM25 — an index built here serves
+    the engine's own scorer.
+    """
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    tf = (
+        docs.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    # exact salted two-phase per-term top-k by (tf DESC, doc ASC)
+    from pyspark.sql import Window
+
+    order = [F.desc("tf"), F.asc(id_col)]
+    local = Window.partitionBy("term", "_salt").orderBy(*order)
+    final = Window.partitionBy("term").orderBy(*order)
+    capped = (
+        tf.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+        )
+        .withColumn("_rn1", F.row_number().over(local))
+        .where(F.col("_rn1") <= max_postings)
+        .withColumn("_rn", F.row_number().over(final))
+        .where(F.col("_rn") <= max_postings)
+    )
+    postings = capped.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_rn").alias("r"),
+                            F.concat_ws(
+                                ":",
+                                F.col(id_col).cast("string"),
+                                F.col("tf").cast("string"),
+                            ).alias("p"),
+                        )
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+        ).alias("postings"),
+    )
+    return stats.join(postings, "term").select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.col("n_postings").cast("long").alias("n_postings"),
+        "postings",
+    )
