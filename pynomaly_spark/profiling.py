@@ -49,7 +49,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["key_frequency_histogram", "join_key_profile"]
+__all__ = ["key_frequency_histogram", "join_key_profile", "robust_group_outliers"]
 
 
 def key_frequency_histogram(
@@ -152,4 +152,85 @@ def join_key_profile(
         F.coalesce(F.max(F.col("cl") * F.col("cr")), F.lit(0))
         .cast("long")
         .alias("max_fanout"),
+    )
+
+
+def robust_group_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier profile: median / MAD and the share of
+    rows beyond ``k`` MADs (the quality-filtering gate that mean/std
+    cannot provide on heavy-tailed web data — a single 1 GB document
+    drags a mean, not a median).
+
+    Returns per group: ``n``, ``med``, ``mad`` (4 dp, the engine's
+    percentile render), ``n_outliers`` (rows with
+    ``|x - med| > k * mad``), ``outlier_share`` (6 dp).  Groups with
+    ``mad = 0`` (at least half the values identical to the median)
+    report zero outliers: the scale estimate is degenerate, so the gate
+    abstains rather than flagging every nonidentical row.  NULL values
+    are excluded (they are a missingness question — ``NullRate`` —
+    not a dispersion question); NULL group keys form their own group.
+
+    Cross-engine determinism: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both linearly interpolate, and on integer inputs
+    every median is ``x.0`` or ``x.5`` — exact in binary doubles, so
+    deviations and the ``k * mad`` threshold compare exactly (``k``
+    defaults to a dyadic 3.0).
+
+    Scale (100 TB): two grouped EXACT-percentile aggregates (median,
+    then MAD) and one re-scan with the per-group thresholds joined
+    back — the group frame is group-cardinality-sized and broadcasts.
+    Exact per-group percentiles materialize each group's values on one
+    reducer; with millions of rows per group, swap ``percentile`` for
+    ``approx_percentile`` at an accuracy budget — kept exact here
+    because the oracle must hash-match.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_x")
+    )
+    # every derived frame renames its group key: these are self-joins
+    # on vals' lineage, and a shared `_g` is ambiguous to the analyzer
+    med = vals.groupBy(F.col("_g").alias("_gm")).agg(
+        F.expr("percentile(_x, 0.5)").alias("_med"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dev = vals.join(F.broadcast(med), F.col("_g").eqNullSafe(F.col("_gm"))).select(
+        F.col("_g").alias("_gd"),
+        F.abs(F.col("_x") - F.col("_med")).alias("_dev"),
+    )
+    mad = dev.groupBy(F.col("_gd").alias("_ga")).agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    prof = med.join(
+        F.broadcast(mad), F.col("_gm").eqNullSafe(F.col("_ga"))
+    ).select("_gm", "_n", "_med", "_mad")
+    flagged = vals.join(
+        F.broadcast(prof), F.col("_g").eqNullSafe(F.col("_gm")), "inner"
+    ).select(
+        F.col("_g").alias("g"),
+        F.col("_n"),
+        F.col("_med"),
+        F.col("_mad"),
+        (
+            (F.col("_mad") > 0)
+            & (F.abs(F.col("_x") - F.col("_med")) > F.lit(k) * F.col("_mad"))
+        ).cast("long").alias("_is_out"),
+    )
+    return flagged.groupBy("g", "_n", "_med", "_mad").agg(
+        F.sum("_is_out").alias("n_outliers")
+    ).select(
+        F.col("g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_med", 4).alias("med"),
+        F.round("_mad", 4).alias("mad"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+        F.round(F.col("n_outliers") / F.col("_n").cast("double"), 6).alias(
+            "outlier_share"
+        ),
     )

@@ -4330,6 +4330,42 @@ JOIN (SELECT term, count(*) AS n_postings,
 """
 
 
+def q_doc_robust_len(spark, sf_dir):
+    """Per-language robust length profile
+    (``profiling.robust_group_outliers``): median / MAD of n_chars and
+    the share of docs beyond 1.5 MADs — the heavy-tail-safe quality gate
+    (a mean/std z-score is dragged by one giant document; a median is
+    not).  k=1.5 (dyadic, exact in doubles) splits non-degenerately on
+    the synthetic lengths (~20% flagged at sf0.01 — k=3 flags zero, a
+    gate the oracle could not pin).  Exact interpolated percentiles on
+    integers are x.0/x.5 — exact in doubles — so the k*MAD threshold
+    compares identically cross-engine; mad=0 groups abstain."""
+    from pynomaly_spark.profiling import robust_group_outliers
+
+    return robust_group_outliers(_doc(spark, sf_dir), "lang", "n_chars", k=1.5)
+
+
+SQL_DOC_ROBUST_LEN = """
+WITH v AS (
+  SELECT lang AS g, n_chars AS x FROM documents WHERE n_chars IS NOT NULL
+), med AS (
+  SELECT g, quantile_cont(x, 0.5) AS med, count(*) AS n FROM v GROUP BY g
+), mad AS (
+  SELECT v.g, quantile_cont(abs(v.x - m.med), 0.5) AS mad
+  FROM v JOIN med m ON v.g = m.g GROUP BY v.g
+)
+SELECT m.g AS lang, CAST(m.n AS BIGINT) AS n,
+       round(m.med, 4) AS med, round(a.mad, 4) AS mad,
+       CAST(sum(CASE WHEN a.mad > 0 AND abs(v.x - m.med) > 1.5 * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN a.mad > 0 AND abs(v.x - m.med) > 1.5 * a.mad
+                 THEN 1 ELSE 0 END) / CAST(m.n AS DOUBLE), 6)
+         AS outlier_share
+FROM v JOIN med m ON v.g = m.g JOIN mad a ON v.g = a.g
+GROUP BY m.g, m.n, m.med, a.mad
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4414,6 +4450,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": q_events_scd2,
     "events_rolling": q_events_rolling,
     "doc_postings": q_doc_postings,
+    "doc_robust_len": q_doc_robust_len,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4503,4 +4540,5 @@ ORACLES: Dict[str, str] = {
     "events_scd2": SQL_EVENTS_SCD2,
     "events_rolling": SQL_EVENTS_ROLLING,
     "doc_postings": _postings_sql(),
+    "doc_robust_len": SQL_DOC_ROBUST_LEN,
 }

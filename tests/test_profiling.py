@@ -200,3 +200,35 @@ def test_fuzzy_pairs_max_dist_zero_empty(spark):
     assert out.count() == 0
     with pytest.raises(ValueError):
         fuzzy_blocked_pairs(df, "name", "pid", F.lit("b"), max_dist=-1)
+
+
+# --------------------------------------------------------------------------
+# robust_group_outliers
+# --------------------------------------------------------------------------
+
+def test_robust_outliers_median_mad_and_gate(spark):
+    from pynomaly_spark.profiling import robust_group_outliers
+
+    # group a: values 1..7 plus a 100 spike -> med 4.5, deviations
+    # {3.5,2.5,1.5,0.5,0.5,1.5,2.5,95.5} -> mad 2.0; only the spike
+    # exceeds 3*mad
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 100]]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = robust_group_outliers(df, "g", "x", k=3.0).first()
+    assert (r["n"], r["med"], r["mad"]) == (8, 4.5, 2.0)
+    assert (r["n_outliers"], r["outlier_share"]) == (1, 0.125)
+
+
+def test_robust_outliers_mad_zero_abstains_and_nulls(spark):
+    from pynomaly_spark.profiling import robust_group_outliers
+
+    # group b: >= half the values at the median -> mad 0 -> no flags
+    # even for the far point; NULL values excluded from n
+    rows = [("b", 5), ("b", 5), ("b", 5), ("b", 999), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = robust_group_outliers(df, "g", "x", k=3.0).first()
+    assert (r["n"], r["mad"], r["n_outliers"]) == (4, 0.0, 0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        robust_group_outliers(df, "g", "x", k=0)
