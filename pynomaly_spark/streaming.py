@@ -53,6 +53,7 @@ __all__ = [
     "streaming_lm_scores",
     "streaming_sessions",
     "streaming_interval_join",
+    "streaming_latest_state",
 ]
 
 
@@ -555,4 +556,51 @@ def streaming_lm_scores(
             "n_tokens",
             "logprob",
         )
+    )
+
+
+def streaming_latest_state(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols=("event_type", "value", "props"),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CDC compaction: the continuously-maintained
+    latest-state table (the streaming analog of
+    :func:`pynomaly_spark.cdc.latest_state`, identical output columns —
+    the batch operator over the landed history is the parity oracle).
+
+    One streaming aggregate per key: ``max_by`` of the attribute
+    payload ordered by (µs, tiebreak), plus first-seen and update
+    count.  State per key is a single (payload, order) tuple — bounded
+    by ENTITY cardinality, not stream length, which is why latest-state
+    needs no watermark: it is a total-history aggregate by definition
+    (there is no "too late" update; an old event simply loses the
+    max_by).  Run in update/complete mode into an idempotent upsert
+    sink (``foreachBatch`` MERGE in production; the memory/complete
+    sink in tests).  NULL-keyed updates are dropped, as in batch.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    payload = F.struct(
+        *[F.col(c) for c in attr_cols],
+        F.col("_us").alias("_last_us"),
+    )
+    order = F.struct(F.col("_us"), F.col(tiebreak_col))
+    out = (
+        stream_df.where(F.col(key_col).isNotNull())
+        .withColumn("_us", us)
+        .groupBy(key_col)
+        .agg(
+            F.max_by(payload, order).alias("_cur"),
+            F.min("_us").alias("first_us"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+    )
+    return out.select(
+        key_col,
+        *[F.col(f"_cur.{c}").alias(c) for c in attr_cols],
+        F.col("_cur._last_us").alias("last_us"),
+        "first_us",
+        "n_updates",
     )

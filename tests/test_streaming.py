@@ -582,3 +582,46 @@ def test_streaming_interval_join_rejects_streaming_intervals(spark, tmp_path):
     stream = spark.readStream.schema(ev.schema).parquet(in_dir)
     with pytest.raises(ValueError, match="static"):
         streaming_interval_join(stream, stream, ["event_type"])
+
+
+def test_streaming_latest_state_matches_batch(spark, tmp_path):
+    """Streaming CDC compaction: the complete-mode latest-state table
+    over the replayed event stream must equal cdc.latest_state over the
+    landed history, row for row."""
+    from pynomaly_spark.cdc import latest_state
+    from pynomaly_spark.streaming import streaming_latest_state
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "cdc_in")
+    # two files -> at least two tasks feed the stateful aggregate
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    cur = streaming_latest_state(
+        stream, attr_cols=("event_type", "value")
+    )
+    q = (
+        cur.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cdc_current")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("SELECT * FROM cdc_current")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        latest_state(ev, "user_id", "ts", ["event_type", "value"])
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0 and list(got.columns) == list(want.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
