@@ -40,7 +40,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_state", "scd2_history"]
+__all__ = ["latest_state", "scd2_history", "snapshot_diff"]
 
 
 def _us(ts_col: str):
@@ -126,4 +126,60 @@ def scd2_history(
             *attr_cols,
             tiebreak_col,
         )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed diff of two snapshots of the same logical table — the data
+    regression gate run before promoting a new snapshot: how many rows
+    were added, removed, changed, unchanged?
+
+    Returns one row per status (``added`` / ``removed`` / ``changed`` /
+    ``unchanged``) with ``n_rows`` — statuses with zero rows are
+    omitted (both engines aggregate only groups that exist).
+
+    Rows compare by a sha256 content digest of the ``compare_cols``
+    rendered null-safely (each value ``coalesce``d to a ``\\0`` sentinel
+    and joined with ``\\x1f`` — a raw ``concat_ws`` silently collapses
+    NULL vs empty-string differences).  sha256 keeps the digest
+    cross-engine (the oracle twin recomputes it in DuckDB) and the
+    collision bound far below any table size.
+
+    Scale (100 TB): each side reduces map-side to ``(key, digest)`` —
+    the full-outer join moves two slim columns, never the row payload;
+    the status rollup is a 4-group aggregate.  Precondition: ``key_col``
+    is unique per snapshot (it is a snapshot key, not an event log);
+    NULL keys are excluded (they cannot be matched across snapshots).
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must name at least one column")
+
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        rendered = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in compare_cols
+        ]
+        return df.where(F.col(key_col).isNotNull()).select(
+            F.col(key_col).alias("_k"),
+            F.sha2(F.concat_ws("\x1f", *rendered), 256).alias(out),
+        )
+
+    o = digest(old, "_ho")
+    n = digest(new, "_hn").withColumnRenamed("_k", "_kn")
+    j = o.join(n, F.col("_k") == F.col("_kn"), "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -4366,6 +4366,75 @@ GROUP BY m.g, m.n, m.med, a.mad
 """
 
 
+def q_doc_snapshot_diff(spark, sf_dir):
+    """Snapshot data-regression gate (``cdc.snapshot_diff``): documents
+    vs a deterministically mutated next snapshot — ids % 97 removed,
+    texts % 31 revised, ids % 53 re-added under new ids — diffed to
+    added/removed/changed/unchanged counts.  Each side reduces map-side
+    to (key, sha256 digest) before the full-outer join; the digest
+    renders null-safely (coalesce to a \\0 sentinel, \\x1f joins) so
+    NULL vs empty never collapse.  %31 docs with NULL text stay
+    'unchanged' on BOTH engines (concat of NULL is NULL)."""
+    from pynomaly_spark.cdc import snapshot_diff
+
+    cols = ["text", "lang", "source", "n_chars"]
+    old = _doc(spark, sf_dir).select("doc_id", *cols)
+    revised = F.when(
+        F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    added = old.where(F.col("doc_id") % 53 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = (
+        old.where(F.col("doc_id") % 97 != 0)
+        .withColumn("text", revised)
+        .unionByName(added)
+    )
+    return snapshot_diff(old, new, "doc_id", cols)
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL
+), nw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN text || ' [rev2]' ELSE text END
+           AS text,
+         lang, source, n_chars
+  FROM old WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, text || ' [new]', lang, source, n_chars
+  FROM old WHERE doc_id % 53 = 0
+), ho AS (
+  SELECT doc_id AS k,
+         sha256(concat_ws(chr(31),
+                coalesce(text, chr(0)), coalesce(lang, chr(0)),
+                coalesce(source, chr(0)),
+                coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS h
+  FROM old
+), hn AS (
+  SELECT doc_id AS k,
+         sha256(concat_ws(chr(31),
+                coalesce(text, chr(0)), coalesce(lang, chr(0)),
+                coalesce(source, chr(0)),
+                coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS h
+  FROM nw
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM (
+  SELECT CASE WHEN ho.h IS NULL THEN 'added'
+              WHEN hn.h IS NULL THEN 'removed'
+              WHEN ho.h = hn.h THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
+) GROUP BY status
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4451,6 +4520,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling": q_events_rolling,
     "doc_postings": q_doc_postings,
     "doc_robust_len": q_doc_robust_len,
+    "doc_snapshot_diff": q_doc_snapshot_diff,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4541,4 +4611,5 @@ ORACLES: Dict[str, str] = {
     "events_rolling": SQL_EVENTS_ROLLING,
     "doc_postings": _postings_sql(),
     "doc_robust_len": SQL_DOC_ROBUST_LEN,
+    "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
 }

@@ -177,3 +177,45 @@ def test_rolling_validates_window(spark):
     )
     with pytest.raises(ValueError):
         rolling_range_aggs(df, "user_id", "ts", "value", window_minutes=0)
+
+
+# --------------------------------------------------------------------------
+# snapshot_diff
+# --------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    from pynomaly_spark.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "x")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (None, "y")],
+        "k long, v string",
+    )
+    out = {
+        r["status"]: r["n_rows"]
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    # NULL keys excluded on both sides; 1 unchanged, 2 changed,
+    # 3 removed, 4 added
+    assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_vs_empty_not_collapsed(spark):
+    from pynomaly_spark.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "", "x")], "k long, a string, b string")
+    out = {
+        r["status"]: r["n_rows"]
+        for r in snapshot_diff(old, new, "k", ["a", "b"]).collect()
+    }
+    # a raw concat_ws would render both rows "x"; the sentinel keeps
+    # NULL distinct from empty string
+    assert out == {"changed": 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, "k", [])
