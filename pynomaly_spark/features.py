@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_range_aggs"]
+__all__ = ["rolling_range_aggs", "quantile_bins"]
 
 
 def rolling_range_aggs(
@@ -76,4 +76,82 @@ def rolling_range_aggs(
             F.sum("value_cents").over(w).alias("trail_sum_cents"),
             F.max("value_cents").over(w).alias("trail_max_cents"),
         )
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 10,
+    coarse_width: float = 64.0,
+) -> DataFrame:
+    """Exact equal-frequency discretization: assign each row to one of
+    ``k`` rank-based bins, ``bin = ((rank - 1) * k) div n`` over the
+    total order (value, id).
+
+    Returns ``id, value, rank`` (1-based global), ``bin`` (0..k-1).
+    Bin sizes differ by at most one, with the larger bins spread evenly
+    — deliberately NOT ``ntile``, which front-loads the remainder and
+    differs between engines' implementations; the explicit integer
+    formula is engine-independent.  Ties at a bin boundary split by
+    ``id`` — deterministic cross-engine.
+
+    Scale (100 TB): the naive form is one GLOBAL window — every row
+    through a single reducer.  This is the two-level rank instead (the
+    distributed prefix-sum shape shared with ``packing.pack_chunks``
+    and ``sampling.shuffle_order``): rows bucket by the MONOTONE coarse
+    key ``floor(value / coarse_width)``, rank locally within their
+    bucket, and add a per-bucket offset from the cumulative bucket
+    counts — a frame with one row PER BUCKET, the only thing that ever
+    passes through a single-partition window.  Pick ``coarse_width``
+    so bucket count is thousands, each bucket executor-sized.
+
+    NULL values / ids are excluded (a NULL has no rank; rank-bin a
+    filled or flagged copy instead).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if coarse_width <= 0:
+        raise ValueError(f"coarse_width must be > 0, got {coarse_width}")
+    x = F.col(value_col)
+    src = df.where(x.isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        x.alias("value"),
+        F.floor(x / F.lit(coarse_width)).cast("long").alias("_b"),
+    )
+    local = src.withColumn(
+        "_lr",
+        F.row_number().over(
+            Window.partitionBy("_b").orderBy("value", "id")
+        ),
+    )
+    counts = src.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    # one row per bucket: the exclusive prefix sum and the grand total
+    # both come from this tiny frame, never from the row-level data
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        F.col("_b").alias("_ob"),
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(
+            Window.orderBy("_b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    ranked = local.join(
+        F.broadcast(offsets), F.col("_b") == F.col("_ob")
+    ).select(
+        "id",
+        "value",
+        (F.col("_off") + F.col("_lr")).alias("rank"),
+        "_n",
+    )
+    return ranked.select(
+        "id",
+        "value",
+        "rank",
+        F.expr(f"((rank - 1) * {int(k)}) div _n").cast("long").alias("bin"),
     )

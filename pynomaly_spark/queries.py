@@ -4435,6 +4435,45 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM (
 """
 
 
+def q_doc_len_bins(spark, sf_dir):
+    """Equal-frequency discretization (``features.quantile_bins``):
+    n_chars into 10 rank-based bins via the TWO-LEVEL global rank
+    (monotone value-bucket local rank + tiny bucket-offset frame — the
+    naive form is one global window, every row through one reducer).
+    bin = ((rank-1)*k) div n, deliberately not ntile (engines front-load
+    the remainder differently).  Per-bin summary: sizes differ by at
+    most one, rank spans chain exactly."""
+    from pynomaly_spark.features import quantile_bins
+
+    qb = quantile_bins(_doc(spark, sf_dir), "n_chars", "doc_id", k=10)
+    return qb.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("value").cast("long").alias("min_chars"),
+        F.max("value").cast("long").alias("max_chars"),
+        F.min("rank").cast("long").alias("rank_lo"),
+        F.max("rank").cast("long").alias("rank_hi"),
+    )
+
+
+SQL_DOC_LEN_BINS = """
+WITH v AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+), r AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(min(rn) AS BIGINT) AS rank_lo,
+       CAST(max(rn) AS BIGINT) AS rank_hi
+FROM r GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4521,6 +4560,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_postings": q_doc_postings,
     "doc_robust_len": q_doc_robust_len,
     "doc_snapshot_diff": q_doc_snapshot_diff,
+    "doc_len_bins": q_doc_len_bins,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4612,4 +4652,5 @@ ORACLES: Dict[str, str] = {
     "doc_postings": _postings_sql(),
     "doc_robust_len": SQL_DOC_ROBUST_LEN,
     "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
+    "doc_len_bins": SQL_DOC_LEN_BINS,
 }

@@ -219,3 +219,52 @@ def test_snapshot_diff_null_vs_empty_not_collapsed(spark):
 
     with pytest.raises(ValueError):
         snapshot_diff(old, new, "k", [])
+
+
+# --------------------------------------------------------------------------
+# quantile_bins
+# --------------------------------------------------------------------------
+
+def test_quantile_bins_two_level_equals_naive_global_rank(spark):
+    from pyspark.sql import Window
+
+    from pynomaly_spark.features import quantile_bins
+
+    # values engineered to straddle many coarse buckets, with ties
+    df = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 211).cast("double").alias("x"),
+    )
+    got = {
+        (r["id"], r["rank"], r["bin"])
+        for r in quantile_bins(df, "x", "id", k=7, coarse_width=16).collect()
+    }
+    w = Window.orderBy("x", "id")
+    naive = df.select(
+        "id", F.row_number().over(w).alias("rank")
+    ).withColumn("bin", F.expr("((rank - 1) * 7) div 500"))
+    want = {(r["id"], r["rank"], r["bin"]) for r in naive.collect()}
+    assert got == want
+
+
+def test_quantile_bins_sizes_differ_at_most_one(spark):
+    from pynomaly_spark.features import quantile_bins
+
+    df = spark.range(103).select(
+        F.col("id"), F.col("id").cast("double").alias("x")
+    )
+    sizes = [
+        r["n"]
+        for r in quantile_bins(df, "x", "id", k=10)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 10 and sum(sizes) == 103
+    assert max(sizes) - min(sizes) <= 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_bins(df, "x", "id", k=0)
+    with pytest.raises(ValueError):
+        quantile_bins(df, "x", "id", coarse_width=0)
