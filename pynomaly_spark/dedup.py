@@ -1006,6 +1006,12 @@ def fuzzy_blocked_pairs(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+    # the distinct-names aggregate is the one heavy pass over the base
+    # data; materialize it ONCE (eager localCheckpoint, the repo's
+    # lineage-cut device) so the guard count below and the returned
+    # pair join both read the collapsed frame instead of re-running
+    # the corpus groupBy
+    names = names.localCheckpoint()
     # hot-block guard: quadratic pair growth is the one failure mode of
     # blocking — refuse rather than melt (same discipline as the
     # hot-bucket guard in embedding_near_dups)
