@@ -4474,6 +4474,55 @@ FROM r GROUP BY 1
 """
 
 
+def q_doc_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: for every unordered source
+    pair, how many distinct content fingerprints appear in BOTH — the
+    curation question "which feeds copy from each other" that decides
+    source-level dedup order.  The key is the sha256 of the lowercased
+    64-char opening (a boilerplate fingerprint: full-text sha is too
+    strict here — the synthetic corpus shares template OPENINGS across
+    sources, never whole texts, and a 0-row oracle pins nothing).
+    Rows first collapse to DISTINCT (digest, source) — the self-join
+    fanout per digest is bounded by the SOURCE count, never by copy
+    count; output is source-cardinality², a control-plane relation."""
+    doc = _doc(spark, sf_dir)
+    d = (
+        doc.where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            F.sha2(F.lower(F.substring(F.col("text"), 1, 64)), 256).alias(
+                "digest"
+            ),
+            "source",
+        )
+        .distinct()
+    )
+    b = d.select(
+        F.col("digest").alias("_rd"), F.col("source").alias("source_b")
+    )
+    return (
+        d.join(
+            b,
+            (F.col("digest") == F.col("_rd"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.countDistinct("digest").cast("long").alias("n_shared"))
+    )
+
+
+SQL_DOC_SOURCE_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT sha256(lower(substr(text, 1, 64))) AS digest, source
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(DISTINCT a.digest) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4561,6 +4610,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_robust_len": q_doc_robust_len,
     "doc_snapshot_diff": q_doc_snapshot_diff,
     "doc_len_bins": q_doc_len_bins,
+    "doc_source_overlap": q_doc_source_overlap,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4653,4 +4703,5 @@ ORACLES: Dict[str, str] = {
     "doc_robust_len": SQL_DOC_ROBUST_LEN,
     "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
     "doc_len_bins": SQL_DOC_LEN_BINS,
+    "doc_source_overlap": SQL_DOC_SOURCE_OVERLAP,
 }
