@@ -44,6 +44,7 @@ __all__ = [
     "read_code_table_json",
     "read_code_table_csv",
     "write_partitioned",
+    "write_bucketed_table",
 ]
 
 
@@ -147,3 +148,41 @@ def write_partitioned(
         .partitionBy("_part")
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table — the co-located-join
+    device: two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle exchange on either side (Spark matches
+    their output partitioning at plan time; the per-bucket ``sortBy``
+    additionally removes the join's sort).
+
+    At 100 TB this is how repeated equi-joins against a shared key
+    (orders ⋈ lineitem every day) stop paying the dominant cost: the
+    shuffle happens ONCE at write time and is amortized over every
+    subsequent join/aggregation on that key.  The bucket count is a
+    physical layout decision — pick it near the cluster's target task
+    count and keep it IDENTICAL across the tables that join.
+
+    ``saveAsTable`` is required (bucket metadata lives in the catalog,
+    not in the parquet files); the sandbox's in-memory catalog scopes
+    tables to the session, a real deployment uses a shared metastore /
+    Iceberg catalog.  The co-located-join plan shape is pinned by
+    ``tests/test_io_and_plans.py::test_bucketed_join_plans_no_exchange``.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

@@ -163,3 +163,40 @@ def test_nation_revenue_plan_pushdown_and_broadcast(spark):
     # exact integer revenue: 25 nations, deterministic sum
     rows = df.collect()
     assert len(rows) == 25 and all(r.revenue_c4 > 0 for r in rows)
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """The co-located-join contract: two tables bucketed on the same
+    key with the same bucket count join with NO shuffle exchange on
+    either side (bucketing pre-pays the shuffle at write time), and the
+    per-bucket sortBy removes the join-side sorts too."""
+    from pyspark.sql import functions as F
+
+    from pynomaly_spark.io import write_bucketed_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small frames would broadcast and hide the exchange question
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+        )
+        right = spark.range(3_000).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("b")
+        )
+        write_bucketed_table(left, "bkt_left", "k", 8, sort_col="k")
+        write_bucketed_table(right, "bkt_right", "k", 8, sort_col="k")
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        assert j.count() == 3_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_bucketed_table(left, "bkt_bad", "k", 0)
