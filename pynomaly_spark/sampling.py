@@ -237,7 +237,14 @@ def temperature_rates(
     if target_total is not None and target_total < 0:
         raise ValueError(f"target_total must be >= 0, got {target_total}")
 
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    # materialize the per-group counts ONCE (tiny, group-cardinality
+    # rows): four consumers hang off this frame (total, powers, Z, the
+    # final select) and without the lineage cut each one re-embeds —
+    # and re-scans — the corpus groupBy in the physical plan (measured:
+    # three duplicate count subtrees in doc_temp_resample's plan)
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).localCheckpoint()
     tot = counts.agg(F.sum("n_rows").cast("double").alias("_tn"))
     powed = counts.crossJoin(F.broadcast(tot)).withColumn(
         "_pa", F.pow(F.col("n_rows") / F.col("_tn"), F.lit(float(alpha)))
