@@ -4523,6 +4523,79 @@ GROUP BY 1, 2
 """
 
 
+def q_orders_topk_revenue(spark, sf_dir):
+    """TPC-H Q3 flavor: top-10 unshipped-revenue orders for one market
+    segment — customer ⋈ orders ⋈ lineitem with BOTH date filters
+    pushed to the parquet scans, exact integer revenue units
+    (cents × (100 - discount_pct), the nation_revenue device), and the
+    global top-k via orderBy+limit, which Spark plans as
+    TakeOrderedAndProject: each partition keeps its local top-10 and
+    only 10 rows per partition reach the driver — small-k top-k needs
+    no salted two-phase.  Tiebreak (revenue DESC, date, orderkey) is a
+    total order, so the LIMIT boundary is deterministic cross-engine."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    c = (
+        _tbl(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("_rev"),
+        )
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum("_rev").cast("long").alias("revenue_units"))
+        .orderBy(
+            F.desc("revenue_units"), F.asc("orderdate_us"), F.asc("orderkey")
+        )
+        .limit(10)
+        .select("orderkey", "revenue_units", "orderdate_us", "orderpriority")
+    )
+
+
+SQL_ORDERS_TOPK_REVENUE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_units,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue_units DESC, orderdate_us, orderkey
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4611,6 +4684,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_snapshot_diff": q_doc_snapshot_diff,
     "doc_len_bins": q_doc_len_bins,
     "doc_source_overlap": q_doc_source_overlap,
+    "orders_topk_revenue": q_orders_topk_revenue,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4704,4 +4778,5 @@ ORACLES: Dict[str, str] = {
     "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
     "doc_len_bins": SQL_DOC_LEN_BINS,
     "doc_source_overlap": SQL_DOC_SOURCE_OVERLAP,
+    "orders_topk_revenue": SQL_ORDERS_TOPK_REVENUE,
 }
