@@ -43,6 +43,8 @@ __all__ = [
     "read_code_table_catalog",
     "read_code_table_json",
     "read_code_table_csv",
+    "read_code_table_orc",
+    "write_orc",
     "write_partitioned",
     "write_bucketed_table",
 ]
@@ -134,6 +136,32 @@ def read_code_table_csv(
         .option("escape", '"')
         .csv(path)
     )
+
+
+def read_code_table_orc(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """ORC ingest with the engine's enforced schema.
+
+    ORC is the other columnar lake format a migrating user arrives
+    with (Hive-era warehouses); like the parquet reader this enforces
+    the code-table schema at scan time — column pruning and predicate
+    pushdown work identically (Spark's OrcScan supports PushedFilters),
+    so every downstream plan in the engine is format-agnostic.  Binary
+    columnar formats have no malformed-row mode; corruption surfaces as
+    a read error, not a quarantine row (that contract is the text
+    formats' job).  Delegates to :func:`read_code_table` with
+    ``fmt="orc"`` — the schema projection is format-agnostic.
+    """
+    return read_code_table(spark, path, fmt="orc")
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy, the lake default) — the roundtrip partner of
+    :func:`read_code_table_orc` for pipelines whose downstream is a
+    Hive-era warehouse."""
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
 
 
 def write_partitioned(

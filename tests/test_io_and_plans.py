@@ -200,3 +200,32 @@ def test_bucketed_join_plans_no_exchange(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_bucketed_table(left, "bkt_bad", "k", 0)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/reader roundtrip preserves the code table exactly, and
+    the ORC scan pushes filters (format-agnostic downstream plans)."""
+    from pyspark.sql import functions as F
+
+    from pynomaly_spark.io import read_code_table_orc, write_orc
+
+    src = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "py", "print(1)"),
+            ("r2", "b.rs", "c2", "rs", "fn main() {}"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    p = str(tmp_path / "code_orc")
+    write_orc(src, p)
+    back = read_code_table_orc(spark, p)
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    plan = (
+        back.where(F.col("lang") == "py")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:120], plan
