@@ -32,7 +32,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_range_aggs", "quantile_bins"]
+__all__ = [
+    "rolling_range_aggs",
+    "quantile_bins",
+    "gapfill_ffill",
+    "decayed_sum",
+    "pivot_agg",
+]
+
+
+def pivot_agg(
+    df: DataFrame,
+    key_cols: list,
+    pivot_col: str,
+    values: list,
+    num_col: str,
+) -> DataFrame:
+    """Long-to-wide feature matrix: per key, for each EXPLICIT pivot
+    value ``v``, the row count ``{v}_n`` and the sum ``{v}_sum`` of
+    ``num_col`` — the one-hot/engagement-profile shape behavioral
+    models train on, produced in ONE aggregate pass.
+
+    ``values`` must be the explicit category list: Spark's
+    ``pivot(col)`` WITHOUT values runs a driver-side distinct scan
+    first (an extra job over the fact table) and makes the output
+    schema data-dependent — both are wrong at 100 TB and wrong for a
+    validation engine whose downstream schema must be static.  Rows
+    whose pivot value is NULL or unlisted still anchor the key's
+    output row but contribute to no column.
+
+    Missing (key, value) cells come back as NULL from the pivot and
+    are coalesced to 0; counts and sums are BIGINT (``num_col`` is
+    expected integer — cents, counts — per the engine's fixed-point
+    money convention; integer sums are order-independent, float sums
+    are not).
+
+    Scale (100 TB): built as EXPLICIT conditional aggregates
+    (``count(CASE..)`` / ``sum(CASE..)`` per value), NOT
+    ``DataFrame.pivot`` — measured on Spark 4, a multi-aggregate
+    pivot plans as TWO hash-aggregate levels with TWO exchanges
+    (groupBy ``(key, pivot)`` then a ``pivotfirst`` re-shuffle by
+    key), while the conditional form is ONE hash aggregate with
+    map-side partials and ONE shuffle of one row per key.  No join,
+    no explode.  A 0 sum means "key never showed this value" —
+    ``num_col`` NULLs count toward ``_n`` but add 0 (sum ignores
+    NULL) by SQL semantics on both engines.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition for the pipeline brief.
+    """
+    if not values:
+        raise ValueError("pivot_agg: values must be non-empty")
+    if len(set(values)) != len(values):
+        raise ValueError("pivot_agg: duplicate pivot values")
+    missing = [
+        c for c in (*key_cols, pivot_col, num_col) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"pivot_agg: unknown columns {missing}")
+    aggs = []
+    for v in values:
+        hit = F.col(pivot_col) == F.lit(v)
+        aggs.append(
+            F.count(F.when(hit, F.lit(1))).cast("long").alias(f"{v}_n")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(hit, F.col(num_col))), F.lit(0))
+            .cast("long")
+            .alias(f"{v}_sum")
+        )
+    return df.groupBy(*key_cols).agg(*aggs)
 
 
 def rolling_range_aggs(
@@ -75,6 +144,171 @@ def rolling_range_aggs(
             F.count(F.lit(1)).over(w).alias("trail_cnt"),
             F.sum("value_cents").over(w).alias("trail_sum_cents"),
             F.max("value_cents").over(w).alias("trail_max_cents"),
+        )
+    )
+
+
+def gapfill_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_minutes: float = 60.0,
+    tiebreak_col: str = "event_id",
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Regularize an irregular per-key series onto a fixed time grid and
+    forward-fill the gaps — the resample step every time-series feature
+    pipeline starts with.
+
+    Returns one row per ``(key, bucket)`` over each key's observed
+    span: ``key, bucket, n_obs`` (observations landing in the bucket),
+    ``is_gap`` (1 when none did), ``obs_cents`` (the bucket's LATEST
+    observation by ``(timestamp, tiebreak)``, NULL on gaps) and
+    ``ffill_cents`` (the last observed value carried forward — never
+    NULL, since each key's span starts at an observed bucket).
+
+    A NULL observation is NO observation (``value`` NULL rows are
+    dropped up front): "latest value" semantics must not distinguish
+    "gap" from "observed a NULL", or the forward-fill becomes
+    engine-dependent around NULL ordering inside ``max_by``.
+
+    Determinism: bucket ids are exact integer division of integer
+    microseconds (``div`` — NOT float division + floor, which can land
+    on the wrong side of a boundary at epoch-microsecond magnitudes);
+    the in-bucket pick is the total order ``(us, tiebreak)``; money is
+    integer cents.  Every emitted value is integer or flag — nothing
+    floats.
+
+    Scale (100 TB): the raw table is touched exactly once, by the
+    per-bucket aggregate (map-side partial ``max_by``) — everything
+    after runs on the bucket-level frame, which is smaller by the
+    per-bucket event density.  The spine explode is bounded per key by
+    ``max_buckets`` with an in-plan ``raise_error`` guard (a key whose
+    sparse activity spans years at minute granularity would otherwise
+    explode quietly); the guard rides the tiny span frame, not the
+    fact table.  One keyed sort pass performs the fill.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition for the pipeline brief.
+    """
+    if bucket_minutes <= 0:
+        raise ValueError(f"bucket_minutes must be > 0, got {bucket_minutes}")
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    bucket_us = int(bucket_minutes * 60 * 1_000_000)
+    src = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    obs = (
+        src.withColumn("bucket", F.expr(f"_us div {bucket_us}"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max_by("_cents", F.struct("_us", "_tb")).alias("obs_cents"),
+        )
+    )
+    span = obs.groupBy("key").agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    guard = F.when(
+        F.col("_b1") - F.col("_b0") >= F.lit(max_buckets),
+        F.expr(
+            "raise_error(concat('gapfill_ffill: key spans more than "
+            f"{max_buckets} buckets: ', cast(key as string)))"
+        ).cast("long"),
+    ).otherwise(F.col("_b1"))
+    spine = span.select(
+        "key", F.explode(F.sequence(F.col("_b0"), guard)).alias("bucket")
+    )
+    filled = spine.join(obs, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "key",
+        "bucket",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        F.col("n_obs").isNull().cast("long").alias("is_gap"),
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("ffill_cents"),
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    group_cols: list,
+    ts_col: str,
+    value_col: str,
+    half_life_days: float = 1.0,
+    max_age: int = 20,
+) -> DataFrame:
+    """Exponentially time-decayed engagement per group — recency-aware
+    "how active is this entity" features (sum of value halving per
+    ``half_life_days`` of age, with age bucketed to whole half-lives).
+
+    Returns ``*group_cols, n_events, sum_cents, decay_e`` where
+    ``decay_e = round(sum(cents * 2^-age) * 2^max_age)`` — the decayed
+    sum pre-scaled to an exact BIGINT so nothing float-rendered crosses
+    the engine boundary.  Age is ``(ref - ts) div half_life`` in whole
+    units, clamped to ``[0, max_age]``; ``ref`` is the table's max
+    timestamp (a deterministic, data-derived "now").
+
+    EXACT float arithmetic by construction, not by rounding: each term
+    ``cents * 2^-age`` is a dyadic rational with at most ``max_age``
+    fractional bits, so every partial sum is exactly representable
+    while the group total stays under ``2^(53-max_age)`` (~8.6e9 cents
+    at the default 20 — four orders of magnitude above the data) —
+    the sum is order-independent and bit-identical on any engine, the
+    same device as the suite's dyadic MAD gates.
+
+    Scale (100 TB): one map-side expression per row plus one keyed
+    aggregate; the reference timestamp is a 1-row aggregate broadcast
+    into the plan (no ``collect``, no driver round-trip).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition for the pipeline brief.
+    """
+    if half_life_days <= 0:
+        raise ValueError(
+            f"half_life_days must be > 0, got {half_life_days}"
+        )
+    if not 0 < max_age <= 30:
+        raise ValueError(f"max_age must be in (0, 30], got {max_age}")
+    unit_us = int(half_life_days * 86_400 * 1_000_000)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        us.alias("_us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    ref = src.agg(F.max("_us").alias("_ref_us"))
+    age = F.least(
+        F.lit(max_age).cast("long"),
+        F.expr(f"(_ref_us - _us) div {unit_us}"),
+    )
+    weight = F.lit(1.0) / F.pow(F.lit(2.0), age.cast("double"))
+    return (
+        src.crossJoin(F.broadcast(ref))
+        .withColumn("_term", F.col("_cents") * weight)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_cents").alias("sum_cents"),
+            F.round(F.sum("_term") * F.lit(float(2 ** max_age)))
+            .cast("long")
+            .alias("decay_e"),
         )
     )
 

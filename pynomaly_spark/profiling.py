@@ -49,7 +49,157 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["key_frequency_histogram", "join_key_profile", "robust_group_outliers"]
+__all__ = [
+    "key_frequency_histogram",
+    "join_key_profile",
+    "robust_group_outliers",
+    "column_profile",
+    "kmv_distinct",
+]
+
+_KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
+# BIGINT on both engines and parseable by DuckDB as CAST('0x'||s AS BIGINT).
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    mergeable cardinality estimator for when ``count(DISTINCT ...)``'s
+    Expand-multiplied shuffle is too expensive but HLL's
+    engine-private binary sketch can't be cross-checked.
+
+    Per group, hash each value with an md5 48-bit prefix, keep the k
+    SMALLEST distinct hashes, and estimate the cardinality from the
+    k-th order statistic: ``(k-1) * 2^48 div h_k`` (the classic KMV
+    estimator, Bar-Yossef et al. 2002, with integer division so the
+    estimate is a BIGINT both engines compute bit-identically).  A
+    group with fewer than k distinct hashes is EXACT — the estimate
+    falls back to the observed distinct count.
+
+    Returns ``*group_cols, kmv_k, kmv_estimate`` where ``kmv_k`` is
+    ``min(k, observed distinct)`` — ``kmv_k < k`` marks the exact
+    branch.
+
+    Determinism: md5 is identical across engines; the hash prefix is
+    an exact 48-bit integer; selection order is the hash itself (a
+    total order after the distinct); division is integer.  Nothing
+    floats.
+
+    Scale (100 TB): one distinct aggregate over ``(group, hash)``
+    (map-side partial), then the k-smallest selection runs through
+    ``two_phase_topk`` — salted phase 1 bounds every reducer to ~1/64
+    of a group's distinct hashes, so a billion-distinct group never
+    serializes through one task the way a plain per-group window
+    would.  The sketch output is k rows per group, mergeable across
+    partitions/days by unioning kept hashes and re-selecting.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (cardinality profiling for validation config).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
+    missing = [c for c in (*group_cols, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"kmv_distinct: unknown columns {missing}")
+    from .similarity import two_phase_topk
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .distinct()
+    )
+    kept = two_phase_topk(
+        hashed, list(group_cols), [F.col("_h").asc()], k, rank_col="_rn"
+    )
+    scale = (k - 1) * (1 << _KMV_BITS)
+    return (
+        kept.groupBy(*group_cols)
+        .agg(F.max("_rn").alias("_nk"), F.max("_h").alias("_hk"))
+        .select(
+            *group_cols,
+            F.col("_nk").cast("long").alias("kmv_k"),
+            F.when(F.col("_nk") < k, F.col("_nk").cast("long"))
+            .otherwise(F.expr(f"{scale}L div greatest(_hk, 1L)"))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def column_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass multi-column profile: per column, the row count, null
+    count, distinct cardinality and min/max — the schema-discovery scan
+    run once per ingested source before writing validation config.
+
+    Returns ``column, n_rows, n_nulls, n_distinct, min_val, max_val``
+    with min/max rendered as strings via ``CAST(min(col) AS STRING)``
+    — cast AFTER aggregating, never before (a lexicographic string min
+    says ``"10" < "9"``).
+
+    The whole profile is ONE aggregate job: a single wide aggregation
+    row (5 aggregates per column), unpivoted with ``stack`` on the
+    1-row result — the unpivot touches one row, never the fact table.
+    The naive per-column loop scans the source once per column.
+
+    Scale (100 TB): with ``exact_distinct`` Spark plans the multiple
+    ``count(DISTINCT ...)`` via a single Expand — one scan, but the
+    shuffled row volume is multiplied by ``len(cols)+1``.  That is the
+    exact-answer price; for wide profiles at petabyte scale pass
+    ``exact_distinct=False`` to use HLL ``approx_count_distinct``
+    (one plain aggregate, no Expand — not oracle-hashable, so the
+    registry twin pins the exact mode).
+
+    Reference parity: generalizes the reference's per-matrix input
+    validation (loop.py `_check_missing_values`) into an engine-level
+    profile; no direct counterpart.
+    """
+    if not cols:
+        raise ValueError("column_profile: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"column_profile: unknown columns {missing}")
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            nd(c).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
+    )
+    stacked = one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {parts}) as "
+            "(column, _nn, n_distinct, min_val, max_val)"
+        ),
+    )
+    return stacked.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("_nn")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
 
 
 def key_frequency_histogram(

@@ -4596,6 +4596,278 @@ LIMIT 10
 """
 
 
+_GAPFILL_MIN = 360.0  # 6 h buckets: ~½ the 24 h rolling window; the median
+# per-user gap is ~7.5 h (measured), so real gaps exist at every sf while
+# the spine stays ≤ 120 buckets/key over the 30-day span.
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Time-grid regularization + forward fill
+    (``features.gapfill_ffill``): each user's irregular event series
+    resampled onto a 6-hour grid — per bucket the observation count,
+    the LATEST value by (µs, event_id), a gap flag, and the
+    last-observation-carried-forward value.  Bucket ids are exact
+    integer division of integer microseconds; money is integer cents;
+    the in-bucket pick is a total order — nothing floats, so the fill
+    is bit-identical cross-engine."""
+    from pynomaly_spark.features import gapfill_ffill
+
+    return gapfill_ffill(
+        _tbl(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        bucket_minutes=_GAPFILL_MIN,
+    )
+
+
+def _gapfill_sql() -> str:
+    bucket_us = int(_GAPFILL_MIN * 60 * 1_000_000)
+    return f"""
+WITH ranked AS (
+  SELECT user_id AS key, epoch_us(ts) // {bucket_us} AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id, epoch_us(ts) // {bucket_us}
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), obs AS (
+  SELECT key, bucket, CAST(count(*) AS BIGINT) AS n_obs FROM ranked
+  GROUP BY 1, 2
+), latest AS (
+  SELECT key, bucket, cents FROM ranked WHERE rn = 1
+), spine AS (
+  SELECT key, unnest(generate_series(b0, b1)) AS bucket
+  FROM (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+        FROM obs GROUP BY 1)
+)
+SELECT s.key AS key, s.bucket AS bucket,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(CASE WHEN o.n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_gap,
+       l.cents AS obs_cents,
+       last_value(l.cents IGNORE NULLS) OVER (
+         PARTITION BY s.key ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
+FROM spine s
+LEFT JOIN obs o ON s.key = o.key AND s.bucket = o.bucket
+LEFT JOIN latest l ON s.key = l.key AND s.bucket = l.bucket
+"""
+
+
+_DECAY_MAX_AGE = 20  # whole half-lives; terms are dyadic with ≤20
+# fractional bits, so every partial sum is exact — see features.decayed_sum.
+
+
+def q_events_decay(spark, sf_dir):
+    """Exponentially time-decayed per-user engagement
+    (``features.decayed_sum``): sum of value-cents halving per day of
+    age relative to the table's max timestamp, age clamped to 20
+    half-lives.  Each term ``cents·2^-age`` is a dyadic rational with
+    ≤20 fractional bits and the group totals stay far below
+    ``2^(53-20)``, so the float sum is EXACT and order-independent on
+    both engines — the decayed sum ships as a pre-scaled BIGINT
+    (``round(sum·2^20)``), no float crosses the hash boundary."""
+    from pynomaly_spark.features import decayed_sum
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return decayed_sum(
+        ev,
+        ["user_id"],
+        "ts",
+        "value",
+        half_life_days=1.0,
+        max_age=_DECAY_MAX_AGE,
+    )
+
+
+SQL_EVENTS_DECAY = f"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), ref AS (SELECT max(us) AS ref_us FROM src)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(round(sum(cents / power(2.0,
+              least({_DECAY_MAX_AGE}, (ref_us - us) // {86_400 * 1_000_000})))
+            * {float(2 ** _DECAY_MAX_AGE)}) AS BIGINT) AS decay_e
+FROM src, ref GROUP BY user_id
+"""
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_doc_profile(spark, sf_dir):
+    """Schema-discovery column profile (``profiling.column_profile``):
+    per documents column, row/null/distinct counts and min/max rendered
+    as strings — the whole profile is ONE aggregate job (a single wide
+    aggregation row unpivoted with ``stack`` on the 1-row result).
+    min/max cast AFTER aggregating (a lexicographic string min says
+    "10" < "9"); string comparison is binary on both engines, so the
+    min/max text rows pick identically."""
+    from pynomaly_spark.profiling import column_profile
+
+    return column_profile(_doc(spark, sf_dir), list(_PROFILE_COLS))
+
+
+def _column_profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_KMV_K = 80  # straddles the sf0.001 per-lang text cardinalities (de=71,
+# zh=74 below -> EXACT branch; en/es/fr above -> sketch branch), so both
+# estimator paths are oracle-checked at the smallest scale.
+_KMV_BITS = 48
+
+
+def q_doc_kmv(spark, sf_dir):
+    """KMV distinct-count sketch per lang (``profiling.kmv_distinct``):
+    keep the k smallest distinct 48-bit md5-prefix hashes of text and
+    estimate cardinality as ``(k-1)·2^48 div h_k`` — all-integer
+    arithmetic, so the estimate is bit-identical cross-engine; groups
+    with < k distinct hashes fall back to the exact count.  The
+    k-smallest selection runs through the salted two-phase top-k, never
+    a plain per-group window."""
+    from pynomaly_spark.profiling import kmv_distinct
+
+    doc = _doc(spark, sf_dir).where(F.col("lang").isNotNull())
+    return kmv_distinct(doc, ["lang"], "text", k=_KMV_K)
+
+
+def _kmv_sql() -> str:
+    scale = (_KMV_K - 1) * (1 << _KMV_BITS)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT lang,
+         CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS h
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+), ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM h
+), kept AS (SELECT * FROM ranked WHERE rn <= {_KMV_K})
+SELECT lang, CAST(max(rn) AS BIGINT) AS kmv_k,
+       CAST(CASE WHEN max(rn) < {_KMV_K} THEN max(rn)
+            ELSE {scale} // greatest(max(h), 1) END AS BIGINT)
+         AS kmv_estimate
+FROM kept GROUP BY lang
+"""
+
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_events_pivot(spark, sf_dir):
+    """Long-to-wide engagement matrix (``features.pivot_agg``): per
+    user, count and cents-sum for each of the five event types as ONE
+    conditional hash aggregate — measured on Spark 4, the equivalent
+    multi-agg ``DataFrame.pivot`` plans two aggregate levels and two
+    exchanges; the conditional form shuffles one row per user, once.
+    NULL values count toward ``_n`` (the event happened) but add 0."""
+    from pynomaly_spark.features import pivot_agg
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+    )
+    return pivot_agg(
+        ev, ["user_id"], "event_type", list(_PIVOT_TYPES), "_cents"
+    )
+
+
+def _events_pivot_sql() -> str:
+    cols = []
+    for v in _PIVOT_TYPES:
+        cols.append(
+            f"CAST(count(*) FILTER (WHERE event_type = '{v}') AS BIGINT)"
+            f" AS {v}_n"
+        )
+        cols.append(
+            "CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            f"FILTER (WHERE event_type = '{v}'), 0) AS BIGINT) AS {v}_sum"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+SELECT user_id,
+       {sel}
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+_Q4_LO, _Q4_HI = "1996-07-01", "1996-10-01"
+_Q4_LATE_US = 45 * 86_400 * 1_000_000
+# derived prune: any qualifying lineitem ships after lo + 45 days
+_Q4_L_MIN = "1996-08-15"
+
+
+def q_orders_late_semi(spark, sf_dir):
+    """TPC-H Q4 flavor: per order priority, the count of orders in one
+    quarter with AT LEAST ONE lineitem shipped more than 45 days after
+    the order date — the EXISTS shape, planned as a left-semi join (an
+    order counts once no matter how many late items).  The date window
+    is pushed to the orders scan, and the big lineitem side is pruned
+    BEFORE the shuffle with the derived bound ``l_shipdate >
+    lo + 45d`` (every qualifying item satisfies it, since
+    ``o_orderdate >= lo``); lateness itself compares exact integer
+    microseconds."""
+    lo = F.lit(_Q4_LO).cast("timestamp")
+    hi = F.lit(_Q4_HI).cast("timestamp")
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(_Q4_L_MIN).cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        + F.lit(_Q4_LATE_US)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+SQL_ORDERS_LATE_SEMI = f"""
+SELECT o.o_orderpriority AS orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem li
+    WHERE li.l_orderkey = o.o_orderkey
+      AND epoch_us(li.l_shipdate) > epoch_us(o.o_orderdate) + {_Q4_LATE_US}
+  )
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4685,6 +4957,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_len_bins": q_doc_len_bins,
     "doc_source_overlap": q_doc_source_overlap,
     "orders_topk_revenue": q_orders_topk_revenue,
+    "events_gapfill": q_events_gapfill,
+    "events_decay": q_events_decay,
+    "doc_profile": q_doc_profile,
+    "doc_kmv_distinct": q_doc_kmv,
+    "events_pivot": q_events_pivot,
+    "orders_late_semi": q_orders_late_semi,
 }
 
 ORACLES: Dict[str, str] = {
@@ -4779,4 +5057,10 @@ ORACLES: Dict[str, str] = {
     "doc_len_bins": SQL_DOC_LEN_BINS,
     "doc_source_overlap": SQL_DOC_SOURCE_OVERLAP,
     "orders_topk_revenue": SQL_ORDERS_TOPK_REVENUE,
+    "events_gapfill": _gapfill_sql(),
+    "events_decay": SQL_EVENTS_DECAY,
+    "doc_profile": _column_profile_sql(),
+    "doc_kmv_distinct": _kmv_sql(),
+    "events_pivot": _events_pivot_sql(),
+    "orders_late_semi": SQL_ORDERS_LATE_SEMI,
 }

@@ -268,3 +268,144 @@ def test_quantile_bins_sizes_differ_at_most_one(spark):
         quantile_bins(df, "x", "id", k=0)
     with pytest.raises(ValueError):
         quantile_bins(df, "x", "id", coarse_width=0)
+
+
+# --------------------------------------------------------------------------
+# gapfill_ffill
+# --------------------------------------------------------------------------
+
+def _gap_events(spark):
+    rows = [
+        # user 1, bucket 0: two obs — later ts wins the bucket
+        (1, 1, _ts(0), "a", 1.00),
+        (2, 1, _ts(30), "a", 2.00),
+        # user 1, bucket 2 (t=7400s at 60-min buckets); bucket 1 is a gap
+        (3, 1, _ts(7400), "a", 3.00),
+        # user 2: same-µs tie -> larger event_id wins
+        (10, 2, _ts(50), "a", 4.00),
+        (11, 2, _ts(50), "a", 5.00),
+        # user 3: only a NULL value -> no observation, key absent
+        (20, 3, _ts(0), "a", None),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+
+def test_gapfill_buckets_gaps_and_ffill(spark):
+    from pynomaly_spark.features import gapfill_ffill
+
+    out = {
+        (r["key"], r["bucket"] - 473352): r
+        for r in gapfill_ffill(
+            _gap_events(spark), "user_id", "ts", "value",
+            bucket_minutes=60.0,
+        ).collect()
+    }
+    # 2024-01-01T00:00 is hour-bucket 473352 exactly (epoch-µs div 3.6e9)
+    u1 = [out[(1, b)] for b in (0, 1, 2)]
+    assert [r["n_obs"] for r in u1] == [2, 0, 1]
+    assert [r["is_gap"] for r in u1] == [0, 1, 0]
+    assert [r["obs_cents"] for r in u1] == [200, None, 300]
+    assert [r["ffill_cents"] for r in u1] == [200, 200, 300]
+    # tie: event_id 11 (500 cents) wins over 10 at the same µs
+    assert out[(2, 0)]["obs_cents"] == 500
+    # user 3 had only a NULL value: no rows at all
+    assert not any(k == 3 for k, _ in out)
+
+
+def test_gapfill_guard_and_validation(spark):
+    from pynomaly_spark.features import gapfill_ffill
+    from pyspark.errors import SparkRuntimeException
+
+    df = _gap_events(spark)
+    with pytest.raises(ValueError):
+        gapfill_ffill(df, "user_id", "ts", "value", bucket_minutes=0)
+    with pytest.raises(ValueError):
+        gapfill_ffill(df, "user_id", "ts", "value", max_buckets=0)
+    # user 1 spans 3 buckets; max_buckets=2 must raise in-plan
+    with pytest.raises(SparkRuntimeException, match="gapfill_ffill"):
+        gapfill_ffill(
+            df, "user_id", "ts", "value", bucket_minutes=60.0, max_buckets=2
+        ).collect()
+
+
+# --------------------------------------------------------------------------
+# decayed_sum
+# --------------------------------------------------------------------------
+
+def test_decayed_sum_exact_dyadic_and_clamp(spark):
+    from pynomaly_spark.features import decayed_sum
+
+    day = 86_400
+    rows = [
+        # user 1 holds the global max ts (ref): ages 0, 1, and 25->clamp 20
+        (1, 1, _ts(25 * day), "a", 1.00),
+        (2, 1, _ts(24 * day), "a", 1.00),
+        (3, 1, _ts(0), "a", 1.00),
+        # user 2: age 2 relative to user 1's ref
+        (4, 2, _ts(23 * day), "a", 1.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    out = {
+        r["user_id"]: r
+        for r in decayed_sum(
+            df, ["user_id"], "ts", "value", half_life_days=1.0, max_age=20
+        ).collect()
+    }
+    # exact integers: 100·2^20 + 50·2^20 + 100·2^-20·2^20
+    assert out[1]["decay_e"] == 100 * 2**20 + 50 * 2**20 + 100
+    assert (out[1]["n_events"], out[1]["sum_cents"]) == (3, 300)
+    assert out[2]["decay_e"] == 25 * 2**20
+    with pytest.raises(ValueError):
+        decayed_sum(df, ["user_id"], "ts", "value", half_life_days=0)
+    with pytest.raises(ValueError):
+        decayed_sum(df, ["user_id"], "ts", "value", max_age=31)
+
+
+# --------------------------------------------------------------------------
+# pivot_agg
+# --------------------------------------------------------------------------
+
+def test_pivot_agg_values_and_single_aggregate(spark):
+    from pynomaly_spark.features import pivot_agg
+
+    rows = [
+        (1, "click", 10), (1, "click", None), (1, "view", 5),
+        (2, "purchase", 7),
+        (2, "weird", 9),   # unlisted value: anchors key 2, no column
+        (3, None, 4),      # NULL pivot value: anchors key 3 only
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, cents long")
+    out = pivot_agg(df, ["u"], "et", ["click", "view", "purchase"], "cents")
+    assert out.columns == [
+        "u", "click_n", "click_sum", "view_n", "view_sum",
+        "purchase_n", "purchase_sum",
+    ]
+    got = sorted(tuple(r) for r in out.collect())
+    # NULL cents counts toward _n (the event happened) but adds 0
+    assert got == [
+        (1, 2, 10, 1, 5, 0, 0),
+        (2, 0, 0, 0, 0, 1, 7),
+        (3, 0, 0, 0, 0, 0, 0),
+    ]
+    # ONE logical aggregate — the reason this is not DataFrame.pivot
+    # (a multi-agg pivot plans two aggregate levels + two exchanges)
+    opt = out._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    assert opt.count("Aggregate") == 1
+
+
+def test_pivot_agg_validation(spark):
+    from pynomaly_spark.features import pivot_agg
+
+    df = spark.createDataFrame([(1, "a", 1)], "u long, et string, c long")
+    with pytest.raises(ValueError):
+        pivot_agg(df, ["u"], "et", [], "c")
+    with pytest.raises(ValueError):
+        pivot_agg(df, ["u"], "et", ["a", "a"], "c")
+    with pytest.raises(ValueError):
+        pivot_agg(df, ["u"], "nope", ["a"], "c")

@@ -232,3 +232,55 @@ def test_robust_outliers_mad_zero_abstains_and_nulls(spark):
 
     with pytest.raises(ValueError):
         robust_group_outliers(df, "g", "x", k=0)
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct
+# --------------------------------------------------------------------------
+
+def test_kmv_exact_branch_collapses_duplicates(spark):
+    from pynomaly_spark.profiling import kmv_distinct
+
+    # 10 distinct values duplicated 3x + a NULL: exact branch (k=64),
+    # duplicates and NULLs must not inflate the count
+    rows = [("a", f"v{i}") for i in range(10)] * 3 + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_distinct(df, ["g"], "v", k=64).first()
+    assert (r["kmv_k"], r["kmv_estimate"]) == (10, 10)
+
+
+def test_kmv_sketch_matches_python_replica(spark):
+    import hashlib
+
+    from pynomaly_spark.profiling import kmv_distinct
+
+    # 500 distinct values, k=32: the estimate is a deterministic
+    # function of the md5 order statistics — replicate it exactly
+    vals = [f"item-{i}" for i in range(500)]
+    k = 32
+    hs = sorted(
+        int(hashlib.md5(v.encode()).hexdigest()[:12], 16) for v in vals
+    )
+    expected = (k - 1) * (1 << 48) // max(hs[k - 1], 1)
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v string")
+    r = kmv_distinct(df, ["g"], "v", k=k).first()
+    assert r["kmv_k"] == k
+    assert r["kmv_estimate"] == expected
+    # and the estimator is actually in the right ballpark
+    assert abs(r["kmv_estimate"] - 500) / 500 < 0.5
+
+
+def test_kmv_per_group_and_validation(spark):
+    import pytest
+
+    from pynomaly_spark.profiling import kmv_distinct
+
+    rows = [("a", f"x{i}") for i in range(5)] + [("b", "only")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=4).collect()}
+    assert out["a"]["kmv_k"] == 4  # capped at k
+    assert (out["b"]["kmv_k"], out["b"]["kmv_estimate"]) == (1, 1)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], "nope")
