@@ -4868,6 +4868,146 @@ GROUP BY 1
 """
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types within each
+    user's time-ordered sequence (``sequences.transition_counts``):
+    which action follows which, with the empirical transition
+    probability.  The lag is one user-keyed shuffle; the (prev, curr)
+    aggregate collapses map-side to ≤|types|² rows.  Counts are exact
+    BIGINTs; the probability is ONE double division of two exact
+    integers, identical bits cross-engine, rounded to 6 dp."""
+    from pynomaly_spark.sequences import transition_counts
+
+    return transition_counts(
+        _tbl(spark, sf_dir, "events"), "user_id", "ts", "event_type"
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS prev_state
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), pairs AS (
+  SELECT prev_state, event_type AS curr_state, CAST(count(*) AS BIGINT)
+           AS n_pair
+  FROM seq WHERE prev_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_state, curr_state, n_pair,
+       CAST(sum(n_pair) OVER (PARTITION BY prev_state) AS BIGINT) AS n_prev,
+       round(CAST(n_pair AS DOUBLE)
+             / CAST(sum(n_pair) OVER (PARTITION BY prev_state) AS DOUBLE),
+             6) AS p6
+FROM pairs
+"""
+
+
+# CUSUM reference/threshold: k above the value mean (~4963 cents) so the
+# statistic drifts down between excursions; threshold picked so both sf
+# scales split users non-degenerately (measured: see test_sequences).
+_CUSUM_K_CENTS = 5_500
+_CUSUM_THRESHOLD_CENTS = 40_000
+
+
+def q_events_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM change detection on the value series
+    (``sequences.cusum_flags``): the textbook ``max(0, C+x-k)``
+    recursion rewritten as cumsum minus running-min — two stacked
+    window expressions over ONE user-keyed sort, no UDF, no iteration.
+    All quantities are exact BIGINT cents, bit-identical cross-engine;
+    the twin is the same two windows in DuckDB."""
+    from pynomaly_spark.sequences import cusum_flags
+
+    return cusum_flags(
+        _tbl(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        k_cents=_CUSUM_K_CENTS,
+        threshold_cents=_CUSUM_THRESHOLD_CENTS,
+    )
+
+
+SQL_EVENTS_CUSUM = f"""
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) - {_CUSUM_K_CENTS} AS d
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), cum AS (
+  SELECT user_id, event_id, us,
+         sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM src
+), runmin AS (
+  SELECT user_id, us, s,
+         min(s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM cum
+), scored AS (
+  SELECT user_id, us, s - least(CAST(0 AS BIGINT), m) AS c FROM runmin
+)
+SELECT user_id AS key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(c) AS BIGINT) AS max_cusum,
+       CAST(max(CASE WHEN c > {_CUSUM_THRESHOLD_CENTS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS alarm,
+       CAST(min(CASE WHEN c > {_CUSUM_THRESHOLD_CENTS} THEN us END)
+         AS BIGINT) AS first_alarm_us
+FROM scored GROUP BY 1
+"""
+
+
+_ROLLDIST_W = 7  # trailing buckets (days) in the rolling distinct
+
+
+def q_events_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day rolling distinct users per event type
+    (``features.rolling_distinct``) — the reach metric Spark cannot
+    express as ``COUNT(DISTINCT) OVER RANGE``; rewritten as the
+    bounded cover-expansion (distinct triples → ×7 explode → distinct →
+    count), while the DuckDB twin uses its NATIVE windowed distinct
+    aggregate — the rewrite is verified against the engine that does
+    support the declarative form.  All integers."""
+    from pynomaly_spark.features import rolling_distinct
+
+    return rolling_distinct(
+        _tbl(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        "user_id",
+        window_buckets=_ROLLDIST_W,
+    )
+
+
+SQL_EVENTS_ROLLING_DISTINCT = f"""
+WITH tu AS (
+  SELECT DISTINCT event_type AS grp, user_id AS id,
+         epoch_us(ts) // {24 * 60 * 60 * 1_000_000} AS bucket
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+), win AS (
+  SELECT grp, bucket,
+         count(DISTINCT id) OVER (
+           PARTITION BY grp ORDER BY bucket
+           RANGE BETWEEN {_ROLLDIST_W - 1} PRECEDING AND CURRENT ROW)
+           AS u_window
+  FROM tu
+)
+SELECT t.grp AS "group", t.bucket AS bucket,
+       CAST(count(DISTINCT t.id) AS BIGINT) AS u_bucket,
+       CAST(any_value(w.u_window) AS BIGINT) AS u_window
+FROM tu t
+JOIN (SELECT DISTINCT grp, bucket, u_window FROM win) w
+  ON t.grp = w.grp AND t.bucket = w.bucket
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4963,6 +5103,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_kmv_distinct": q_doc_kmv,
     "events_pivot": q_events_pivot,
     "orders_late_semi": q_orders_late_semi,
+    "events_transitions": q_events_transitions,
+    "events_cusum": q_events_cusum,
+    "events_rolling_distinct": q_events_rolling_distinct,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5063,4 +5206,7 @@ ORACLES: Dict[str, str] = {
     "doc_kmv_distinct": _kmv_sql(),
     "events_pivot": _events_pivot_sql(),
     "orders_late_semi": SQL_ORDERS_LATE_SEMI,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "events_cusum": SQL_EVENTS_CUSUM,
+    "events_rolling_distinct": SQL_EVENTS_ROLLING_DISTINCT,
 }

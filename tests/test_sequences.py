@@ -1,0 +1,215 @@
+"""sequences.transition_counts / cusum_flags + features.rolling_distinct.
+
+Cross-engine value parity lives in the oracle gate (events_transitions,
+events_cusum, events_rolling_distinct); these tests pin operator
+semantics on hand-built frames: lag-over-null skipping, the
+cumsum-minus-running-min identity against a literal Python recursion,
+alarm timing, cover-expansion window membership, and shuffle counts.
+"""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pynomaly_spark.features import rolling_distinct
+from pynomaly_spark.sequences import cusum_flags, transition_counts
+
+
+def _ts(s: float):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+# --------------------------------------------------------------------------
+# transition_counts
+# --------------------------------------------------------------------------
+
+def test_transitions_basic_and_null_skip(spark):
+    df = _ev(spark, [
+        (1, 1, _ts(0), "a", 1.0),
+        (2, 1, _ts(1), None, 1.0),   # skipped: a->b still counts
+        (3, 1, _ts(2), "b", 1.0),
+        (4, 1, _ts(3), "a", 1.0),
+        (5, 2, _ts(0), "b", 1.0),    # first event anchors no pair
+        (6, 2, _ts(1), "a", 1.0),
+        (7, None, _ts(0), "a", 1.0),  # null key dropped
+    ])
+    out = {
+        (r["prev_state"], r["curr_state"]): r
+        for r in transition_counts(df, "user_id", "ts", "event_type").collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["n_pair"] == 1 and out[("a", "b")]["n_prev"] == 1
+    assert out[("b", "a")]["n_pair"] == 2 and out[("b", "a")]["n_prev"] == 2
+    assert out[("a", "b")]["p6"] == 1.0
+
+
+def test_transitions_probabilities_sum_to_one(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, i % 13, _ts(i), "abc"[rng.randrange(3)], 0.0)
+        for i in range(400)
+    ]
+    out = transition_counts(_ev(spark, rows), "user_id", "ts", "event_type")
+    sums = (
+        out.groupBy("prev_state")
+        .agg(F.sum("p6").alias("tot"), F.sum("n_pair").alias("n"),
+             F.min("n_prev").alias("np"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r["tot"] - 1.0) < 1e-5
+        assert r["n"] == r["np"]
+
+
+def test_transitions_tie_order_uses_tiebreak(spark):
+    # two events at the SAME microsecond: event_id orders them
+    df = _ev(spark, [
+        (2, 1, _ts(0), "b", 0.0),
+        (1, 1, _ts(0), "a", 0.0),
+    ])
+    out = transition_counts(df, "user_id", "ts", "event_type").collect()
+    assert len(out) == 1
+    assert (out[0]["prev_state"], out[0]["curr_state"]) == ("a", "b")
+
+
+# --------------------------------------------------------------------------
+# cusum_flags
+# --------------------------------------------------------------------------
+
+def _py_cusum(cents, k):
+    c, out = 0, []
+    for x in cents:
+        c = max(0, c + (x - k))
+        out.append(c)
+    return out
+
+
+def test_cusum_matches_literal_recursion(spark):
+    rng = random.Random(42)
+    k, thr = 500, 2_000
+    rows, expect = [], {}
+    eid = 0
+    for uid in range(6):
+        cents = [rng.randrange(0, 1500) for _ in range(50)]
+        for i, c in enumerate(cents):
+            rows.append((eid, uid, _ts(i), "e", c / 100.0))
+            eid += 1
+        cs = _py_cusum(cents, k)
+        first = next((i for i, v in enumerate(cs) if v > thr), None)
+        expect[uid] = (max(cs), int(first is not None), first)
+    out = {
+        r["key"]: r
+        for r in cusum_flags(
+            _ev(spark, rows), "user_id", "ts", "value", k, thr
+        ).collect()
+    }
+    assert set(out) == set(expect)
+    for uid, (mx, alarm, first) in expect.items():
+        r = out[uid]
+        assert r["max_cusum"] == mx and r["alarm"] == alarm
+        if first is None:
+            assert r["first_alarm_us"] is None
+        else:
+            base = int(_ts(first).timestamp() * 1_000_000)
+            assert r["first_alarm_us"] == base
+
+
+def test_cusum_null_rows_dropped_and_threshold_validated(spark):
+    df = _ev(spark, [
+        (1, 1, _ts(0), "e", 10.0),
+        (2, 1, _ts(1), "e", None),
+        (3, None, _ts(2), "e", 10.0),
+    ])
+    out = cusum_flags(df, "user_id", "ts", "value", 0, 1).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1
+    with pytest.raises(ValueError, match="threshold_cents"):
+        cusum_flags(df, "user_id", "ts", "value", 0, 0)
+
+
+def test_cusum_single_shuffle(spark):
+    df = _ev(spark, [(1, 1, _ts(0), "e", 1.0)])
+    plan = (
+        cusum_flags(df, "user_id", "ts", "value", 100, 1000)
+        ._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    )
+    # the two stacked windows + the rollup must share ONE key shuffle:
+    # both windows partition by the key and the final groupBy is on the
+    # same key, so there is exactly one RepartitionByExpression/Exchange
+    assert plan.count("Window") == 2
+    exec_plan = (
+        cusum_flags(df, "user_id", "ts", "value", 100, 1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert exec_plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------------------------------
+# rolling_distinct
+# --------------------------------------------------------------------------
+
+def _day(d: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=3)
+
+
+def test_rolling_distinct_brute_force(spark):
+    rng = random.Random(9)
+    rows = []
+    eid = 0
+    obs = []
+    for _ in range(300):
+        g = "xy"[rng.randrange(2)]
+        uid = rng.randrange(12)
+        d = rng.randrange(15)
+        rows.append((eid, uid, _day(d), g, 0.0))
+        obs.append((g, uid, d))
+        eid += 1
+    out = {
+        (r["group"], r["bucket"]): (r["u_bucket"], r["u_window"])
+        for r in rolling_distinct(
+            _ev(spark, rows), "event_type", "ts", "user_id", 7
+        ).collect()
+    }
+    days = {(g, d) for g, _, d in obs}
+    assert len(out) == len(days)
+    for g, d in days:
+        u1 = {u for gg, u, dd in obs if gg == g and dd == d}
+        u7 = {u for gg, u, dd in obs if gg == g and d - 6 <= dd <= d}
+        bucket = int(_day(d).timestamp() * 1_000_000) // (86_400 * 1_000_000)
+        assert out[(g, bucket)] == (len(u1), len(u7))
+
+
+def test_rolling_distinct_window_one_equals_per_bucket(spark):
+    rows = [
+        (1, 1, _day(0), "a", 0.0),
+        (2, 2, _day(0), "a", 0.0),
+        (3, 1, _day(3), "a", 0.0),
+    ]
+    out = rolling_distinct(_ev(spark, rows), "event_type", "ts", "user_id", 1)
+    for r in out.collect():
+        assert r["u_bucket"] == r["u_window"]
+
+
+def test_rolling_distinct_only_observed_buckets(spark):
+    # user active day 0 only; day 1..6 have no events -> no output rows
+    rows = [(1, 1, _day(0), "a", 0.0), (2, 1, _day(10), "a", 0.0)]
+    out = rolling_distinct(
+        _ev(spark, rows), "event_type", "ts", "user_id", 7
+    ).collect()
+    assert len(out) == 2
+    assert all(r["u_bucket"] == 1 and r["u_window"] == 1 for r in out)
+
+
+def test_rolling_distinct_validates_window(spark):
+    df = _ev(spark, [(1, 1, _day(0), "a", 0.0)])
+    with pytest.raises(ValueError, match="window_buckets"):
+        rolling_distinct(df, "event_type", "ts", "user_id", 0)
