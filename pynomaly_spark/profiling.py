@@ -55,6 +55,8 @@ __all__ = [
     "robust_group_outliers",
     "column_profile",
     "kmv_distinct",
+    "cms_build",
+    "cms_estimate",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -383,4 +385,107 @@ def robust_group_outliers(
         F.round(F.col("n_outliers") / F.col("_n").cast("double"), 6).alias(
             "outlier_share"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch
+# --------------------------------------------------------------------------
+
+def _cms_bucket(key_col, row_col, width: int):
+    """Bucket of ``key`` in sketch row ``row``: md5-prefix integer mod
+    width — the engine's established cross-engine hash device (md5 is
+    bit-identical in Spark and DuckDB; 12 hex chars fit a BIGINT)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(row_col.cast("string"), F.lit(":"), key_col)),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: ``row, bucket,
+    cell_n`` with at most ``depth × width`` rows.
+
+    The CMS is the canonical MERGEABLE frequency sketch: each input row
+    increments one cell per sketch row, a point estimate is the MIN of
+    a key's ``depth`` cells, and two sketches merge by adding cells —
+    so per-partition / per-day sketches union and re-aggregate without
+    touching the raw data again.  Estimates NEVER undercount
+    (cell ≥ true count by construction); overcount is bounded by
+    collisions (E[over] ≤ N/width per row, min over depth rows).
+
+    Scale (100 TB): the ×depth explode happens map-side and the
+    aggregate combines map-side down to ≤ depth·width cells per
+    partition — the shuffle carries a few thousand rows regardless of
+    input size.  This is the profiling answer when even a per-key
+    groupBy is too expensive (trillions of distinct keys): sketch
+    first, probe the keys you care about.
+
+    Hashing is deterministic md5 (no seed state), so the sketch —
+    unlike Spark's own ``count_min_sketch`` aggregate, whose murmur
+    hashing is JVM-internal — is reproducible by ANY engine, which is
+    how the oracle twin rebuilds it bit-for-bit in SQL.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (frequency profiling for skew/salting decisions).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_build: bad shape depth={depth} width={width}")
+    if key_col not in df.columns:
+        raise ValueError(f"cms_build: unknown column {key_col}")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("row"),
+    )
+    return (
+        rows.groupBy("row", _cms_bucket(F.col("_k"), F.col("row"), width)
+                     .alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the frequency of each probe key from a
+    ``cms_build`` sketch: ``<key>, cms_n`` where ``cms_n`` is the MIN
+    over the key's ``depth`` cells.
+
+    The sketch is at most ``depth × width`` rows — broadcast by
+    construction — so probing any number of keys is a map-side
+    broadcast join plus a per-key MIN: no shuffle of the probe side
+    beyond its own aggregate.  A probe key absent from the data still
+    returns its cells' counts (≥ 0) — CMS semantics, not a join miss
+    (cells are coalesced to 0 only when the whole cell never filled).
+    """
+    shape = depth * width
+    probed = probes.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    ).withColumn("bucket", _cms_bucket(F.col("_k"), F.col("row"), width))
+    joined = probed.join(
+        F.broadcast(sketch.limit(shape)), ["row", "bucket"], "left"
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cell_n"), F.lit(0).cast("long"))).alias(
+            "cms_n"
+        )
     )

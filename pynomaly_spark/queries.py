@@ -5008,6 +5008,129 @@ GROUP BY 1, 2
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 64  # narrow width ON PURPOSE: collisions
+# must occur at test scale so the overestimate path is exercised; at
+# 100 TB you widen w, the plan shape is identical.
+
+
+def q_events_cms(spark, sf_dir):
+    """Count-min sketch frequency profile (``profiling.cms_build`` /
+    ``cms_estimate``): build a 4×64 deterministic-md5 CMS over event
+    user_ids, probe every key, and report exact vs sketch counts with
+    the overestimate.  The sketch aggregate collapses map-side to ≤256
+    cells — the shuffle is O(sketch), not O(data) — and the probe join
+    is a broadcast of the sketch.  ``cms_n >= exact_n`` always (CMS
+    never undercounts); all integers, md5 bit-identical cross-engine."""
+    from pynomaly_spark.profiling import cms_build, cms_estimate
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sketch = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    est = cms_estimate(
+        sketch, exact, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_n").cast("long").alias("cms_n"),
+            (F.col("cms_n") - F.col("exact_n")).cast("long").alias("over_n"),
+        )
+    )
+
+
+SQL_EVENTS_CMS = f"""
+WITH rows_ AS (SELECT unnest(range({_CMS_DEPTH})) AS row),
+keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
+), cells AS (
+  SELECT r.row,
+         CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || k), 1, 12)
+           AS BIGINT) % {_CMS_WIDTH} AS bucket,
+         count(*) AS cell_n
+  FROM keys, rows_ r GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(user_id AS VARCHAR) AS k,
+         CAST(count(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), probe AS (
+  SELECT e.user_id, e.exact_n, r.row,
+         CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || e.k), 1, 12)
+           AS BIGINT) % {_CMS_WIDTH} AS bucket
+  FROM exact e, rows_ r
+)
+SELECT p.user_id AS key,
+       CAST(min(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(min(coalesce(c.cell_n, 0)) AS BIGINT) AS cms_n,
+       CAST(min(coalesce(c.cell_n, 0)) - min(p.exact_n) AS BIGINT) AS over_n
+FROM probe p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY 1
+"""
+
+
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 flavor: per (brand, type, size), how many DISTINCT
+    suppliers ship the part — excluding flagged suppliers (name ends in
+    '0', the complaints stand-in) and promo parts.  The association
+    list is the distinct (partkey, suppkey) projection of lineitem
+    (map-side-combined before its one shuffle); the supplier exclusion
+    is a broadcast ANTI join and the part attributes a broadcast inner
+    join — the fact table is never shuffled with its payload.  The
+    part filter (type, size IN list) is pushed to the dimension scan."""
+    assoc = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        _tbl(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%0"))
+        .select("s_suppkey")
+    )
+    p = (
+        _tbl(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        assoc.join(
+            F.broadcast(excl),
+            assoc["l_suppkey"] == excl["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_PART_SUPPLIER_VARIETY = f"""
+SELECT p.p_brand AS brand, p.p_type AS type,
+       CAST(p.p_size AS BIGINT) AS size,
+       CAST(count(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+JOIN part p ON p.p_partkey = a.l_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN {_Q16_SIZES}
+  AND a.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5106,6 +5229,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": q_events_transitions,
     "events_cusum": q_events_cusum,
     "events_rolling_distinct": q_events_rolling_distinct,
+    "events_cms": q_events_cms,
+    "part_supplier_variety": q_part_supplier_variety,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5209,4 +5334,6 @@ ORACLES: Dict[str, str] = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_cusum": SQL_EVENTS_CUSUM,
     "events_rolling_distinct": SQL_EVENTS_ROLLING_DISTINCT,
+    "events_cms": SQL_EVENTS_CMS,
+    "part_supplier_variety": SQL_PART_SUPPLIER_VARIETY,
 }
