@@ -1,0 +1,128 @@
+"""Iterative graph analytics: fixed-point integer PageRank.
+
+PageRank over a directed edge list — the importance/authority score a
+data pipeline computes over derived relation graphs (entity-resolution
+co-occurrence, supplier/part bipartite structure, citation links).  The
+engine's second iterative graph operator after
+``dedup.dup_clusters`` (connected components).
+
+**Fixed-point, not float.**  The textbook recursion
+
+    pr(v) = (1-d)/n + d * Σ_{u→v} pr(u)/outdeg(u)
+
+is float arithmetic whose partial-sum ORDER is engine- and
+partitioning-dependent — un-hashable across engines and even across
+reruns at different parallelism.  This implementation defines the
+operator in scaled integers: scores carry ``2^scale_bits`` fixed-point
+precision, every division is integer floor division (``div`` in Spark,
+``//`` in DuckDB — identical on non-negatives), and the damping factor
+is an exact rational ``d_num/d_den``.  Integer sums are
+order-independent, so the result is BIT-IDENTICAL on any engine, any
+partitioning, any core count — the same discipline as the engine's
+cents convention for money.  Floor-division truncation leaks ≤1 unit
+per edge per round into nowhere; with ``scale_bits=30`` that is a
+relative error ≤ |E|·2^-30 per round — profiling noise, while
+determinism is what the validation gate needs.
+
+Dangling nodes (outdeg 0) leak their mass (the standard simplification;
+redistribute upstream by adding explicit sink edges if required).
+
+Scale (100 TB): per round, ONE shuffle joining the edge list to the
+score frame on ``src`` (scores are |V| rows — broadcast when the node
+set is small, shuffle-join keyed by src otherwise; Spark's AQE picks
+the side) and ONE aggregate keyed by ``dst`` with map-side partial
+sums.  Each round eagerly ``localCheckpoint``s the new score frame —
+the repo's iterative-algorithm invariant (an un-cut lineage doubles the
+logical plan per round and re-runs the whole upstream pipeline every
+iteration; see dedup.dup_clusters and CLAUDE.md).  ``n`` enters the
+plan as a 1-row aggregate frame cross-joined (broadcast) — no
+driver-side collect.
+
+Reference parity: no counterpart in /root/reference/PyNomaly — engine
+addition for the pipeline brief (graph analytics family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixed_point"]
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    scale_bits: int = 30,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Run ``n_iter`` synchronous PageRank rounds in scaled-integer
+    arithmetic; returns ``node, pr`` with ``pr ≈ rank · 2^scale_bits``.
+
+    Initial score is ``2^scale_bits div n`` for every node; each round
+    computes ``pr'(v) = (d_den-d_num)·2^scale_bits div (d_den·n)
+    + d_num · Σ (pr(u) div outdeg(u)) div d_den`` — all BIGINT.
+
+    Null src/dst edges are dropped (an edge to nowhere is data noise,
+    and NULL would silently merge as a join key).  Duplicate edges are
+    NOT collapsed — a repeated edge is a heavier link by definition
+    here; pre-``distinct()`` the input for simple-graph semantics.
+    """
+    if n_iter < 1:
+        raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"pagerank: bad damping {d_num}/{d_den}")
+    scale = 1 << scale_bits
+    e = (
+        edges.where(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{scale}L div n").alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), F.expr("pr div deg").alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"({d_den - d_num}L * {scale}L) div ({d_den}L * n)"
+                    )
+                    + F.expr(
+                        f"({d_num}L * coalesce(s, 0L)) div {d_den}L"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

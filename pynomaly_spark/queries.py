@@ -5131,6 +5131,90 @@ GROUP BY 1, 2, 3
 """
 
 
+_PR_ITER, _PR_BITS = 3, 30
+_PR_DNUM, _PR_DDEN = 85, 100
+
+
+def _supply_edges(spark, sf_dir):
+    """Bipartite supply graph: both directions of the distinct
+    (part, supplier) association, ids namespaced ('p:'/'s:') so the two
+    key spaces cannot collide."""
+    assoc = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    return assoc.select(p.alias("src"), s.alias("dst")).union(
+        assoc.select(s.alias("src"), p.alias("dst"))
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (``graph.pagerank_fixed_point``)
+    over the bipartite part↔supplier supply graph — the engine's second
+    iterative graph operator (after connected components): 3
+    synchronous rounds, scores scaled 2^30, every division integer
+    floor — BIT-identical on any engine/partitioning, so the twin is
+    the same recursion unrolled into generated SQL.  Per round: one
+    src-keyed join shuffle + one dst-keyed aggregate, score frame
+    eagerly checkpointed (the iterative-lineage invariant)."""
+    from pynomaly_spark.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(
+        _supply_edges(spark, sf_dir),
+        n_iter=_PR_ITER,
+        scale_bits=_PR_BITS,
+        d_num=_PR_DNUM,
+        d_den=_PR_DDEN,
+    )
+
+
+def _pagerank_sql(
+    n_iter: int = _PR_ITER,
+    scale_bits: int = _PR_BITS,
+    d_num: int = _PR_DNUM,
+    d_den: int = _PR_DDEN,
+) -> str:
+    """Generated unrolled-iteration twin: one CTE pair (contribution
+    aggregate + new scores) per round, BIGINT casts on every sum so
+    DuckDB's HUGEINT widening never reaches the hash boundary."""
+    scale = 1 << scale_bits
+    base = f"({d_den - d_num} * {scale}::BIGINT) // ({d_den} * nn.n)"
+    parts = [f"""
+WITH assoc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT 'p:' || CAST(p AS VARCHAR) AS src, 's:' || CAST(s AS VARCHAR) AS dst
+  FROM assoc
+  UNION ALL
+  SELECT 's:' || CAST(s AS VARCHAR), 'p:' || CAST(p AS VARCHAR) FROM assoc
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (SELECT node, {scale}::BIGINT // nn.n AS pr FROM nodes CROSS JOIN nn)"""]
+    for i in range(n_iter):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, CAST(sum(p.pr // od.deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN pr{i} p ON e.src = p.node
+  JOIN od ON od.node = e.src
+  GROUP BY 1
+), pr{i + 1} AS (
+  SELECT n.node,
+         {base} + ({d_num} * coalesce(c.s, 0)) // {d_den} AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node CROSS JOIN nn
+)""")
+    parts.append(
+        f"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM pr{n_iter}"
+    )
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5231,6 +5315,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_distinct": q_events_rolling_distinct,
     "events_cms": q_events_cms,
     "part_supplier_variety": q_part_supplier_variety,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5336,4 +5421,5 @@ ORACLES: Dict[str, str] = {
     "events_rolling_distinct": SQL_EVENTS_ROLLING_DISTINCT,
     "events_cms": SQL_EVENTS_CMS,
     "part_supplier_variety": SQL_PART_SUPPLIER_VARIETY,
+    "graph_pagerank": _pagerank_sql(),
 }
