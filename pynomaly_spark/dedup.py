@@ -21,7 +21,7 @@ blowup on near-identical boilerplate clusters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -41,6 +41,7 @@ __all__ = [
     "phash_near_dups",
     "bitstring_near_dups",
     "fuzzy_blocked_pairs",
+    "prefix_jaccard_join",
 ]
 
 
@@ -1052,5 +1053,138 @@ def fuzzy_blocked_pairs(
             "n_rows_a",
             "n_rows_b",
             "dist",
+        )
+    )
+
+
+def prefix_jaccard_join(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    t_num: int = 1,
+    t_den: int = 2,
+    max_prefix_bucket: int = 100_000,
+) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08) — the deterministic complement to MinHash LSH: every pair
+    with token-set Jaccard >= ``t_num/t_den`` is returned, no false
+    negatives, no probability knob.
+
+    Input is the DISTINCT ``(id, token)`` relation (tokenize upstream;
+    duplicates are collapsed defensively).  Returns ``id_a, id_b,
+    n_inter, n_union, jacc6`` with ``id_a < id_b``.
+
+    How it scales where naive all-pairs melts: order the vocabulary
+    GLOBALLY by (frequency asc, token asc) — rarest first; a set with
+    ``k`` tokens keeps only its first ``k - ceil(t*k) + 1`` tokens as
+    its PREFIX (ceil computed in exact integers).  Two sets meeting the
+    threshold MUST share a prefix token under the shared global order
+    (the first common token lies inside both prefixes: the tokens
+    before it are all non-shared, and a qualifying pair has at most
+    ``k - ceil(t*k)`` non-shared tokens on each side).  So candidate
+    pairs come from bucketing on PREFIX tokens only — by construction
+    the RAREST tokens of each set, which is what bounds bucket sizes
+    on Zipfian text where bucketing on any token would put half the
+    corpus in the 'the' bucket.  Candidates are then verified with the
+    exact integer cross-multiplication ``I * t_den >= t_num * U`` —
+    no float ever decides membership, so the pair set is bit-identical
+    cross-engine and the oracle twin can be a brute-force all-pairs
+    join at test scale.
+
+    Shuffle inventory (100 TB): one token-keyed aggregate (vocab
+    frequencies, map-side combined), one token-keyed attach join (AQE
+    splits the hot-token partitions — it IS a join, unlike the grouped
+    LoOP stage in skew.py), one per-set window on (id) to cut the
+    prefix, one prefix-token-keyed self-join (bounded buckets), one
+    pair-keyed count for the intersection.  Nothing is quadratic in the
+    corpus; the quadratic term is per-prefix-bucket and guarded by
+    ``max_prefix_bucket`` (refuse rather than melt, as in
+    fuzzy_blocked_pairs).
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"prefix_jaccard_join: bad threshold {t_num}/{t_den}")
+    toks = (
+        tokens.where(
+            F.col(id_col).isNotNull()
+            & F.col(token_col).isNotNull()
+            & (F.col(token_col) != "")
+        )
+        .select(F.col(id_col).alias("_id"), F.col(token_col).alias("_tok"))
+        .distinct()
+        .localCheckpoint()  # one heavy distinct, read by 3 consumers
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    # prefix cut: rank tokens inside each set by the GLOBAL
+    # (frequency, token) order; keep rank <= sz - ceil(t*sz) + 1
+    w = Window.partitionBy("_id").orderBy("_tf", "_tok")
+    prefix = (
+        toks.join(freq, "_tok")
+        .join(sizes, "_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            F.col("_rn")
+            <= F.col("_sz")
+            - F.expr(f"(({t_num}L * _sz) + {t_den - 1}L) div {t_den}L")
+            + F.lit(1)
+        )
+        .select("_id", "_tok", "_sz")
+    )
+    # hot-prefix-bucket guard (control-plane, bounded)
+    hot = (
+        prefix.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .where(F.col("_nb") > max_prefix_bucket)
+    )
+    if hot.limit(1).count() > 0:
+        worst = hot.agg(F.max("_nb")).first()[0]
+        raise ValueError(
+            f"prefix_jaccard_join: a prefix bucket holds {worst} sets "
+            f"(> max_prefix_bucket={max_prefix_bucket}); raise the "
+            f"threshold or pre-shard the corpus"
+        )
+    a = prefix.select(
+        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")
+    )
+    b = prefix.select(
+        F.col("_tok"), F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")
+    )
+    cand = (
+        a.join(b, "_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sza", "_szb")
+        .distinct()
+    )
+    # both verify sides descend from `toks`: rename EVERY right-side
+    # column — a shared name across self-join lineage is ambiguous to
+    # the analyzer (the robust_group_outliers `_g` lesson, CLAUDE.md)
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_toka"))
+    tb = toks.select(F.col("_id").alias("_idb"), F.col("_tok").alias("_tokb"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("_idb"))
+            & (F.col("_toka") == F.col("_tokb")),
+        )
+        .groupBy("id_a", "id_b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "n_union", F.col("_sza") + F.col("_szb") - F.col("n_inter")
+        )
+        .where(
+            F.col("n_inter") * F.lit(t_den) >= F.lit(t_num) * F.col("n_union")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("jacc6"),
         )
     )

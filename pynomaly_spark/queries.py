@@ -5215,6 +5215,63 @@ c{i} AS (
     return "".join(parts)
 
 
+_SSJ_TNUM, _SSJ_TDEN = 19, 20
+
+
+def q_doc_ssjoin(spark, sf_dir):
+    """EXACT-threshold set-similarity self-join
+    (``dedup.prefix_jaccard_join``): all document pairs with token-set
+    Jaccard >= 19/20 via prefix filtering (AllPairs/PPJoin family) —
+    the lossless complement to MinHash LSH: candidates come only from
+    each set's RAREST tokens under a global (frequency, token) order,
+    verification is integer cross-multiplication, and the twin is an
+    independent brute-force all-pairs join — proving the filter's
+    completeness on data, not just by theorem."""
+    from pynomaly_spark.dedup import prefix_jaccard_join
+    from pynomaly_spark.textops import _TOKEN_SPLIT
+
+    doc = _tbl(spark, sf_dir, "documents")
+    toks = (
+        doc.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), _TOKEN_SPLIT)
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    return prefix_jaccard_join(
+        toks, "doc_id", "tok", t_num=_SSJ_TNUM, t_den=_SSJ_TDEN
+    )
+
+
+def _ssjoin_sql() -> str:
+    from pynomaly_spark.textops import _TOKEN_SPLIT
+
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS tok
+    FROM documents WHERE text IS NOT NULL) t
+  WHERE tok <> ''
+), sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS n_inter,
+       CAST(sa.s + sb.s - i AS BIGINT) AS n_union,
+       round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jacc6
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * {_SSJ_TDEN} >= {_SSJ_TNUM} * (sa.s + sb.s - i)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5316,6 +5373,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cms": q_events_cms,
     "part_supplier_variety": q_part_supplier_variety,
     "graph_pagerank": q_graph_pagerank,
+    "doc_ssjoin": q_doc_ssjoin,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5422,4 +5480,5 @@ ORACLES: Dict[str, str] = {
     "events_cms": SQL_EVENTS_CMS,
     "part_supplier_variety": SQL_PART_SUPPLIER_VARIETY,
     "graph_pagerank": _pagerank_sql(),
+    "doc_ssjoin": _ssjoin_sql(),
 }

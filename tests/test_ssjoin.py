@@ -1,0 +1,120 @@
+"""dedup.prefix_jaccard_join (exact-threshold set-similarity join).
+
+Cross-engine parity lives in the oracle gate (doc_ssjoin, where the
+twin is an independent brute-force all-pairs join); these tests pin the
+completeness guarantee on randomized sets, the >= boundary, the t=1
+exact-duplicate degenerate case, duplicate-token collapsing, and the
+hot-bucket guard.
+"""
+
+import math
+import random
+
+import pytest
+
+from pynomaly_spark.dedup import prefix_jaccard_join
+
+
+def _toks_df(spark, sets):
+    rows = [(i, t) for i, toks in sets.items() for t in toks]
+    return spark.createDataFrame(rows, "doc_id long, tok string")
+
+
+def _brute(sets, t_num, t_den):
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * t_den >= t_num * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_ssjoin_complete_vs_brute_force(spark):
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    sets = {}
+    # clustered sets: perturbations of a few templates -> real near-dups
+    for c in range(6):
+        tmpl = set(rng.sample(vocab, 20))
+        for j in range(5):
+            s = set(tmpl)
+            for _ in range(rng.randrange(4)):
+                s.discard(rng.choice(sorted(s)))
+                s.add(rng.choice(vocab))
+            sets[c * 10 + j] = s
+    for t_num, t_den in [(1, 2), (7, 10), (19, 20)]:
+        expect = _brute(sets, t_num, t_den)
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+            for r in prefix_jaccard_join(
+                _toks_df(spark, sets), t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        assert got == expect, f"threshold {t_num}/{t_den}"
+
+
+def test_ssjoin_boundary_is_inclusive(spark):
+    # J = 3/4 exactly: {a,b,c} vs {a,b,c,d}
+    sets = {1: {"a", "b", "c"}, 2: {"a", "b", "c", "d"}}
+    got = prefix_jaccard_join(
+        _toks_df(spark, sets), t_num=3, t_den=4
+    ).collect()
+    assert len(got) == 1 and got[0]["jacc6"] == 0.75
+    # one notch above: excluded
+    got = prefix_jaccard_join(
+        _toks_df(spark, sets), t_num=76, t_den=100
+    ).collect()
+    assert got == []
+
+
+def test_ssjoin_t1_finds_only_identical_sets(spark):
+    sets = {1: {"x", "y"}, 2: {"x", "y"}, 3: {"x", "y", "z"}}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_join(
+            _toks_df(spark, sets), t_num=1, t_den=1
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_ssjoin_duplicate_tokens_collapse(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, tok string")
+    got = prefix_jaccard_join(df, t_num=1, t_den=1).collect()
+    assert len(got) == 1
+    assert got[0]["n_inter"] == 2 and got[0]["n_union"] == 2
+
+
+def test_ssjoin_hot_bucket_guard_and_validation(spark):
+    sets = {i: {"common", f"u{i}"} for i in range(30)}
+    with pytest.raises(ValueError, match="prefix bucket"):
+        prefix_jaccard_join(
+            _toks_df(spark, sets), t_num=1, t_den=2, max_prefix_bucket=10
+        ).collect()
+    with pytest.raises(ValueError, match="bad threshold"):
+        prefix_jaccard_join(_toks_df(spark, sets), t_num=3, t_den=2)
+
+
+def test_ssjoin_prefix_is_rarest_tokens(spark):
+    # at t=1/2 and |T|=4 the prefix keeps ceil? 4 - ceil(2) + 1 = 3 of 4
+    # tokens; two sets overlapping ONLY in their single most common
+    # token are still candidates (it is in the prefix of neither only
+    # when prefixes are shorter) — here we assert the pair IS found
+    # when it qualifies, via a set pair sharing rare tokens
+    sets = {
+        1: {"rare1", "rare2", "common"},
+        2: {"rare1", "rare2", "common", "other"},
+        # pad the 'common' bucket so it is the most frequent token
+        3: {"common", "z1"}, 4: {"common", "z2"},
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_join(
+            _toks_df(spark, sets), t_num=3, t_den=4
+        ).collect()
+    }
+    assert (1, 2) in got
