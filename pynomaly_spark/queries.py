@@ -5272,6 +5272,47 @@ WHERE i * {_SSJ_TDEN} >= {_SSJ_TNUM} * (sa.s + sb.s - i)
 """
 
 
+_PMI_MIN_N = 5
+
+
+def q_doc_collocations(spark, sf_dir):
+    """Bigram collocation mining by PMI (``textops.collocation_pmi``):
+    the word2phrase-style phrase-discovery pass.  One map-side bigram
+    explosion, ONE corpus shuffle (pair counts); marginals and the
+    total come from the collapsed pair frame.  All PMI inputs are
+    exact BIGINTs; the single ln+division rounds to 6 dp on both
+    engines."""
+    from pynomaly_spark.textops import collocation_pmi
+
+    return collocation_pmi(
+        _tbl(spark, sf_dir, "documents"), "text", min_pair_n=_PMI_MIN_N
+    )
+
+
+SQL_DOC_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS l
+  FROM documents WHERE text IS NOT NULL
+), big AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+  WHERE l[i] <> '' AND l[i + 1] <> ''
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM big GROUP BY 1, 2
+), marg AS (
+  SELECT w1, w2, n_pair,
+         CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_left,
+         CAST(sum(n_pair) OVER (PARTITION BY w2) AS BIGINT) AS n_right
+  FROM counts
+), tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM counts)
+SELECT w1, w2, n_pair, n_left, n_right,
+       round(ln(CAST(n_pair * n_total AS DOUBLE)
+                / CAST(n_left * n_right AS DOUBLE)), 6) AS pmi6
+FROM marg CROSS JOIN tot
+WHERE n_pair >= {_PMI_MIN_N}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5374,6 +5415,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_supplier_variety": q_part_supplier_variety,
     "graph_pagerank": q_graph_pagerank,
     "doc_ssjoin": q_doc_ssjoin,
+    "doc_collocations": q_doc_collocations,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5481,4 +5523,5 @@ ORACLES: Dict[str, str] = {
     "part_supplier_variety": SQL_PART_SUPPLIER_VARIETY,
     "graph_pagerank": _pagerank_sql(),
     "doc_ssjoin": _ssjoin_sql(),
+    "doc_collocations": SQL_DOC_COLLOCATIONS,
 }

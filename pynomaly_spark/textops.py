@@ -4,7 +4,7 @@ document fingerprinting.  Pure Catalyst expressions (no Python per row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "pii_scrub",
     "repetition_stats",
     "token_entropy",
+    "collocation_pmi",
 ]
 
 # Tokenizer charset shared by the Spark expression AND the generated
@@ -408,4 +409,85 @@ def token_entropy(
             / n.cast("double"),
             6,
         ).alias("entropy_bits"),
+    )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_n: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information — the
+    phrase-discovery pass (Mikolov-style word2phrase, Gensim Phrases)
+    a corpus pipeline runs before tokenizer training or phrase-aware
+    indexing.
+
+    For adjacent token pairs (w1, w2): ``n_pair`` (bigram count),
+    ``n_left`` / ``n_right`` (marginal counts of w1 as a left /
+    w2 as a right bigram member), and
+    ``pmi6 = round(ln(n_pair·N / (n_left·n_right)), 6)`` where N is
+    the corpus bigram total — PMI over bigram-marginal probabilities,
+    so every input to the single ``ln`` is an exact BIGINT and the
+    ratio is ONE IEEE division sequence identical cross-engine.
+
+    Tokenization: lowercase whitespace split; bigrams are formed over
+    the RAW split array and pairs touching an empty token are dropped
+    AFTER pairing — order of operations matters for adjacency and must
+    match the oracle exactly.  Pairs rarer than ``min_pair_n`` are
+    dropped at the END (marginals still count them) — PMI on
+    singletons is noise by construction.
+
+    Scale (100 TB): bigram explosion is map-side (one projection);
+    the only full-corpus shuffle is the (w1, w2) count with map-side
+    combine.  Marginals and the total are computed FROM the collapsed
+    pair frame (vocab², orders of magnitude smaller) — two window
+    passes and one 1-row broadcast, never a second corpus scan.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (text-analysis family of the pipeline brief).
+    """
+    if min_pair_n < 1:
+        raise ValueError(f"collocation_pmi: min_pair_n must be >= 1")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    pairs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(toks.alias("_l"))
+        .where(F.size("_l") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_l", i).alias("w1"),
+                        F.element_at("_l", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    wl = Window.partitionBy("w1")
+    wr = Window.partitionBy("w2")
+    tot = counts.agg(F.sum("n_pair").alias("_n_total"))
+    return (
+        counts.withColumn("n_left", F.sum("n_pair").over(wl))
+        .withColumn("n_right", F.sum("n_pair").over(wr))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_pair") >= min_pair_n)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("_n_total")).cast("double")
+                    / (F.col("n_left") * F.col("n_right")).cast("double")
+                ),
+                6,
+            ).alias("pmi6"),
+        )
     )
