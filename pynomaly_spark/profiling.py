@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -57,6 +57,7 @@ __all__ = [
     "kmv_distinct",
     "cms_build",
     "cms_estimate",
+    "benford_profile",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -488,4 +489,75 @@ def cms_estimate(
         F.min(F.coalesce(F.col("cell_n"), F.lit(0).cast("long"))).alias(
             "cms_n"
         )
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit (Benford's law) profile per group — the
+    classic fabricated-/degenerate-data screen for financial and
+    metric columns: naturally occurring multiplicative quantities put
+    ~30.1% of first digits at 1, while synthetic or constant-injected
+    data shows up as a flat or spiked digit histogram.
+
+    Per ``(group, digit)``: ``n`` (count), ``share6`` (observed digit
+    share), ``benford6`` (the Benford expectation ``log10(1 + 1/d)``),
+    and ``dev6 = round(share6 - benford6, 6)``.  Values are fixed to
+    exact integer cents first; the first digit is the leading
+    character of the BIGINT's decimal rendering — pure integer/string
+    ops, identical cross-engine (no float log extracts the digit).
+    Non-positive and NULL values are dropped (Benford is defined on
+    positive magnitudes).
+
+    Scale (100 TB): one keyed aggregate with map-side combine down to
+    ≤9 rows per group; the per-group total is a window over that
+    collapsed frame.  Nothing else touches the base data.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (validation-suite profiling family).
+    """
+    missing = [c for c in (*group_cols, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"benford_profile: unknown columns {missing}")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_c", cents)
+        .where(F.col("_c") > 0)
+        .withColumn(
+            "digit",
+            F.substring(F.col("_c").cast("string"), 1, 1).cast("long"),
+        )
+    )
+    counts = base.groupBy(*group_cols, "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols)
+    return counts.select(
+        *group_cols,
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share6"),
+        F.round(
+            F.log10((F.col("digit") + 1).cast("double") / F.col("digit")),
+            6,
+        ).alias("benford6"),
+        F.round(
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w).cast("double"),
+                6,
+            )
+            - F.round(
+                F.log10(
+                    (F.col("digit") + 1).cast("double") / F.col("digit")
+                ),
+                6,
+            ),
+            6,
+        ).alias("dev6"),
     )

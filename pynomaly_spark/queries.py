@@ -5313,6 +5313,43 @@ WHERE n_pair >= {_PMI_MIN_N}
 """
 
 
+def q_events_benford(spark, sf_dir):
+    """First-significant-digit Benford profile per event type
+    (``profiling.benford_profile``): the fabricated-data screen for
+    metric columns.  Digit extraction is the leading character of the
+    exact-cents BIGINT — no float log touches the digit; the only
+    floats are the two 6-dp-rounded shares."""
+    from pynomaly_spark.profiling import benford_profile
+
+    return benford_profile(
+        _tbl(spark, sf_dir, "events"), ["event_type"], "value"
+    )
+
+
+SQL_EVENTS_BENFORD = """
+WITH base AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM events
+  WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) > 0
+), counts AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+         AS share6,
+       round(log10(CAST(digit + 1 AS DOUBLE) / digit), 6) AS benford6,
+       round(round(CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+             - round(log10(CAST(digit + 1 AS DOUBLE) / digit), 6), 6)
+         AS dev6
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5416,6 +5453,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "doc_ssjoin": q_doc_ssjoin,
     "doc_collocations": q_doc_collocations,
+    "events_benford": q_events_benford,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5524,4 +5562,5 @@ ORACLES: Dict[str, str] = {
     "graph_pagerank": _pagerank_sql(),
     "doc_ssjoin": _ssjoin_sql(),
     "doc_collocations": SQL_DOC_COLLOCATIONS,
+    "events_benford": SQL_EVENTS_BENFORD,
 }

@@ -54,6 +54,7 @@ __all__ = [
     "streaming_sessions",
     "streaming_interval_join",
     "streaming_latest_state",
+    "streaming_cms",
 ]
 
 
@@ -603,4 +604,47 @@ def streaming_latest_state(
         F.col("_cur._last_us").alias("last_us"),
         "first_us",
         "n_updates",
+    )
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Continuously-maintained count-min sketch of a stream key's
+    frequencies — the streaming analog of
+    :func:`pynomaly_spark.profiling.cms_build` (identical output
+    columns; the batch operator over the landed history is the parity
+    oracle).
+
+    The CMS is a pure additive aggregate, which is exactly what makes
+    it streamable: each micro-batch's increments merge into the state
+    by cell addition, the state is bounded at ``depth × width`` rows
+    REGARDLESS of stream length or key cardinality, and no watermark is
+    needed — a frequency sketch is a total-history aggregate by
+    definition (there is no "too late" increment).  Run in
+    update/complete mode; serve estimates by broadcast-joining probe
+    keys against the latest sink snapshot (``profiling.cms_estimate``).
+
+    This is the profiling answer for unbounded streams where even a
+    per-key streaming count would hold state per DISTINCT key: the
+    sketch holds ≤ depth·width cells, full stop.
+    """
+    from .profiling import _cms_bucket
+
+    if depth < 1 or width < 2:
+        raise ValueError(
+            f"streaming_cms: bad shape depth={depth} width={width}"
+        )
+    rows = stream_df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    )
+    return (
+        rows.groupBy(
+            "row", _cms_bucket(F.col("_k"), F.col("row"), width).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cell_n"))
     )

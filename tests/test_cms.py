@@ -105,3 +105,35 @@ def test_cms_shuffle_carries_cells_not_rows(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+# --------------------------------------------------------------------------
+# benford_profile
+# --------------------------------------------------------------------------
+
+def test_benford_digit_extraction_and_shares(spark):
+    import math
+
+    from pynomaly_spark.profiling import benford_profile
+
+    rows = [
+        ("g", 1.23),    # 123 cents -> digit 1
+        ("g", 0.19),    # 19 -> 1
+        ("g", 95.0),    # 9500 -> 9
+        ("g", -5.0),    # dropped: negative
+        ("g", 0.0),     # dropped: zero cents
+        ("g", None),    # dropped
+        ("h", 2.22),    # 222 -> 2
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {
+        (r["event_type"], r["digit"]): r
+        for r in benford_profile(df, ["event_type"], "value").collect()
+    }
+    assert set(out) == {("g", 1), ("g", 9), ("h", 2)}
+    g1 = out[("g", 1)]
+    assert g1["n"] == 2 and g1["share6"] == round(2 / 3, 6)
+    assert g1["benford6"] == round(math.log10(2), 6)
+    assert g1["dev6"] == round(g1["share6"] - g1["benford6"], 6)
+    with pytest.raises(ValueError, match="unknown columns"):
+        benford_profile(df, ["nope"], "value")

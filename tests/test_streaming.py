@@ -625,3 +625,43 @@ def test_streaming_latest_state_matches_batch(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Streaming count-min sketch: the complete-mode cell table over
+    the replayed event stream must equal profiling.cms_build over the
+    landed history, cell for cell — the additive-merge law under real
+    micro-batching."""
+    from pynomaly_spark.profiling import cms_build
+    from pynomaly_spark.streaming import streaming_cms
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "cms_in")
+    ev.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_cms(stream, "user_id", depth=4, width=32)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_cells")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM cms_cells").collect())
+    )
+    want = sorted(
+        map(tuple, cms_build(ev, "user_id", depth=4, width=32).collect())
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_streaming_cms_validates(spark, tmp_path):
+    from pynomaly_spark.streaming import streaming_cms
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="bad shape"):
+        streaming_cms(ev, "user_id", depth=0)
