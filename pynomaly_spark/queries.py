@@ -5350,6 +5350,131 @@ FROM counts
 """
 
 
+_WS_K = 50
+
+
+def q_doc_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement
+    (``sampling.weighted_sample``, Efraimidis–Spirakis exponential
+    keys): top-50 documents by ``u^(1/n_chars)`` priority — longer
+    docs proportionally likelier, reproducible from md5, selected via
+    the salted two-phase top-k (no global-window funnel).  The one
+    float (``pow``) is rounded to 6 dp with an id tiebreak — the ANN
+    rank_round device."""
+    from pynomaly_spark.sampling import weighted_sample
+
+    return weighted_sample(
+        _tbl(spark, sf_dir, "documents"), "doc_id", "n_chars", _WS_K
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+         round(pow(
+           (CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                1, 12) AS BIGINT) + 1)
+             / {float(1 << 48)},
+           1.0 / n_chars), 6) AS prio6
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT id, weight, prio6,
+         CAST(row_number() OVER (ORDER BY prio6 DESC, id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {_WS_K}
+"""
+
+
+_RFM_K = 5
+
+
+def q_orders_rfm(spark, sf_dir):
+    """Customer RFM scoring: recency (days before the table's max
+    order date), frequency (order count), monetary (exact total
+    cents), each discretized into exact equal-frequency quintiles via
+    ``features.quantile_bins`` (the two-level rank — no global-window
+    single reducer, deliberately not ntile whose remainder placement
+    is engine-specific).  One orders scan + three bin passes over the
+    collapsed per-customer frame."""
+    from pynomaly_spark.features import quantile_bins
+
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    )
+    ref = o.agg(
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("_ref")
+    )
+    per_cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(
+                F.expr(
+                    "(_ref - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+                    " div 86400000000"
+                )
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    per_cust = per_cust.localCheckpoint()  # 3 bin passes + final join
+    bins = {}
+    for metric, width in (
+        ("recency_days", 4.0),
+        ("frequency", 2.0),
+        ("monetary_cents", 200_000.0),
+    ):
+        bins[metric] = quantile_bins(
+            per_cust, metric, "custkey", k=_RFM_K, coarse_width=width
+        ).select(
+            F.col("id").alias("custkey"),
+            F.col("bin").alias(f"{metric[0]}_bin"),
+        )
+    return (
+        per_cust.join(bins["recency_days"], "custkey")
+        .join(bins["frequency"], "custkey")
+        .join(bins["monetary_cents"], "custkey")
+        .select(
+            "custkey",
+            F.col("recency_days").cast("long").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            F.col("monetary_cents").cast("long").alias("monetary_cents"),
+            F.col("r_bin").cast("long").alias("r_bin"),
+            F.col("f_bin").cast("long").alias("f_bin"),
+            F.col("m_bin").cast("long").alias("m_bin"),
+        )
+    )
+
+
+SQL_ORDERS_RFM = f"""
+WITH ref AS (SELECT max(epoch_us(o_orderdate)) AS r FROM orders),
+per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(min((ref.r - epoch_us(o_orderdate)) // 86400000000) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders, ref WHERE o_custkey IS NOT NULL GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust)
+SELECT p.custkey, p.recency_days, p.frequency, p.monetary_cents,
+       CAST(((row_number() OVER (ORDER BY recency_days, custkey) - 1)
+             * {_RFM_K}) // n.n AS BIGINT) AS r_bin,
+       CAST(((row_number() OVER (ORDER BY frequency, custkey) - 1)
+             * {_RFM_K}) // n.n AS BIGINT) AS f_bin,
+       CAST(((row_number() OVER (ORDER BY monetary_cents, custkey) - 1)
+             * {_RFM_K}) // n.n AS BIGINT) AS m_bin
+FROM per_cust p CROSS JOIN n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5454,6 +5579,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ssjoin": q_doc_ssjoin,
     "doc_collocations": q_doc_collocations,
     "events_benford": q_events_benford,
+    "doc_weighted_sample": q_doc_weighted_sample,
+    "orders_rfm": q_orders_rfm,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5563,4 +5690,6 @@ ORACLES: Dict[str, str] = {
     "doc_ssjoin": _ssjoin_sql(),
     "doc_collocations": SQL_DOC_COLLOCATIONS,
     "events_benford": SQL_EVENTS_BENFORD,
+    "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
+    "orders_rfm": SQL_ORDERS_RFM,
 }

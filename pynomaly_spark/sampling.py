@@ -50,6 +50,7 @@ __all__ = [
     "split_thresholds",
     "split_assign",
     "shuffle_order",
+    "weighted_sample",
 ]
 
 _HASH_SPACE = float(1 << 32)
@@ -393,3 +394,79 @@ def shuffle_order(
             .alias("shard")
         )
     return out.select(*cols)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+    prio_round: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis–Spirakis A-ES): each row draws the deterministic
+    uniform ``u = (h + 1) / 2^48`` from an md5 48-bit prefix of
+    ``salt:id`` and gets priority ``u^(1/w)``; the k LARGEST
+    priorities are the sample — distributed, single-pass, reproducible,
+    and correct without replacement (the classic reservoir trick, but
+    order-free so it parallelizes as a plain top-k).
+
+    Returns ``id, weight, prio6, rank`` (rank 1..k).  The priority is
+    ONE ``pow`` call on exact rational inputs; selection orders by
+    ``(round(prio, prio_round) DESC, id ASC)`` — the engine's
+    established float-boundary device (ANN rank_round): the round makes
+    the one float comparable cross-engine and the id tiebreak makes the
+    k-boundary a total order.  The salt is a fresh hash family,
+    independent of ``sample_key``'s — reusing one family across
+    sampling stages correlates the stages (the doc_split lesson).
+
+    Rows with NULL id/weight or weight <= 0 are dropped (zero-weight
+    rows have priority 0 by definition and can never be sampled;
+    negative weights are undefined).
+
+    Scale (100 TB): priorities are map-side expressions; selection is
+    ``two_phase_topk`` — salted phase 1 bounds every reducer, no
+    global-window single-reducer funnel.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    missing = [c for c in (id_col, weight_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"weighted_sample: unknown columns {missing}")
+    from .similarity import two_phase_topk
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    scored = (
+        df.where(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(
+                F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")),
+                prio_round,
+            ).alias("prio6"),
+        )
+    )
+    return two_phase_topk(
+        scored,
+        [],
+        [F.col("prio6").desc(), F.col("id").asc()],
+        k,
+        rank_col="rank",
+    )
