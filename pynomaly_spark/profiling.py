@@ -58,6 +58,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "benford_profile",
+    "cms_join_cardinality",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -560,4 +561,73 @@ def benford_profile(
             ),
             6,
         ).alias("dev6"),
+    )
+
+
+def cms_join_cardinality(
+    sketch_l: DataFrame,
+    sketch_r: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate an equi-join's OUTPUT cardinality from two
+    ``cms_build`` sketches via their inner product — the classic
+    sketch-composition answer (AGMS / Alon-Matias-Szegedy lineage) to
+    "how big is this join?" WITHOUT shuffling either table: the true
+    join size ``Σ_k f_l(k)·f_r(k)`` is over-estimated by
+    ``Σ_b cells_l[r][b]·cells_r[r][b]`` for every sketch row r (each
+    key pair lands together in some bucket; collisions only ADD), so
+    the MIN over rows is an upper bound that tightens with width.
+
+    Returns one row: ``est_join_rows`` (the min-over-rows inner
+    product) and ``n_rows_l`` / ``n_rows_r`` (each side's row mass,
+    recovered exactly as any sketch row's cell sum).
+
+    This is the planner-style pre-shuffle gate: both sketches are
+    ≤ depth·width cells built map-side (see ``cms_build``), the inner
+    product joins two ≤4096-row frames — the decision "salt this join /
+    broadcast that side / refuse" costs O(sketch) instead of a full
+    dry-run shuffle.  The exact counterpart (when a real pass is
+    affordable) is ``join_key_profile``.
+
+    Sums are pre-cast to BIGINT per cell-product; at petabyte row
+    counts promote to decimal(38,0) as in the suite checksum (the
+    module-docstring HUGEINT caveat).
+    """
+    prod = (
+        sketch_l.select(
+            "row", "bucket", F.col("cell_n").alias("_cl")
+        ).join(
+            sketch_r.select(
+                "row", "bucket", F.col("cell_n").alias("_cr")
+            ),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("_cl") * F.col("_cr")).alias("_ip"))
+    )
+    mass_l = sketch_l.where(F.col("row") == 0).agg(
+        F.sum("cell_n").alias("n_rows_l")
+    )
+    mass_r = sketch_r.where(F.col("row") == 0).agg(
+        F.sum("cell_n").alias("n_rows_r")
+    )
+    # a sketch row with NO overlapping buckets contributes an inner
+    # product of 0 but produces no row in `prod` — if ANY of the depth
+    # rows is absent the true min is 0, not the min of the surviving
+    # rows (disjoint key sets would otherwise estimate NULL/positive)
+    return (
+        prod.agg(
+            F.min("_ip").alias("_m"), F.count(F.lit(1)).alias("_c")
+        )
+        .crossJoin(F.broadcast(mass_l))
+        .crossJoin(F.broadcast(mass_r))
+        .select(
+            F.when(F.col("_c") < depth, F.lit(0))
+            .otherwise(F.col("_m"))
+            .cast("long")
+            .alias("est_join_rows"),
+            F.col("n_rows_l").cast("long").alias("n_rows_l"),
+            F.col("n_rows_r").cast("long").alias("n_rows_r"),
+        )
     )

@@ -5475,6 +5475,95 @@ FROM per_cust p CROSS JOIN n
 """
 
 
+_JC_DEPTH, _JC_WIDTH = 4, 256
+
+
+def q_orders_join_card(spark, sf_dir):
+    """Sketch-based join-cardinality estimation
+    (``profiling.cms_join_cardinality``): estimate
+    |orders ⋈ lineitem ON orderkey| from two count-min sketches via
+    their min-over-rows inner product — the planner-style pre-shuffle
+    gate that costs O(sketch) instead of a dry-run join — alongside
+    the EXACT size from the key-collapsed frames and the 6-dp
+    over-ratio.  The estimate is ≥ exact by construction (collisions
+    only add); all integers except the one ratio division."""
+    from pynomaly_spark.profiling import cms_build, cms_join_cardinality
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    est = cms_join_cardinality(
+        cms_build(o, "k", _JC_DEPTH, _JC_WIDTH),
+        cms_build(li, "k", _JC_DEPTH, _JC_WIDTH),
+        _JC_DEPTH,
+        _JC_WIDTH,
+    )
+    cl = o.groupBy("k").agg(F.count(F.lit(1)).alias("_cl"))
+    cr = li.groupBy("k").agg(F.count(F.lit(1)).alias("_cr"))
+    exact = cl.join(cr, "k").agg(
+        F.sum(F.col("_cl") * F.col("_cr")).cast("long").alias(
+            "exact_join_rows"
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_join_rows",
+            "exact_join_rows",
+            "n_rows_l",
+            "n_rows_r",
+            F.round(
+                F.col("est_join_rows").cast("double")
+                / F.col("exact_join_rows").cast("double"),
+                6,
+            ).alias("over6"),
+        )
+    )
+
+
+SQL_ORDERS_JOIN_CARD = f"""
+WITH rows_ AS (SELECT unnest(range({_JC_DEPTH})) AS row),
+lkeys AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+          WHERE o_orderkey IS NOT NULL),
+rkeys AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+          WHERE l_orderkey IS NOT NULL),
+lcells AS (
+  SELECT r.row,
+         CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || k), 1, 12)
+           AS BIGINT) % {_JC_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS cl
+  FROM lkeys, rows_ r GROUP BY 1, 2
+), rcells AS (
+  SELECT r.row,
+         CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || k), 1, 12)
+           AS BIGINT) % {_JC_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM rkeys, rows_ r GROUP BY 1, 2
+), ip AS (
+  SELECT l.row, CAST(sum(l.cl * r.cr) AS BIGINT) AS p
+  FROM lcells l JOIN rcells r ON l.row = r.row AND l.bucket = r.bucket
+  GROUP BY 1
+), est AS (
+  SELECT CAST(CASE WHEN count(*) < {_JC_DEPTH} THEN 0 ELSE min(p) END
+    AS BIGINT) AS est_join_rows FROM ip
+),
+exact AS (
+  SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_join_rows
+  FROM (SELECT k, count(*) AS c FROM lkeys GROUP BY 1) a
+  JOIN (SELECT k, count(*) AS c FROM rkeys GROUP BY 1) b ON a.k = b.k
+), mass AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lkeys) AS n_rows_l,
+         (SELECT CAST(count(*) AS BIGINT) FROM rkeys) AS n_rows_r
+)
+SELECT est_join_rows, exact_join_rows, n_rows_l, n_rows_r,
+       round(CAST(est_join_rows AS DOUBLE) / exact_join_rows, 6) AS over6
+FROM est CROSS JOIN exact CROSS JOIN mass
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5581,6 +5670,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_benford": q_events_benford,
     "doc_weighted_sample": q_doc_weighted_sample,
     "orders_rfm": q_orders_rfm,
+    "orders_join_card": q_orders_join_card,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5692,4 +5782,5 @@ ORACLES: Dict[str, str] = {
     "events_benford": SQL_EVENTS_BENFORD,
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "orders_rfm": SQL_ORDERS_RFM,
+    "orders_join_card": SQL_ORDERS_JOIN_CARD,
 }

@@ -137,3 +137,53 @@ def test_benford_digit_extraction_and_shares(spark):
     assert g1["dev6"] == round(g1["share6"] - g1["benford6"], 6)
     with pytest.raises(ValueError, match="unknown columns"):
         benford_profile(df, ["nope"], "value")
+
+
+# --------------------------------------------------------------------------
+# cms_join_cardinality
+# --------------------------------------------------------------------------
+
+def test_join_cardinality_upper_bound_and_tightness(spark):
+    import random
+
+    from pynomaly_spark.profiling import cms_build, cms_join_cardinality
+
+    rng = random.Random(13)
+    l = _keys_df(spark, [f"k{rng.randrange(30)}" for _ in range(300)])
+    r = _keys_df(spark, [f"k{rng.randrange(30)}" for _ in range(200)])
+    lc, rc = {}, {}
+    for row in l.collect():
+        lc[row["k"]] = lc.get(row["k"], 0) + 1
+    for row in r.collect():
+        rc[row["k"]] = rc.get(row["k"], 0) + 1
+    exact = sum(lc[k] * rc.get(k, 0) for k in lc)
+
+    def est(width):
+        return cms_join_cardinality(
+            cms_build(l, "k", 4, width),
+            cms_build(r, "k", 4, width),
+            4,
+            width,
+        ).collect()[0]
+
+    narrow = est(16)
+    wide = est(4096)
+    assert narrow["n_rows_l"] == 300 and narrow["n_rows_r"] == 200
+    # upper bound always; collisions inflate the narrow sketch
+    assert narrow["est_join_rows"] >= exact
+    assert wide["est_join_rows"] >= exact
+    # a wide sketch is (weakly) tighter and here exact: 30 keys in
+    # 4x4096 cells collide with negligible probability
+    assert wide["est_join_rows"] <= narrow["est_join_rows"]
+    assert wide["est_join_rows"] == exact
+
+
+def test_join_cardinality_disjoint_keys(spark):
+    from pynomaly_spark.profiling import cms_build, cms_join_cardinality
+
+    l = _keys_df(spark, [f"a{i}" for i in range(10)])
+    r = _keys_df(spark, [f"b{i}" for i in range(10)])
+    got = cms_join_cardinality(
+        cms_build(l, "k", 4, 4096), cms_build(r, "k", 4, 4096), 4, 4096
+    ).collect()[0]
+    assert got["est_join_rows"] == 0
