@@ -40,7 +40,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_state", "scd2_history", "snapshot_diff"]
+__all__ = ["latest_state", "scd2_history", "snapshot_diff", "merge_aggs"]
 
 
 def _us(ts_col: str):
@@ -182,4 +182,59 @@ def snapshot_diff(
         j.select(status.alias("status"))
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def merge_aggs(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols,
+    count_cols=(),
+    sum_cols=(),
+    min_cols=(),
+    max_cols=(),
+) -> DataFrame:
+    """Incremental view maintenance for DISTRIBUTIVE aggregates: merge
+    a landed rollup with a new batch's rollup WITHOUT rescanning the
+    base data — counts and sums add, mins and maxes combine, keys new
+    to either side pass through.  ``merge(agg(base), agg(delta)) ==
+    agg(base ∪ delta)`` is the contract (the oracle twin recomputes
+    from scratch; the merge must hash-match it).
+
+    This is the nightly-pipeline shape at 100 TB: the base rollup is
+    |keys| rows (already paid for), the delta rollup aggregates ONLY
+    the new partition, and the merge is a union of two key-collapsed
+    frames + one re-aggregate — cost O(|keys| + |delta|), never
+    O(|history|).  AVG-like metrics must be carried as (sum, count)
+    pairs and divided at read time; quantiles/distincts need mergeable
+    sketches (``profiling.kmv_distinct`` / ``cms_build``) — neither is
+    silently supported here: unknown columns raise.
+
+    Both inputs must already be keyed rollups with identical schemas
+    (same names for the same metrics).
+    """
+    key_cols = list(key_cols)
+    metric_cols = (
+        list(count_cols) + list(sum_cols) + list(min_cols) + list(max_cols)
+    )
+    if not metric_cols:
+        raise ValueError("merge_aggs: no metric columns given")
+    for frame, side in ((base, "base"), (delta, "delta")):
+        missing = [
+            c for c in key_cols + metric_cols if c not in frame.columns
+        ]
+        if missing:
+            raise ValueError(f"merge_aggs: {side} missing columns {missing}")
+    aggs = (
+        [F.sum(c).alias(c) for c in count_cols]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    cols = key_cols + metric_cols
+    return (
+        base.select(*cols)
+        .unionByName(delta.select(*cols))
+        .groupBy(*key_cols)
+        .agg(*aggs)
     )

@@ -5564,6 +5564,116 @@ FROM est CROSS JOIN exact CROSS JOIN mass
 """
 
 
+_PATHS_DEPTH, _PATHS_K = 3, 20
+
+
+def q_events_paths(spark, sf_dir):
+    """Top-20 frequent 3-step event paths
+    (``sequences.path_counts``): contiguous state trigrams per user
+    sequence via two stacked lags over ONE keyed sort; the count
+    aggregate collapses map-side to ≤|S|³ rows and the rank window
+    runs on that tiny frame.  Rank order (n DESC, path ASC) is total —
+    the k-boundary is deterministic cross-engine."""
+    from pynomaly_spark.sequences import path_counts
+
+    return path_counts(
+        _tbl(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        depth=_PATHS_DEPTH,
+        top_k=_PATHS_K,
+    )
+
+
+SQL_EVENTS_PATHS = f"""
+WITH seq AS (
+  SELECT event_type AS s2,
+         lag(event_type, 1) OVER w AS s1,
+         lag(event_type, 2) OVER w AS s0
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), counted AS (
+  SELECT s0, s1, s2, CAST(count(*) AS BIGINT) AS n_paths
+  FROM seq WHERE s0 IS NOT NULL GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT s0, s1, s2, n_paths,
+         CAST(row_number() OVER (ORDER BY n_paths DESC, s0, s1, s2)
+           AS BIGINT) AS rank
+  FROM counted
+)
+SELECT * FROM ranked WHERE rank <= {_PATHS_K}
+"""
+
+
+_IVM_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_events_ivm(spark, sf_dir):
+    """Incremental view maintenance (``cdc.merge_aggs``): the hourly
+    (type, hour) rollup maintained as merge(agg(base), agg(delta))
+    across a landing cutoff — counts/sums add, min/max combine, cost
+    O(|keys| + |delta|) instead of a history rescan.  The twin
+    recomputes the rollup from scratch over ALL events: the merge must
+    hash-match the recomputation exactly (the IVM contract)."""
+    from pynomaly_spark.cdc import merge_aggs
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cut = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def rollup(side):
+        return (
+            side.withColumn(
+                "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            .withColumn("_cents", F.round(F.col("value") * 100).cast("long"))
+            .groupBy(
+                F.col("event_type"),
+                F.expr("_us div 3600000000").alias("hour_bucket"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_cents").alias("sum_cents"),
+                F.min("_cents").alias("min_cents"),
+                F.max("_cents").alias("max_cents"),
+            )
+        )
+
+    merged = merge_aggs(
+        rollup(ev.where(F.col("ts") < cut)),
+        rollup(ev.where(F.col("ts") >= cut)),
+        ["event_type", "hour_bucket"],
+        count_cols=["n"],
+        sum_cols=["sum_cents"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    return merged.select(
+        "event_type",
+        "hour_bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
+
+
+SQL_EVENTS_IVM = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5671,6 +5781,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "orders_rfm": q_orders_rfm,
     "orders_join_card": q_orders_join_card,
+    "events_paths": q_events_paths,
+    "events_ivm": q_events_ivm,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5783,4 +5895,6 @@ ORACLES: Dict[str, str] = {
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "orders_rfm": SQL_ORDERS_RFM,
     "orders_join_card": SQL_ORDERS_JOIN_CARD,
+    "events_paths": SQL_EVENTS_PATHS,
+    "events_ivm": SQL_EVENTS_IVM,
 }

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_counts", "cusum_flags"]
+__all__ = ["transition_counts", "cusum_flags", "path_counts"]
 
 
 def transition_counts(
@@ -165,4 +165,63 @@ def cusum_flags(
         F.min(F.when(F.col("_c") > threshold_cents, F.col("_us"))).alias(
             "first_alarm_us"
         ),
+    )
+
+
+def path_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    depth: int = 3,
+    top_k: int = 20,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k frequent ``depth``-step event paths (sequential pattern
+    mining, n-gram flavor): the most common contiguous state sequences
+    across all entities — the session-flow summary behind funnel
+    design and anomalous-journey detection.
+
+    Returns ``s0..s{depth-1}, n_paths, rank`` (rank 1..top_k by
+    ``n_paths DESC`` then the path lexicographically — a total order,
+    so the k-boundary is deterministic cross-engine).
+
+    Paths are built with ``depth-1`` stacked lags over ONE keyed sort
+    (same window spec → one shuffle, one sort); rows with NULL
+    key/ts/state are dropped BEFORE the lags (transitions' skip
+    convention).  The count aggregate collapses map-side to ≤|S|^depth
+    rows; the final rank is a window over that tiny grouped frame —
+    never over event rows.
+    """
+    if depth < 2:
+        raise ValueError(f"path_counts: depth must be >= 2, got {depth}")
+    if top_k < 1:
+        raise ValueError(f"path_counts: top_k must be >= 1, got {top_k}")
+    w = Window.partitionBy(key_col).orderBy("_us", tiebreak_col)
+    base = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    )
+    cols = [
+        F.lag(state_col, depth - 1 - i).over(w).alias(f"s{i}")
+        for i in range(depth - 1)
+    ] + [F.col(state_col).alias(f"s{depth - 1}")]
+    paths = base.select(*cols).where(
+        F.col("s0").isNotNull()  # lags fill back-to-front: s0 is last
+    )
+    names = [f"s{i}" for i in range(depth)]
+    counted = paths.groupBy(*names).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    w_rank = Window.orderBy(
+        F.col("n_paths").desc(), *[F.col(c).asc() for c in names]
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .select(*names, F.col("n_paths").cast("long"), F.col("rank").cast("long"))
     )

@@ -213,3 +213,103 @@ def test_rolling_distinct_validates_window(spark):
     df = _ev(spark, [(1, 1, _day(0), "a", 0.0)])
     with pytest.raises(ValueError, match="window_buckets"):
         rolling_distinct(df, "event_type", "ts", "user_id", 0)
+
+
+# --------------------------------------------------------------------------
+# path_counts
+# --------------------------------------------------------------------------
+
+def test_path_counts_trigrams_and_rank(spark):
+    from pynomaly_spark.sequences import path_counts
+
+    rows = [
+        # user 1: a b c a b c -> trigrams abc, bca, cab, abc
+        (1, 1, _ts(0), "a", 0.0), (2, 1, _ts(1), "b", 0.0),
+        (3, 1, _ts(2), "c", 0.0), (4, 1, _ts(3), "a", 0.0),
+        (5, 1, _ts(4), "b", 0.0), (6, 1, _ts(5), "c", 0.0),
+        # user 2: a b -> too short, no trigram
+        (7, 2, _ts(0), "a", 0.0), (8, 2, _ts(1), "b", 0.0),
+    ]
+    out = path_counts(_ev(spark, rows), "user_id", "ts", "event_type",
+                      depth=3, top_k=10).collect()
+    got = {(r["s0"], r["s1"], r["s2"]): (r["n_paths"], r["rank"])
+           for r in out}
+    assert got == {
+        ("a", "b", "c"): (2, 1),
+        ("b", "c", "a"): (1, 2),
+        ("c", "a", "b"): (1, 3),
+    }
+
+
+def test_path_counts_null_state_skipped_and_validation(spark):
+    import pytest as _pytest
+
+    from pynomaly_spark.sequences import path_counts
+
+    rows = [
+        (1, 1, _ts(0), "a", 0.0), (2, 1, _ts(1), None, 0.0),
+        (3, 1, _ts(2), "b", 0.0), (4, 1, _ts(3), "c", 0.0),
+    ]
+    out = path_counts(_ev(spark, rows), "user_id", "ts", "event_type",
+                      depth=3, top_k=5).collect()
+    assert {(r["s0"], r["s1"], r["s2"]) for r in out} == {("a", "b", "c")}
+    with _pytest.raises(ValueError, match="depth"):
+        path_counts(_ev(spark, rows), "user_id", "ts", "event_type", depth=1)
+
+
+# --------------------------------------------------------------------------
+# cdc.merge_aggs
+# --------------------------------------------------------------------------
+
+def test_merge_aggs_equals_full_recompute(spark):
+    import random
+
+    from pynomaly_spark.cdc import merge_aggs
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randrange(5), _ts(i), "t" + str(rng.randrange(3)),
+         rng.randrange(1000) / 100.0)
+        for i in range(300)
+    ]
+    ev = _ev(spark, rows)
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum("value").alias("sv"),
+            F2.min("value").alias("mn"),
+            F2.max("value").alias("mx"),
+        )
+
+    base, delta = ev.where("event_id < 200"), ev.where("event_id >= 200")
+    merged = merge_aggs(
+        rollup(base), rollup(delta), ["event_type"],
+        count_cols=["n"], sum_cols=["sv"], min_cols=["mn"], max_cols=["mx"],
+    )
+    full = rollup(ev)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for ra, rb in zip(a, b):
+        assert ra[1] == rb[1] and abs(ra[2] - rb[2]) < 1e-9
+        assert ra[3] == rb[3] and ra[4] == rb[4]
+
+
+def test_merge_aggs_new_keys_pass_through_and_validation(spark):
+    import pytest as _pytest
+
+    from pynomaly_spark.cdc import merge_aggs
+
+    base = spark.createDataFrame([("a", 2)], "k string, n long")
+    delta = spark.createDataFrame([("b", 3)], "k string, n long")
+    out = {
+        r["k"]: r["n"]
+        for r in merge_aggs(base, delta, ["k"], count_cols=["n"]).collect()
+    }
+    assert out == {"a": 2, "b": 3}
+    with _pytest.raises(ValueError, match="no metric"):
+        merge_aggs(base, delta, ["k"])
+    with _pytest.raises(ValueError, match="missing columns"):
+        merge_aggs(base, delta, ["k"], count_cols=["nope"])
