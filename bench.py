@@ -151,15 +151,29 @@ def main() -> None:
     )
     _noop_run(warm.unified())
     warm.unpersist()
-    t0 = time.perf_counter()
-    res = run_suite(
-        files, suite, commits=commits, sha_oracle=oracle, stage_dir=stage
-    )
-    # ONE fused action for both outputs (kind-tagged union): run_suite
-    # pre-materializes the shared mid-frames, so this single job reads
-    # hot caches — one driver sync instead of two
-    _noop_run(res.unified())
-    validate_sec = time.perf_counter() - t0
+    # MEDIAN of 3 measured runs: this sandbox's hypervisor stalls are
+    # transient and enormous (measured 2026-08-19: back-to-back
+    # identical runs of 112.0s then 15.8s on a quiet box) — a single
+    # measured run is hostage to one stall landing mid-run, and a
+    # best-of would overclaim; the median is the honest steady-state
+    # estimator.  All raw samples ship in the JSON.
+    suite_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run_suite(
+            files, suite, commits=commits, sha_oracle=oracle,
+            stage_dir=stage,
+        )
+        # ONE fused action for both outputs (kind-tagged union):
+        # run_suite pre-materializes the shared mid-frames, so this
+        # single job reads hot caches — one driver sync instead of two
+        _noop_run(res.unified())
+        suite_runs.append(round(time.perf_counter() - t0, 4))
+        try:
+            res.unpersist()
+        except Exception:
+            pass
+    validate_sec = sorted(suite_runs)[1]
     timings["validate_suite"] = round(validate_sec, 4)
 
     total = round(sum(timings.values()), 4)
@@ -173,6 +187,7 @@ def main() -> None:
         "code_table_rows": n_files,
         "cpus": cpus,
         "suite_warmup": True,
+        "suite_runs": suite_runs,  # raw samples; validate_suite = median
         "box": box,
     }
     print(json.dumps(out))
