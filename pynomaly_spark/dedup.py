@@ -42,6 +42,7 @@ __all__ = [
     "bitstring_near_dups",
     "fuzzy_blocked_pairs",
     "prefix_jaccard_join",
+    "linkage_scores",
 ]
 
 
@@ -1187,4 +1188,53 @@ def prefix_jaccard_join(
                 F.col("n_inter").cast("double") / F.col("n_union"), 6
             ).alias("jacc6"),
         )
+    )
+
+
+def linkage_scores(
+    pairs: DataFrame,
+    comparators: list,
+    threshold: int = 0,
+) -> DataFrame:
+    """Fellegi–Sunter-style record-linkage scoring over candidate
+    pairs: each field comparator votes an integer agreement weight
+    (positive log-odds stand-in) or disagreement penalty; pairs at or
+    above ``threshold`` survive with per-field votes exposed for
+    clerical review.
+
+    ``comparators`` is a list of ``(name, condition, w_agree,
+    w_disagree)`` where ``condition`` is a boolean Column over the pair
+    frame's columns (e.g. ``F.levenshtein("name_a", "name_b") <= 1``).
+    NULL conditions (either side missing) vote 0 — the
+    missing-at-random convention: absence is not evidence either way.
+
+    All-weights-integer keeps the score BIGINT-exact cross-engine —
+    the float-free analog of the probabilistic m/u log-ratios (scale
+    real log-odds by 100 and round when porting a trained model).
+
+    Scale (100 TB): scoring is a pure map-side projection over the
+    candidate-pair frame — generation of candidates is the expensive
+    step and belongs to the blocking operators
+    (``fuzzy_blocked_pairs``, ``prefix_jaccard_join``,
+    ``lsh_candidate_pairs``); this stage adds no shuffle at all.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (entity-resolution family).
+    """
+    if not comparators:
+        raise ValueError("linkage_scores: comparators must be non-empty")
+    score = F.lit(0).cast("long")
+    fields = []
+    for name, cond, w_agree, w_disagree in comparators:
+        vote = (
+            F.when(cond.isNull(), F.lit(0))
+            .when(cond, F.lit(int(w_agree)))
+            .otherwise(F.lit(int(w_disagree)))
+            .cast("long")
+        )
+        fields.append(vote.alias(f"w_{name}"))
+        score = score + vote
+    return (
+        pairs.select("*", *fields, score.alias("link_score"))
+        .where(F.col("link_score") >= threshold)
     )

@@ -47,6 +47,7 @@ __all__ = [
     "write_orc",
     "write_partitioned",
     "write_bucketed_table",
+    "zorder_key",
 ]
 
 
@@ -214,3 +215,53 @@ def write_bucketed_table(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Z-order (Morton) interleaved key for multi-dimensional data
+    layout — the ``OPTIMIZE ZORDER BY`` device: sort/range-partition by
+    this key before writing and rows close in EVERY listed dimension
+    land in the same files, so min/max row-group statistics prune scans
+    filtered on ANY of the dimensions (a plain sort only prunes its
+    leading column).
+
+    ``cols`` are non-negative integer column names/Columns (pre-bucket
+    continuous values upstream, e.g. ``unix_micros(ts) div 3600e6``);
+    each contributes its low ``bits`` bits, interleaved
+    round-robin starting at dimension 0's bit 0.  The result is a
+    BIGINT (``len(cols) * bits`` must be <= 63).
+
+    Built as a flat sum of ``bits × len(cols)`` shift-mask-shift JVM
+    expressions — whole-stage-codegen, map-side, no UDF; the identical
+    arithmetic runs in any SQL engine, which is how the oracle twin
+    reproduces it bit-for-bit.  Values are masked to ``bits`` (caller
+    guarantees the range; masking keeps out-of-range inputs from
+    corrupting NEIGHBORING dimensions rather than silently raising).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (lakehouse layout family, beside
+    ``write_partitioned`` / ``write_bucketed_table``).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("zorder_key: cols must be non-empty")
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: {len(cols)} dims x {bits} bits exceeds a BIGINT"
+        )
+    n = len(cols)
+    terms = []
+    for d, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        v = col.cast("long")
+        for b in range(bits):
+            # bit b of dim d -> output bit b*n + d
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + d
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

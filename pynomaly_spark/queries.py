@@ -5674,6 +5674,146 @@ GROUP BY 1, 2
 """
 
 
+_Z_BITS = 12
+
+
+def q_events_zorder(spark, sf_dir):
+    """Z-order layout keys (``io.zorder_key``): the Morton-interleaved
+    (user, day) key the lakehouse OPTIMIZE-ZORDER pass sorts by before
+    writing, so row-group min/max stats prune scans filtered on EITHER
+    dimension.  Flat shift-mask-shift JVM expressions, map-side; one
+    aggregate to the distinct (user, day) grid with event counts."""
+    from pynomaly_spark.io import zorder_key
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+                " - 19723"  # days since 2024-01-01 -> small coordinate
+            ).alias("day"),
+        )
+    )
+    return (
+        ev.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "day",
+            zorder_key(["user_id", "day"], bits=_Z_BITS).alias("z"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def _zorder_sql(bits: int = _Z_BITS) -> str:
+    terms = []
+    for d, c in enumerate(("user_id", "day")):
+        for b in range(bits):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + d})")
+    z = " + ".join(terms)
+    return f"""
+WITH grid AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 - 19723 AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT user_id, day, CAST({z} AS BIGINT) AS z, n_events FROM grid
+"""
+
+
+_LINK_THRESHOLD = 5
+
+
+def q_part_linkage(spark, sf_dir):
+    """Multi-field record-linkage scoring (``dedup.linkage_scores``)
+    over the blocked fuzzy candidates: integer Fellegi–Sunter-style
+    agreement votes on name distance, type equality, and size
+    proximity — scoring is a pure map-side projection (candidate
+    generation is the blocking stage's job), all weights integer so
+    the score is BIGINT-exact cross-engine."""
+    from pynomaly_spark.dedup import fuzzy_blocked_pairs, linkage_scores
+
+    part = _tbl(spark, sf_dir, "part")
+    pairs = fuzzy_blocked_pairs(
+        part,
+        "p_name",
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=2,
+    )
+    attrs_a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    attrs_b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    enriched = pairs.join(F.broadcast(attrs_a), "id_a").join(
+        F.broadcast(attrs_b), "id_b"
+    )
+    scored = linkage_scores(
+        enriched,
+        [
+            ("name", F.col("dist") <= 1, 30, -10),
+            ("type", F.col("type_a") == F.col("type_b"), 20, -15),
+            (
+                "size",
+                F.abs(F.col("size_a") - F.col("size_b")) <= 2,
+                10,
+                -5,
+            ),
+        ],
+        threshold=_LINK_THRESHOLD,
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("w_name").cast("long").alias("w_name"),
+        F.col("w_type").cast("long").alias("w_type"),
+        F.col("w_size").cast("long").alias("w_size"),
+        F.col("link_score").cast("long").alias("link_score"),
+    )
+
+
+SQL_PART_LINKAGE = f"""
+WITH nm AS (
+  SELECT (string_split(p_name, ' '))[-1] AS block, p_name AS name,
+         min(p_partkey) AS canon_id
+  FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         a.canon_id AS id_a, b.canon_id AS id_b,
+         levenshtein(a.name, b.name) AS dist
+  FROM nm a JOIN nm b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+), votes AS (
+  SELECT p.id_a, p.id_b, p.name_a, p.name_b, CAST(p.dist AS BIGINT) AS dist,
+         CAST(CASE WHEN p.dist <= 1 THEN 30 ELSE -10 END AS BIGINT)
+           AS w_name,
+         CAST(CASE WHEN pa.p_type = pb.p_type THEN 20 ELSE -15 END
+           AS BIGINT) AS w_type,
+         CAST(CASE WHEN abs(pa.p_size - pb.p_size) <= 2 THEN 10 ELSE -5 END
+           AS BIGINT) AS w_size
+  FROM pairs p
+  JOIN part pa ON pa.p_partkey = p.id_a
+  JOIN part pb ON pb.p_partkey = p.id_b
+)
+SELECT *, CAST(w_name + w_type + w_size AS BIGINT) AS link_score
+FROM votes WHERE w_name + w_type + w_size >= {_LINK_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5783,6 +5923,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_join_card": q_orders_join_card,
     "events_paths": q_events_paths,
     "events_ivm": q_events_ivm,
+    "events_zorder": q_events_zorder,
+    "part_linkage": q_part_linkage,
 }
 
 ORACLES: Dict[str, str] = {
@@ -5897,4 +6039,6 @@ ORACLES: Dict[str, str] = {
     "orders_join_card": SQL_ORDERS_JOIN_CARD,
     "events_paths": SQL_EVENTS_PATHS,
     "events_ivm": SQL_EVENTS_IVM,
+    "events_zorder": _zorder_sql(),
+    "part_linkage": SQL_PART_LINKAGE,
 }

@@ -229,3 +229,66 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:120], plan
+
+
+# --------------------------------------------------------------------------
+# zorder_key
+# --------------------------------------------------------------------------
+
+def _py_morton(coords, bits):
+    z = 0
+    n = len(coords)
+    for d, v in enumerate(coords):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * n + d)
+    return z
+
+
+def test_zorder_matches_literal_interleave(spark):
+    import random
+
+    from pynomaly_spark.io import zorder_key
+
+    rng = random.Random(31)
+    rows = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=12).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_morton((r["x"], r["y"]), 12)
+
+
+def test_zorder_locality_beats_linear_sort(spark):
+    # the point of z-order: sort by z, then a filter on the SECOND
+    # dimension touches far fewer contiguous runs than a lexicographic
+    # (x, y) sort would (where y-filtering touches every x block)
+    from pynomaly_spark.io import zorder_key
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z_sorted = [
+        (r["x"], r["y"])
+        for r in df.select(
+            "x", "y", zorder_key(["x", "y"], bits=5).alias("z")
+        ).orderBy("z").collect()
+    ]
+    # chunk into 32 'files' of 32 rows; count files containing y < 4
+    files = [z_sorted[i * 32:(i + 1) * 32] for i in range(32)]
+    z_hit = sum(1 for f in files if any(y < 4 for _, y in f))
+    # lexicographic (x, y) sort: every x-block contains y<4 -> all 32
+    assert z_hit <= 16
+
+
+def test_zorder_three_dims_and_validation(spark):
+    import pytest as _pytest
+
+    from pynomaly_spark.io import zorder_key
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    got = df.select(zorder_key(["a", "b", "c"], bits=4).alias("z")).first()
+    assert got["z"] == _py_morton((1, 2, 3), 4)
+    with _pytest.raises(ValueError, match="non-empty"):
+        zorder_key([], bits=4)
+    with _pytest.raises(ValueError, match="exceeds a BIGINT"):
+        zorder_key(["a", "b"], bits=32)

@@ -118,3 +118,61 @@ def test_ssjoin_prefix_is_rarest_tokens(spark):
         ).collect()
     }
     assert (1, 2) in got
+
+
+# --------------------------------------------------------------------------
+# linkage_scores
+# --------------------------------------------------------------------------
+
+def test_linkage_scores_votes_and_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from pynomaly_spark.dedup import linkage_scores
+
+    pairs = spark.createDataFrame(
+        [
+            # name close + same type + size close -> 30+20+10 = 60
+            (1, 2, 1, "A", "A", 5, 6),
+            # name far + diff type + size far -> -10-15-5 = -30
+            (3, 4, 2, "A", "B", 1, 9),
+            # name close + diff type + size close -> 30-15+10 = 25
+            (5, 6, 0, "A", "B", 4, 4),
+            # NULL type on one side -> type vote 0: 30+0+10 = 40
+            (7, 8, 1, None, "B", 2, 2),
+        ],
+        "id_a long, id_b long, dist int, type_a string, type_b string,"
+        " size_a int, size_b int",
+    )
+    comparators = [
+        ("name", F.col("dist") <= 1, 30, -10),
+        ("type", F.col("type_a") == F.col("type_b"), 20, -15),
+        ("size", F.abs(F.col("size_a") - F.col("size_b")) <= 2, 10, -5),
+    ]
+    out = {
+        r["id_a"]: r
+        for r in linkage_scores(pairs, comparators, threshold=25).collect()
+    }
+    assert set(out) == {1, 5, 7}  # -30 pair filtered
+    assert out[1]["link_score"] == 60
+    assert (out[1]["w_name"], out[1]["w_type"], out[1]["w_size"]) == (
+        30, 20, 10,
+    )
+    assert out[5]["link_score"] == 25  # boundary inclusive
+    assert out[7]["w_type"] == 0 and out[7]["link_score"] == 40
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        linkage_scores(pairs, [], 0)
+
+
+def test_linkage_scores_is_map_side(spark):
+    from pyspark.sql import functions as F
+
+    from pynomaly_spark.dedup import linkage_scores
+
+    pairs = spark.createDataFrame([(1, 2, 0)], "id_a long, id_b long, dist int")
+    plan = (
+        linkage_scores(pairs, [("d", F.col("dist") <= 1, 1, -1)], -5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection + filter
