@@ -5814,6 +5814,71 @@ FROM votes WHERE w_name + w_type + w_size >= {_LINK_THRESHOLD}
 """
 
 
+def q_doc_ols(spark, sf_dir):
+    """Distributed OLS via sufficient statistics (``features.ols_fit``):
+    token count regressed on (chars, spaces) — the aggregation-only
+    training shape: ONE map-side-combined moment aggregate, closed-form
+    Cramer solve on the single moment row.  All regression inputs are
+    small integers, so every moment sum is EXACT (< 2^53) and
+    order-independent on both engines; the twin mirrors the identical
+    Cramer expression tree, outputs rounded 6 dp."""
+    from pynomaly_spark.features import ols_fit
+
+    doc = (
+        _tbl(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("n_chars").alias("chars"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), " ", ""))
+            ).alias("spaces"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("tokens"),
+        )
+    )
+    return ols_fit(doc, ["chars", "spaces"], "tokens")
+
+
+SQL_DOC_OLS = """
+WITH src AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x1,
+         CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) AS x2,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS y
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(y * y) AS syy,
+         sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM src
+), solved AS (
+  SELECT n, sy, s1y, s2y, syy,
+         (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS det,
+         (sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y)) AS d0,
+         (n * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) AS d1,
+         (n * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2)) AS d2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN det <> 0 THEN d0 / det END, 6) AS intercept,
+       round(CASE WHEN det <> 0 THEN d1 / det END, 6) AS beta_chars,
+       round(CASE WHEN det <> 0 THEN d2 / det END, 6) AS beta_spaces,
+       round(CASE WHEN det <> 0 AND (syy - sy * sy / n) <> 0 THEN
+         1 - (syy - (d0 / det) * sy - (d1 / det) * s1y - (d2 / det) * s2y)
+             / (syy - sy * sy / n) END, 6) AS r2
+FROM solved
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5925,6 +5990,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ivm": q_events_ivm,
     "events_zorder": q_events_zorder,
     "part_linkage": q_part_linkage,
+    "doc_ols": q_doc_ols,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6041,4 +6107,5 @@ ORACLES: Dict[str, str] = {
     "events_ivm": SQL_EVENTS_IVM,
     "events_zorder": _zorder_sql(),
     "part_linkage": SQL_PART_LINKAGE,
+    "doc_ols": SQL_DOC_OLS,
 }
