@@ -5879,6 +5879,65 @@ FROM solved
 """
 
 
+def q_doc_chi2_terms(spark, sf_dir):
+    """Chi-squared (token, language) feature selection
+    (``textops.chi2_terms``): top-10 most language-discriminative terms
+    per lang by the 2x2 contingency chi2 on document frequencies.
+    Every chi2 input is an exact integer count and the float expression
+    tree is mirrored verbatim in the twin, so the score is the same
+    IEEE op sequence on both engines; rank on the rounded score with a
+    term tiebreak.  One corpus explode + ONE (term, lang) keyed count;
+    all marginals derive from that vocabulary-sized frame or tiny
+    broadcast aggregates."""
+    from pynomaly_spark.textops import chi2_terms
+
+    return chi2_terms(
+        _doc(spark, sf_dir), "text", "lang", min_len=3, min_df=5, top_k=10
+    )
+
+
+def _chi2_terms_sql() -> str:
+    from .textops import _TOKEN_SPLIT
+
+    return f"""
+WITH d AS (
+  SELECT lang AS label, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL
+), tok AS (
+  SELECT label,
+         unnest(list_distinct(string_split_regex(t, '{_TOKEN_SPLIT}'))) AS term
+  FROM d
+), tok3 AS (
+  SELECT * FROM tok WHERE length(term) >= 3
+), n11 AS (
+  SELECT term, label, CAST(count(*) AS BIGINT) AS n11
+  FROM tok3 GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(sum(n11) AS BIGINT) AS df FROM n11 GROUP BY 1
+), nc AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_c FROM d GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+vals AS (
+  SELECT n11.label, n11.term, n11.n11, dfreq.df,
+         CAST(n11.n11 AS DOUBLE) AS a, CAST(dfreq.df AS DOUBLE) AS dd,
+         CAST(nc.n_c AS DOUBLE) AS c, CAST(tot.n_all AS DOUBLE) AS n
+  FROM n11 JOIN dfreq USING (term) JOIN nc USING (label) CROSS JOIN tot
+  WHERE dfreq.df >= 5 AND dfreq.df < tot.n_all AND nc.n_c < tot.n_all
+), scored AS (
+  SELECT label, term, n11, df,
+         round((n * (a * (n - dd - c + a) - (dd - a) * (c - a))
+                  * (a * (n - dd - c + a) - (dd - a) * (c - a)))
+               / (dd * (n - dd) * c * (n - c)), 6) AS chi2
+  FROM vals
+)
+SELECT label, rnk, term, n11, df, chi2 FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY label ORDER BY chi2 DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5991,6 +6050,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder": q_events_zorder,
     "part_linkage": q_part_linkage,
     "doc_ols": q_doc_ols,
+    "doc_chi2_terms": q_doc_chi2_terms,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6108,4 +6168,5 @@ ORACLES: Dict[str, str] = {
     "events_zorder": _zorder_sql(),
     "part_linkage": SQL_PART_LINKAGE,
     "doc_ols": SQL_DOC_OLS,
+    "doc_chi2_terms": _chi2_terms_sql(),
 }

@@ -19,6 +19,7 @@ __all__ = [
     "repetition_stats",
     "token_entropy",
     "collocation_pmi",
+    "chi2_terms",
 ]
 
 # Tokenizer charset shared by the Spark expression AND the generated
@@ -489,5 +490,104 @@ def collocation_pmi(
                 ),
                 6,
             ).alias("pmi6"),
+        )
+    )
+
+
+def chi2_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    min_len: int = 3,
+    min_df: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Chi-squared (token, label) association — the classic supervised
+    feature-selection screen (select the vocabulary a classifier should
+    keep) and a labelled-corpus drift probe (which terms are suddenly
+    over-represented in one slice).  Document-frequency semantics: a
+    token counts once per document, so n11/n10/n01/n00 form a clean
+    2x2 contingency table per (token, label):
+
+        chi2 = N*(n11*n00 - n10*n01)^2 / (df*(N-df)*n_c*(N-n_c))
+
+    where ``df`` is the token's document frequency, ``n_c`` the label's
+    document count, ``N`` the corpus size.  EVERY input to the float
+    expression is an exact integer count (< 2^53), and the expression
+    tree is mirrored verbatim in the SQL twin, so both engines execute
+    the identical IEEE op sequence — no tolerance needed beyond the
+    shared 6-dp output round.
+
+    Returns the ``top_k`` terms per label ranked by
+    ``(chi2 DESC, term ASC)`` (rank on the ROUNDED score so a last-ulp
+    divergence can never flip neighbours): ``(label, rnk, term, n11,
+    df, chi2)``.  Tokens present in every document are excluded (their
+    denominator is 0 — zero discriminative information anyway).
+
+    Scale shape: one explode of per-doc DISTINCT tokens -> ONE
+    (token, label) keyed count; the token marginal re-aggregates THAT
+    vocabulary-sized frame (never the corpus), the label marginal and N
+    are tiny broadcast aggregates of the document frame.  The heavy
+    exchange is the single (token, label) shuffle with map-side
+    combine; everything after is vocabulary-sized.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (training-data pipeline family, beside
+    ``token_entropy`` / ``collocation_pmi``).
+    """
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(label_col).alias("label"), F.col(text_col).alias("_t")
+    )
+    toks = docs.select(
+        "label",
+        F.explode(
+            F.array_distinct(F.split(F.lower("_t"), _TOKEN_SPLIT))
+        ).alias("term"),
+    ).where(F.length("term") >= int(min_len))
+    n11 = toks.groupBy("term", "label").agg(
+        F.count(F.lit(1)).alias("n11")
+    )
+    dfreq = n11.groupBy("term").agg(F.sum("n11").alias("df"))
+    n_c = docs.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    j = (
+        n11.join(dfreq, "term")
+        .join(F.broadcast(n_c), "label")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("df") >= int(min_df))
+            & (F.col("df") < F.col("n_all"))
+            & (F.col("n_c") < F.col("n_all"))
+        )
+    )
+    n, d, c, a = (
+        F.col("n_all").cast("double"),
+        F.col("df").cast("double"),
+        F.col("n_c").cast("double"),
+        F.col("n11").cast("double"),
+    )
+    # 2x2 cells from the marginals; diff = n11*n00 - n10*n01 stays an
+    # exact integer in double (|diff| <= N^2/4); the twin mirrors this
+    # exact tree
+    diff = a * (n - d - c + a) - (d - a) * (c - a)
+    chi2 = (n * diff * diff) / (d * (n - d) * c * (n - c))
+    scored = j.select(
+        F.col("label"),
+        F.col("term"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("df").cast("long").alias("df"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(top_k))
+        .select(
+            "label",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            "n11",
+            "df",
+            "chi2",
         )
     )
