@@ -54,6 +54,7 @@ __all__ = [
     "join_key_profile",
     "robust_group_outliers",
     "column_profile",
+    "corr_matrix",
     "kmv_distinct",
     "cms_build",
     "cms_estimate",
@@ -630,4 +631,89 @@ def cms_join_cardinality(
             F.col("n_rows_l").cast("long").alias("n_rows_l"),
             F.col("n_rows_r").cast("long").alias("n_rows_r"),
         )
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols,
+    r: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix in ONE pass — the numeric
+    dependence profile (feature redundancy screen, drift fingerprint)
+    over k columns via flat moment aggregates: n, each Σx_i, Σx_i²,
+    and every Σx_i·x_j computed in a single map-side-combined
+    aggregate; the k(k-1)/2 correlations are closed-form expressions
+    on that one moment row, exploded to one row per unordered pair.
+
+        corr = (n·s_xy − s_x·s_y)
+               / sqrt((n·s_xx − s_x·s_x) · (n·s_yy − s_y·s_y))
+
+    with NULL when either variance term is zero (constant column).
+    IEEE sqrt is correctly rounded on every engine, so when the
+    moments are exact the whole expression is bit-identical
+    cross-engine; moments are double sums, so callers pin exactness by
+    passing integer-valued columns whose squared sums stay below 2^53
+    (the ``ols_fit`` contract — use cents/counts, not raw floats).
+
+    Returns ``(col_a, col_b, n, corr)`` for each pair with
+    ``col_a < col_b`` lexicographically; ``corr`` rounded to ``r`` dp.
+
+    Scale (100 TB): one aggregate over the input, k(k+3)/2 + 1 partial
+    sums per partition — the shuffle is a single row regardless of
+    input size.  Rows with a NULL in ANY profiled column are dropped
+    (complete-case, so every pair sees the same n and the matrix is
+    positive semi-definite).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (profiling family).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"corr_matrix: unknown columns {missing}")
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    src = df.where(cond)
+    x = {c: F.col(c).cast("double") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(x[a]).alias(f"s_{i}"))
+        for j, b in enumerate(cols):
+            if j >= i:
+                aggs.append(F.sum(x[a] * x[b]).alias(f"s_{i}_{j}"))
+    m = src.agg(*aggs)
+    n = F.col("n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if j <= i:
+                continue
+            num = n * F.col(f"s_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")
+            va = n * F.col(f"s_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")
+            vb = n * F.col(f"s_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}")
+            lo, hi = sorted((a, b))
+            pairs.append(
+                F.struct(
+                    F.lit(lo).alias("col_a"),
+                    F.lit(hi).alias("col_b"),
+                    F.round(
+                        F.when(
+                            (va > 0) & (vb > 0), num / F.sqrt(va * vb)
+                        ),
+                        r,
+                    ).alias("corr"),
+                )
+            )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.explode(F.array(*pairs)).alias("_p"),
+    ).select(
+        F.col("_p.col_a").alias("col_a"),
+        F.col("_p.col_b").alias("col_b"),
+        "n",
+        F.col("_p.corr").alias("corr"),
     )

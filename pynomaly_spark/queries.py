@@ -5938,6 +5938,69 @@ SELECT label, rnk, term, n11, df, chi2 FROM (
 """
 
 
+def q_lineitem_corr(spark, sf_dir):
+    """One-pass Pearson correlation matrix (``profiling.corr_matrix``)
+    over four integer-valued lineitem measures (quantity, discount and
+    tax in exact percent points, line number) — the numeric dependence
+    profile.  ONE map-side-combined moment aggregate (the shuffle is a
+    single row), closed-form correlations exploded to one row per pair;
+    all moment inputs are small integers so every sum is exact and the
+    mirrored expression tree (incl. correctly-rounded IEEE sqrt) hashes
+    cross-engine."""
+    from pynomaly_spark.profiling import corr_matrix
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+    )
+    return corr_matrix(li, ["qty", "disc_pct", "tax_pct", "line_no"])
+
+
+def _corr_sql() -> str:
+    cols = ["qty", "disc_pct", "tax_pct", "line_no"]
+    sums = ",\n         ".join(
+        [f"sum(CAST({c} AS DOUBLE)) AS s_{i}" for i, c in enumerate(cols)]
+        + [
+            f"sum(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)) AS s_{i}_{j}"
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if j >= i
+        ]
+    )
+    pair_sel = "\nUNION ALL\n".join(
+        f"""SELECT '{min(a, b)}' AS col_a, '{max(a, b)}' AS col_b,
+       CAST(n AS BIGINT) AS n,
+       round(CASE WHEN (CAST(n AS DOUBLE) * s_{i}_{i} - s_{i} * s_{i}) > 0
+                   AND (CAST(n AS DOUBLE) * s_{j}_{j} - s_{j} * s_{j}) > 0
+             THEN (CAST(n AS DOUBLE) * s_{i}_{j} - s_{i} * s_{j})
+                  / sqrt((CAST(n AS DOUBLE) * s_{i}_{i} - s_{i} * s_{i})
+                         * (CAST(n AS DOUBLE) * s_{j}_{j} - s_{j} * s_{j}))
+             END, 6) AS corr
+FROM m"""
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if j > i
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+         CAST(l_linenumber AS BIGINT) AS line_no
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_linenumber IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+         {sums}
+  FROM src
+)
+{pair_sel}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6051,6 +6114,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_linkage": q_part_linkage,
     "doc_ols": q_doc_ols,
     "doc_chi2_terms": q_doc_chi2_terms,
+    "lineitem_corr": q_lineitem_corr,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6169,4 +6233,5 @@ ORACLES: Dict[str, str] = {
     "part_linkage": SQL_PART_LINKAGE,
     "doc_ols": SQL_DOC_OLS,
     "doc_chi2_terms": _chi2_terms_sql(),
+    "lineitem_corr": _corr_sql(),
 }
