@@ -6001,6 +6001,89 @@ WITH src AS (
 """
 
 
+_ACF_LAGS = 6
+_HOUR_US = 3_600_000_000
+
+
+def q_events_acf(spark, sf_dir):
+    """Hourly-series autocorrelation per event type
+    (``sequences.acf``): gap-filled hour-count series (a missing hour
+    is an explicit 0, via a per-type ``sequence`` spine), then the
+    pairwise-Pearson ACF at lags 1..6 — the seasonality/persistence
+    probe.  ONE type-keyed window pass computes every lag's lead;
+    the per-(type, lag) moment aggregate collapses map-side; all
+    moment inputs are small integer counts so the closed form is the
+    same IEEE tree on both engines."""
+    from pynomaly_spark.sequences import acf
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}").alias(
+            "h"
+        ),
+    )
+    cnt = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    span = cnt.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    series = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    return acf(series, "event_type", "h", "x", max_lag=_ACF_LAGS)
+
+
+def _acf_sql(max_lag: int = _ACF_LAGS) -> str:
+    leads = ",\n         ".join(
+        f"CAST(lead(x, {k}) OVER w AS DOUBLE) AS y{k}"
+        for k in range(1, max_lag + 1)
+    )
+    pair_sel = "\n  UNION ALL\n".join(
+        f"  SELECT key, {k} AS lag, x, y{k} AS y FROM led"
+        f" WHERE y{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS h FROM events
+), cnt AS (
+  SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM cnt GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM span
+), series AS (
+  SELECT s.event_type AS key, s.h, coalesce(c.x, 0) AS x
+  FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type AND c.h = s.h
+), led AS (
+  SELECT key, CAST(x AS DOUBLE) AS x,
+         {leads}
+  FROM series WINDOW w AS (PARTITION BY key ORDER BY h)
+), pairs AS (
+{pair_sel}
+), m AS (
+  SELECT key, lag, count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT key, CAST(lag AS BIGINT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
+                   AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+             THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                  / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+             END, 6) AS acf
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6115,6 +6198,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ols": q_doc_ols,
     "doc_chi2_terms": q_doc_chi2_terms,
     "lineitem_corr": q_lineitem_corr,
+    "events_acf": q_events_acf,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6234,4 +6318,5 @@ ORACLES: Dict[str, str] = {
     "doc_ols": SQL_DOC_OLS,
     "doc_chi2_terms": _chi2_terms_sql(),
     "lineitem_corr": _corr_sql(),
+    "events_acf": _acf_sql(),
 }

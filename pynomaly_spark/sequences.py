@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_counts", "cusum_flags", "path_counts"]
+__all__ = ["transition_counts", "cusum_flags", "path_counts", "acf"]
 
 
 def transition_counts(
@@ -224,4 +224,92 @@ def path_counts(
         counted.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= top_k)
         .select(*names, F.col("n_paths").cast("long"), F.col("rank").cast("long"))
+    )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 6,
+    r: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation per series — the seasonality/persistence
+    probe (is traffic hourly-periodic? does an error burst predict the
+    next hour?) over a REGULAR integer-indexed series ``(key, idx,
+    x)``; callers gap-fill first so a missing period is an explicit 0,
+    not a silently skipped lag.
+
+    For each lag ``k`` in 1..``max_lag``: Pearson correlation of the
+    complete pairs ``(x_t, x_{t+k})`` — the pairwise form (each lag's
+    own pair means) rather than the global-mean estimator, so the
+    statistic is a plain correlation with an exact 2-moment closed
+    form: every moment is a sum of small-integer products (exact in
+    double), the final expression is the same IEEE tree on any engine.
+
+    Returns ``(key, lag, n_pairs, acf)``; ``acf`` NULL when either
+    side of a lag's pair set is constant; lags with no complete pairs
+    emit nothing.
+
+    Scale (100 TB): ONE key-keyed shuffle + in-partition sort computes
+    every lag's lead in the same window pass; the per-(key, lag) moment
+    aggregate then collapses map-side.  A key's whole series must fit
+    one task's sort spill (keys are the unit of parallelism — the
+    ``sessionize`` hot-key caveat).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (time-series family).
+    """
+    if max_lag < 1:
+        raise ValueError("acf: max_lag must be >= 1")
+    missing = [c for c in (key_col, idx_col, val_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"acf: unknown columns {missing}")
+    w = Window.partitionBy(key_col).orderBy(F.col(idx_col).asc())
+    x = F.col(val_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        x.alias("_x"),
+        *[
+            F.lead(x, k).over(w).alias(f"_y{k}")
+            for k in range(1, int(max_lag) + 1)
+        ],
+    )
+    pairs = base.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col("_x").alias("x"),
+                        F.col(f"_y{k}").alias("y"),
+                    )
+                    for k in range(1, int(max_lag) + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        "key", "_p.lag", "_p.x", "_p.y"
+    ).where(F.col("y").isNotNull())
+    m = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    va = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vb = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "key",
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.when((va > 0) & (vb > 0), num / F.sqrt(va * vb)), r
+        ).alias("acf"),
     )
