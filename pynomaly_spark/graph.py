@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point"]
+__all__ = ["pagerank_fixed_point", "triangle_count"]
 
 
 def pagerank_fixed_point(
@@ -126,3 +126,90 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering / community-density signal (spam-farm detection in link
+    graphs, cohesion scoring in entity-resolution clusters), and the
+    third classic graph operator beside connected components and
+    PageRank.
+
+    Input is an edge list in ANY form (duplicates, both directions,
+    self-loops); it is canonicalized to distinct undirected pairs
+    first.  The count uses **degree orientation**: every edge is
+    directed from its lower to its higher endpoint under the total
+    order ``(degree, node)``, each triangle then has exactly ONE
+    "apex" node with two out-edges, so the wedge self-join emits every
+    triangle exactly once and — the scale property — a node's
+    out-degree is O(sqrt(|E|)) no matter how skewed the raw degree
+    distribution (a celebrity node's millions of neighbours almost all
+    outrank it, so its wedge fan-out collapses; the classic
+    Schank/Wagner-style bound).
+
+    Returns ``(node, n_triangles)`` for nodes in at least one
+    triangle.  All arithmetic is integer counting — bit-identical on
+    any engine.
+
+    Scale (100 TB): canonicalize (one distinct), degree (one keyed
+    count), orient (two node-keyed joins against the |V|-row degree
+    frame), wedges (one src-keyed self-join bounded by orientation),
+    close (one (v, w)-keyed join against the edge set), attribute (one
+    explode + keyed count).  Every shuffle is keyed; nothing is
+    all-pairs.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (graph analytics family).
+    """
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise ValueError(f"triangle_count: unknown column {c!r}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    o = keyed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    e1 = o.select(
+        F.col("s").alias("apex"), F.col("d").alias("w1"), F.col("dd").alias("k1")
+    )
+    e2 = o.select(
+        F.col("s").alias("apex"), F.col("d").alias("w2"), F.col("dd").alias("k2")
+    )
+    wedges = e1.join(e2, "apex").where(
+        F.struct(F.col("k1"), F.col("w1")) < F.struct(F.col("k2"), F.col("w2"))
+    )
+    closer = o.select(F.col("s").alias("w1"), F.col("d").alias("w2"))
+    tri = wedges.join(closer, ["w1", "w2"]).select("apex", "w1", "w2")
+    return (
+        tri.select(
+            F.explode(
+                F.array(F.col("apex"), F.col("w1"), F.col("w2"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

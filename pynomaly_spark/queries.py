@@ -6084,6 +6084,62 @@ FROM m
 """
 
 
+def q_part_triangles(spark, sf_dir):
+    """Per-part triangle counts (``graph.triangle_count``) over the
+    market-basket co-occurrence graph: parts are connected when they
+    appear in the SAME order.  Degree orientation bounds the wedge
+    fan-out at O(sqrt(|E|)) per node regardless of skew; every shuffle
+    is keyed, nothing is all-pairs, and the whole count is integer
+    arithmetic — bit-identical cross-engine."""
+    from pynomaly_spark.graph import triangle_count
+
+    op = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = op.select(F.col("o"), F.col("p").alias("pa"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = x.join(
+        y, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb"))
+    ).select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return triangle_count(pairs)
+
+
+SQL_PART_TRIANGLES = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+), ori AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg
+         END AS dd
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), wedge AS (
+  SELECT a.s AS apex, a.d AS w1, b.d AS w2
+  FROM ori a JOIN ori b ON a.s = b.s AND (a.dd, a.d) < (b.dd, b.d)
+), tri AS (
+  SELECT wedge.apex, wedge.w1, wedge.w2
+  FROM wedge JOIN ori ON ori.s = wedge.w1 AND ori.d = wedge.w2
+), nodes AS (
+  SELECT apex AS node FROM tri
+  UNION ALL SELECT w1 FROM tri
+  UNION ALL SELECT w2 FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6199,6 +6255,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chi2_terms": q_doc_chi2_terms,
     "lineitem_corr": q_lineitem_corr,
     "events_acf": q_events_acf,
+    "part_triangles": q_part_triangles,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6319,4 +6376,5 @@ ORACLES: Dict[str, str] = {
     "doc_chi2_terms": _chi2_terms_sql(),
     "lineitem_corr": _corr_sql(),
     "events_acf": _acf_sql(),
+    "part_triangles": SQL_PART_TRIANGLES,
 }
