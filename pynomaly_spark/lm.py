@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from .textops import _TOKEN_SPLIT
 
-__all__ = ["unigram_model", "score_unigram_logprob", "dsir_scores"]
+__all__ = [
+    "unigram_model",
+    "score_unigram_logprob",
+    "dsir_scores",
+    "nb_model",
+    "nb_priors",
+    "nb_predict",
+]
 
 
 def _tokens(df: DataFrame, text_col: str, cols: list) -> DataFrame:
@@ -228,4 +235,118 @@ def dsir_scores(
             score.alias("dsir_logratio"),
             (score >= F.lit(keep_threshold)).cast("int").alias("keep_flag"),
         )
+    )
+
+
+def nb_model(
+    train: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes likelihoods from a labelled corpus —
+    aggregation-only supervised training (the counts ARE the model, no
+    gradient loop): per (vocab token, class),
+
+        lp = ln((cnt(token, class) + 1) / (tot_class + V))
+
+    with add-one smoothing, ``tot_class`` the class's token total and
+    ``V`` the train vocabulary size, DENSIFIED to every vocab x class
+    cell so prediction is a single token-keyed join.  Both ln inputs
+    are exact integers, so the one float op per cell is the same IEEE
+    division+log on any engine.
+
+    Returns ``(token, label, lp)``; shared tokenizer
+    (``textops._TOKEN_SPLIT``, lowercased, empty tokens dropped).
+
+    Scale: ONE corpus explode into a (token, label) keyed count; the
+    densify cross join is vocabulary x classes (model-sized, not
+    corpus-sized); class totals and vocab size are tiny broadcast
+    re-aggregates of the count frame.
+    """
+    cnt = (
+        _tokens(train, text_col, [label_col])
+        .groupBy(F.col("_t").alias("token"), F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vocab = cnt.select("token").distinct()
+    classes = cnt.groupBy("label").agg(F.sum("_c").alias("_tot"))
+    v = vocab.agg(F.count(F.lit(1)).alias("_V"))
+    dense = (
+        vocab.crossJoin(F.broadcast(classes))
+        .join(cnt, ["token", "label"], "left")
+        .crossJoin(F.broadcast(v))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("_c"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("_tot") + F.col("_V")).cast("double")
+    )
+    return dense.select("token", "label", lp.alias("lp"))
+
+
+def nb_priors(
+    train: DataFrame, label_col: str = "lang"
+) -> DataFrame:
+    """Class log-priors ``(label, lp0)`` with ``lp0 = ln(n_c / n)`` —
+    exact integer inputs, one IEEE division+log per class."""
+    c = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    n = train.agg(F.count(F.lit(1)).alias("_n"))
+    return c.crossJoin(F.broadcast(n)).select(
+        "label",
+        F.log(
+            F.col("_nc").cast("double") / F.col("_n").cast("double")
+        ).alias("lp0"),
+    )
+
+
+def nb_predict(
+    df: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    r: int = 6,
+) -> DataFrame:
+    """Score and classify documents under a frozen Naive Bayes model:
+    per (doc, class) ``score = round(lp0 + Σ tf·lp, 6)`` over the
+    doc's IN-VOCABULARY tokens (out-of-vocabulary tokens are skipped —
+    the bounded-vocab deployment convention; a doc with no in-vocab
+    tokens emits no row), prediction = argmax with the engine-stable
+    ``(rounded score DESC, label ASC)`` ordering so a last-ulp float
+    divergence can never flip the winner.
+
+    Returns ``(id_col, pred, score)``.
+
+    Scale: tf is one doc-keyed aggregate of the exploded corpus; the
+    scoring join is token-keyed against the |V|·|C|-row model (hot-token
+    skew: pre-split the model as in ``score_unigram_logprob`` if the
+    vocabulary head dominates); the per-(doc, class) rollup and the
+    per-doc argmax window both shuffle on the doc key.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        _tokens(df, text_col, [id_col])
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    scored = (
+        tf.join(model, tf["_t"] == model["token"])
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("_tf") * F.col("lp")).alias("_s"))
+        .join(F.broadcast(priors), "label")
+        .select(
+            id_col,
+            "label",
+            F.round(F.col("lp0") + F.col("_s"), r).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, F.col("label").alias("pred"), "score")
     )

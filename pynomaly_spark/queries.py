@@ -6140,6 +6140,101 @@ FROM nodes GROUP BY 1
 """
 
 
+_NB_FRACTIONS = {"train": 0.8, "test": 0.2}
+_NB_SALT = "nb"
+
+
+def q_doc_nb_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes train/evaluate round trip
+    (``lm.nb_model`` / ``nb_priors`` / ``nb_predict``): deterministic
+    80/20 md5 split, aggregation-only training (the (token, lang)
+    counts ARE the model), frozen-model scoring of the holdout, and
+    the confusion matrix ``(lang, pred, n_docs)`` — integer counts, so
+    the evaluation hashes cross-engine; the per-doc argmax orders by
+    the 6-dp-rounded score with a label tiebreak so last-ulp ln()
+    divergence can never flip a prediction."""
+    from pynomaly_spark.lm import nb_model, nb_predict, nb_priors
+    from pynomaly_spark.sampling import split_assign
+
+    d = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+        .withColumn(
+            "_part", split_assign("doc_id", _NB_FRACTIONS, salt=_NB_SALT)
+        )
+    )
+    train = d.where(F.col("_part") == "train")
+    test = d.where(F.col("_part") == "test")
+    pred = nb_predict(
+        test, nb_model(train, "text", "lang"), nb_priors(train, "lang")
+    )
+    return (
+        pred.join(test.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _nb_confusion_sql() -> str:
+    from .sampling import split_thresholds
+    from .textops import _TOKEN_SPLIT
+
+    (train_lbl, thresh), _ = split_thresholds(_NB_FRACTIONS)
+    assert train_lbl == "train"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, lower(text) AS t,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':{_NB_SALT}'),
+                           1, 8) < '{thresh}'
+              THEN 'train' ELSE 'test' END AS part
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, lang, part,
+         unnest(string_split_regex(t, '{_TOKEN_SPLIT}')) AS token
+  FROM d
+), tok2 AS (
+  SELECT * FROM tok WHERE token <> ''
+), cnt AS (
+  SELECT token, lang AS label, CAST(count(*) AS BIGINT) AS c
+  FROM tok2 WHERE part = 'train' GROUP BY 1, 2
+), vocab AS (SELECT DISTINCT token FROM cnt),
+vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+classes AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+model AS (
+  SELECT vocab.token, classes.label,
+         ln((CAST(coalesce(cnt.c, 0) AS DOUBLE) + 1.0)
+            / CAST(classes.tot + vsize.v AS DOUBLE)) AS lp
+  FROM vocab CROSS JOIN classes CROSS JOIN vsize
+  LEFT JOIN cnt ON cnt.token = vocab.token AND cnt.label = classes.label
+), pri AS (
+  SELECT label, ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) AS lp0
+  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS nc
+        FROM d WHERE part = 'train' GROUP BY 1)
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+              FROM d WHERE part = 'train')
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 WHERE part = 'test' GROUP BY 1, 2
+), scored AS (
+  SELECT tf.doc_id, m.label,
+         round(any_value(pri.lp0) + sum(tf.tf * m.lp), 6) AS score
+  FROM tf JOIN model m ON m.token = tf.token
+  JOIN pri ON pri.label = m.label
+  GROUP BY 1, 2
+), pred AS (
+  SELECT doc_id, label AS pred FROM (
+    SELECT scored.*, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT d.lang, pred.pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred JOIN d ON d.doc_id = pred.doc_id
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6256,6 +6351,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_corr": q_lineitem_corr,
     "events_acf": q_events_acf,
     "part_triangles": q_part_triangles,
+    "doc_nb_confusion": q_doc_nb_confusion,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6377,4 +6473,5 @@ ORACLES: Dict[str, str] = {
     "lineitem_corr": _corr_sql(),
     "events_acf": _acf_sql(),
     "part_triangles": SQL_PART_TRIANGLES,
+    "doc_nb_confusion": _nb_confusion_sql(),
 }
