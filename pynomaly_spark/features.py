@@ -40,6 +40,8 @@ __all__ = [
     "decayed_sum",
     "pivot_agg",
     "ols_fit",
+    "ols_moments",
+    "ols_solve",
 ]
 
 
@@ -475,75 +477,73 @@ def quantile_bins(
     )
 
 
-def ols_fit(
+def ols_moments(
     df: DataFrame,
     x_cols,
     y_col: str,
-    r: int = 6,
 ) -> DataFrame:
-    """Distributed ordinary-least-squares fit via SUFFICIENT STATISTICS
-    — the aggregation-only form of linear-model training: one pass
-    computes the normal-equation moments (n, Σx_i, Σx_i·x_j, Σx_i·y,
-    Σy, Σy²) as plain aggregates, and the closed-form solve runs on
-    that single row.  No gradient loop, no driver-side matrix library,
-    no second scan — the 100-TB shape for any model with a closed-form
-    or moment-based estimator.
-
-    Supports 1 or 2 features (Cramer's rule on the 2×2 / 3×3 normal
-    matrix written as explicit expressions — the determinant form is
-    the SAME arithmetic on any engine).  Returns one row:
-    ``n, intercept, beta_<x> per feature, r2`` — coefficients and R²
-    rounded to ``r`` dp (the float boundary; the moments themselves
-    are engine-ordered sums, so the twin must aggregate the SAME
-    rounded inputs — callers pin exactness by passing integer-valued
-    columns, e.g. cents or counts, where float sums are exact until
-    2^53).
-
-    Rows with any NULL among the used columns are dropped (complete-
-    case fitting).  Degenerate designs (singular normal matrix, e.g. a
-    constant feature) return NULL coefficients rather than raising —
-    detectable downstream, mergeable with a coalesce gate.
-
-    Scale (100 TB): ONE map-side-combined aggregate over the input —
-    the whole fit shuffles a single row of moments.  To fit per group,
-    add the group key to the aggregate; to fit incrementally, merge
-    moment rows with ``cdc.merge_aggs`` (all sums) and re-solve.
-
-    Reference parity: no counterpart in /root/reference/PyNomaly —
-    engine addition (ML-pipeline family).
-    """
+    """The OLS sufficient-statistic row: n and every first/second
+    moment of (x_1[, x_2], y) as ONE map-side-combined aggregate —
+    the mergeable training state behind :func:`ols_fit` (sums merge by
+    addition, so moment rows from shards / micro-batches combine
+    exactly; see ``streaming.streaming_ols_moments``).  Complete-case:
+    rows with a NULL in any used column are dropped.  Columns:
+    ``n, s1, s11, sy, syy, s1y`` (+ ``s2, s12, s22, s2y`` for two
+    features)."""
     x_cols = list(x_cols)
     if len(x_cols) not in (1, 2):
         raise ValueError(
-            f"ols_fit: 1 or 2 features supported, got {len(x_cols)}"
+            f"ols: 1 or 2 features supported, got {len(x_cols)}"
         )
     missing = [c for c in (*x_cols, y_col) if c not in df.columns]
     if missing:
-        raise ValueError(f"ols_fit: unknown columns {missing}")
+        raise ValueError(f"ols: unknown columns {missing}")
     cond = F.col(y_col).isNotNull()
     for c in x_cols:
         cond = cond & F.col(c).isNotNull()
     src = df.where(cond)
     y = F.col(y_col).cast("double")
+    x1 = F.col(x_cols[0]).cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x1 * y).alias("s1y"),
+    ]
+    if len(x_cols) == 2:
+        x2 = F.col(x_cols[1]).cast("double")
+        aggs += [
+            F.sum(x2).alias("s2"),
+            F.sum(x1 * x2).alias("s12"),
+            F.sum(x2 * x2).alias("s22"),
+            F.sum(x2 * y).alias("s2y"),
+        ]
+    return src.agg(*aggs)
+
+
+def ols_solve(
+    m: DataFrame,
+    x_cols,
+    r: int = 6,
+) -> DataFrame:
+    """Closed-form normal-equation solve on a single
+    :func:`ols_moments` row (Cramer's rule on the 2x2 / 3x3 normal
+    matrix as explicit expressions — the SAME arithmetic on any
+    engine).  Returns ``n, intercept, beta_<x> per feature, r2``
+    rounded to ``r`` dp; singular designs yield NULL coefficients."""
+    x_cols = list(x_cols)
     if len(x_cols) == 1:
-        x = F.col(x_cols[0]).cast("double")
-        m = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(y).alias("sy"),
-            F.sum(y * y).alias("syy"),
-            F.sum(x * y).alias("sxy"),
-        )
-        det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        det = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
         beta = (
-            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+            F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")
         ) / det
-        alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+        alpha = (F.col("sy") - beta * F.col("s1")) / F.col("n")
         sse = (
             F.col("syy")
             - alpha * F.col("sy")
-            - beta * F.col("sxy")
+            - beta * F.col("s1y")
         )
         sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
         safe = det != 0
@@ -555,24 +555,11 @@ def ols_fit(
                 F.when(safe & (sst != 0), 1 - sse / sst), r
             ).alias("r2"),
         )
-    x1 = F.col(x_cols[0]).cast("double")
-    x2 = F.col(x_cols[1]).cast("double")
-    m = src.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x1).alias("s1"),
-        F.sum(x2).alias("s2"),
-        F.sum(x1 * x1).alias("s11"),
-        F.sum(x1 * x2).alias("s12"),
-        F.sum(x2 * x2).alias("s22"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x1 * y).alias("s1y"),
-        F.sum(x2 * y).alias("s2y"),
-    )
     # 3x3 normal matrix [[n s1 s2][s1 s11 s12][s2 s12 s22]] solved by
     # Cramer; the expression tree is written ONCE and mirrored verbatim
     # in the SQL twin so both engines evaluate the identical float ops
-    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1"), F.col("s2")
     s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
     sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
     syy = F.col("syy")
@@ -607,3 +594,46 @@ def ols_fit(
         F.round(F.when(safe, b2), r).alias(f"beta_{x_cols[1]}"),
         F.round(F.when(safe & (sst != 0), 1 - sse / sst), r).alias("r2"),
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    x_cols,
+    y_col: str,
+    r: int = 6,
+) -> DataFrame:
+    """Distributed ordinary-least-squares fit via SUFFICIENT STATISTICS
+    — the aggregation-only form of linear-model training: one pass
+    computes the normal-equation moments (n, Σx_i, Σx_i·x_j, Σx_i·y,
+    Σy, Σy²) as plain aggregates (:func:`ols_moments`), and the
+    closed-form solve (:func:`ols_solve`) runs on that single row.  No
+    gradient loop, no driver-side matrix library, no second scan — the
+    100-TB shape for any model with a closed-form or moment-based
+    estimator.
+
+    Supports 1 or 2 features (Cramer's rule on the 2×2 / 3×3 normal
+    matrix written as explicit expressions — the determinant form is
+    the SAME arithmetic on any engine).  Returns one row:
+    ``n, intercept, beta_<x> per feature, r2`` — coefficients and R²
+    rounded to ``r`` dp (the float boundary; the moments themselves
+    are engine-ordered sums, so the twin must aggregate the SAME
+    rounded inputs — callers pin exactness by passing integer-valued
+    columns, e.g. cents or counts, where float sums are exact until
+    2^53).
+
+    Rows with any NULL among the used columns are dropped (complete-
+    case fitting).  Degenerate designs (singular normal matrix, e.g. a
+    constant feature) return NULL coefficients rather than raising —
+    detectable downstream, mergeable with a coalesce gate.
+
+    Scale (100 TB): ONE map-side-combined aggregate over the input —
+    the whole fit shuffles a single row of moments.  To fit per group,
+    add the group key to the aggregate; to fit incrementally, merge
+    moment rows by addition and re-solve (``ols_moments`` /
+    ``streaming.streaming_ols_moments``).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (ML-pipeline family).
+    """
+    x_cols = list(x_cols)
+    return ols_solve(ols_moments(df, x_cols, y_col), x_cols, r)

@@ -55,6 +55,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_latest_state",
     "streaming_cms",
+    "streaming_ols_moments",
 ]
 
 
@@ -648,3 +649,29 @@ def streaming_cms(
         )
         .agg(F.count(F.lit(1)).alias("cell_n"))
     )
+
+
+def streaming_ols_moments(
+    stream_df: DataFrame,
+    x_cols,
+    y_col: str,
+) -> DataFrame:
+    """Continuously-maintained OLS sufficient statistics — linear-model
+    TRAINING as a streaming aggregate: the normal-equation moments
+    (``features.ols_moments``) are pure sums, so each micro-batch's
+    partial moments merge into the state by addition and the state is
+    ONE row regardless of stream length.  No watermark — a model fit
+    is a total-history aggregate (there is no "too late" training
+    row).  Run in complete mode; serve coefficients by applying
+    ``features.ols_solve`` to the latest sink snapshot (the batch
+    ``ols_fit`` over the landed history is the parity oracle — exact
+    when the regression inputs are integer-valued, the ``ols_fit``
+    contract).
+
+    This is the streaming counterpart of the IVM discipline in
+    ``cdc.merge_aggs``: merge(agg(base), agg(delta)) == agg(base+delta)
+    because every statistic is a sum.
+    """
+    from .features import ols_moments
+
+    return ols_moments(stream_df, x_cols, y_col)

@@ -665,3 +665,51 @@ def test_streaming_cms_validates(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError, match="bad shape"):
         streaming_cms(ev, "user_id", depth=0)
+
+
+def test_streaming_ols_matches_batch(spark, tmp_path):
+    """Streaming OLS moments: the complete-mode one-row state over the
+    replayed document stream must equal the batch moment row EXACTLY
+    (integer-valued regression inputs -> exact sums -> additive merge
+    is lossless), and solving the snapshot must reproduce ols_fit."""
+    import pandas as pd
+
+    from pynomaly_spark.features import ols_fit, ols_moments, ols_solve
+    from pynomaly_spark.streaming import streaming_ols_moments
+
+    doc = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("n_chars").alias("chars"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("tokens"),
+        )
+    )
+    in_dir = str(tmp_path / "ols_in")
+    doc.repartition(4).write.mode("overwrite").parquet(in_dir)
+    landed = spark.read.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(landed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_ols_moments(stream, ["chars"], "tokens")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ols_moments")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.sql("SELECT * FROM ols_moments")
+    got_m = snap.collect()[0].asDict()
+    want_m = ols_moments(landed, ["chars"], "tokens").collect()[0].asDict()
+    assert got_m == want_m  # exact: integer-valued inputs
+
+    got_fit = ols_solve(snap, ["chars"]).toPandas()
+    want_fit = ols_fit(landed, ["chars"], "tokens").toPandas()
+    pd.testing.assert_frame_equal(got_fit, want_fit)
+    assert want_fit["r2"][0] is not None
