@@ -481,6 +481,7 @@ def ols_moments(
     df: DataFrame,
     x_cols,
     y_col: str,
+    by=(),
 ) -> DataFrame:
     """The OLS sufficient-statistic row: n and every first/second
     moment of (x_1[, x_2], y) as ONE map-side-combined aggregate —
@@ -489,13 +490,15 @@ def ols_moments(
     exactly; see ``streaming.streaming_ols_moments``).  Complete-case:
     rows with a NULL in any used column are dropped.  Columns:
     ``n, s1, s11, sy, syy, s1y`` (+ ``s2, s12, s22, s2y`` for two
-    features)."""
+    features); ``by`` keys the aggregate for per-group fitting (one
+    moment row per group, still a single map-side-combined pass)."""
     x_cols = list(x_cols)
     if len(x_cols) not in (1, 2):
         raise ValueError(
             f"ols: 1 or 2 features supported, got {len(x_cols)}"
         )
-    missing = [c for c in (*x_cols, y_col) if c not in df.columns]
+    by = list(by)
+    missing = [c for c in (*x_cols, y_col, *by) if c not in df.columns]
     if missing:
         raise ValueError(f"ols: unknown columns {missing}")
     cond = F.col(y_col).isNotNull()
@@ -520,6 +523,8 @@ def ols_moments(
             F.sum(x2 * x2).alias("s22"),
             F.sum(x2 * y).alias("s2y"),
         ]
+    if by:
+        return src.groupBy(*by).agg(*aggs)
     return src.agg(*aggs)
 
 
@@ -527,13 +532,17 @@ def ols_solve(
     m: DataFrame,
     x_cols,
     r: int = 6,
+    by=(),
 ) -> DataFrame:
     """Closed-form normal-equation solve on a single
     :func:`ols_moments` row (Cramer's rule on the 2x2 / 3x3 normal
     matrix as explicit expressions — the SAME arithmetic on any
     engine).  Returns ``n, intercept, beta_<x> per feature, r2``
-    rounded to ``r`` dp; singular designs yield NULL coefficients."""
+    rounded to ``r`` dp; singular designs yield NULL coefficients.
+    ``by`` carries group-key columns through (per-group solve on a
+    grouped moment frame)."""
     x_cols = list(x_cols)
+    by = list(by)
     if len(x_cols) == 1:
         det = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
         beta = (
@@ -548,6 +557,7 @@ def ols_solve(
         sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
         safe = det != 0
         return m.select(
+            *by,
             F.col("n").cast("long").alias("n"),
             F.round(F.when(safe, alpha), r).alias("intercept"),
             F.round(F.when(safe, beta), r).alias(f"beta_{x_cols[0]}"),
@@ -588,6 +598,7 @@ def ols_solve(
     sst = syy - sy * sy / n
     safe = det != 0
     return m.select(
+        *by,
         F.col("n").cast("long").alias("n"),
         F.round(F.when(safe, alpha), r).alias("intercept"),
         F.round(F.when(safe, b1), r).alias(f"beta_{x_cols[0]}"),
@@ -601,6 +612,7 @@ def ols_fit(
     x_cols,
     y_col: str,
     r: int = 6,
+    by=(),
 ) -> DataFrame:
     """Distributed ordinary-least-squares fit via SUFFICIENT STATISTICS
     — the aggregation-only form of linear-model training: one pass
@@ -636,4 +648,5 @@ def ols_fit(
     engine addition (ML-pipeline family).
     """
     x_cols = list(x_cols)
-    return ols_solve(ols_moments(df, x_cols, y_col), x_cols, r)
+    by = list(by)
+    return ols_solve(ols_moments(df, x_cols, y_col, by=by), x_cols, r, by=by)

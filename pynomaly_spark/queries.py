@@ -6235,6 +6235,54 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_ols_by_lang(spark, sf_dir):
+    """Per-group model training (``features.ols_fit`` with ``by``):
+    one simple regression (tokens ~ chars) PER LANGUAGE in a single
+    grouped moment aggregate — the shuffle is one row per group, the
+    closed-form solve runs on each group's moment row.  Integer-valued
+    inputs keep every moment sum exact; the twin mirrors the 1-feature
+    Cramer tree per group."""
+    from pynomaly_spark.features import ols_fit
+
+    doc = (
+        _tbl(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.col("n_chars").alias("chars"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("tokens"),
+        )
+    )
+    return ols_fit(doc, ["chars"], "tokens", by=["lang"])
+
+
+SQL_DOC_OLS_BY_LANG = """
+WITH src AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS y
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS s1, sum(x * x) AS s11,
+         sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS s1y
+  FROM src GROUP BY lang
+), solved AS (
+  SELECT lang, n, sy, s1y, syy, s1,
+         n * s11 - s1 * s1 AS det,
+         (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS beta
+  FROM m
+)
+SELECT lang, n,
+       round(CASE WHEN det <> 0
+             THEN (sy - beta * s1) / n END, 6) AS intercept,
+       round(CASE WHEN det <> 0 THEN beta END, 6) AS beta_chars,
+       round(CASE WHEN det <> 0 AND (syy - sy * sy / n) <> 0
+             THEN 1 - (syy - ((sy - beta * s1) / n) * sy - beta * s1y)
+                      / (syy - sy * sy / n) END, 6) AS r2
+FROM solved
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6352,6 +6400,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf": q_events_acf,
     "part_triangles": q_part_triangles,
     "doc_nb_confusion": q_doc_nb_confusion,
+    "doc_ols_by_lang": q_doc_ols_by_lang,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6474,4 +6523,5 @@ ORACLES: Dict[str, str] = {
     "events_acf": _acf_sql(),
     "part_triangles": SQL_PART_TRIANGLES,
     "doc_nb_confusion": _nb_confusion_sql(),
+    "doc_ols_by_lang": SQL_DOC_OLS_BY_LANG,
 }

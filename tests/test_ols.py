@@ -80,3 +80,31 @@ def test_ols_is_one_aggregate(spark):
     # one map-side-combined aggregate: a single exchange, partial aggs
     assert plan.count("Exchange") == 1
     assert "partial_" in plan
+
+
+def test_ols_grouped_matches_per_slice(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    for g, slope in (("a", 2.0), ("b", -1.0)):
+        x = rng.integers(1, 300, 120).astype(float)
+        y = slope * x + 10 + rng.integers(0, 20, 120)
+        rows += [(g, float(a), float(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x1 double, y double")
+    got = {
+        r["g"]: r
+        for r in ols_fit(df, ["x1"], "y", by=["g"]).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for g in ("a", "b"):
+        sl = [(a, b) for gg, a, b in rows if gg == g]
+        X = np.column_stack([np.ones(len(sl)), [a for a, _ in sl]])
+        coef = np.linalg.lstsq(X, np.array([b for _, b in sl]), rcond=None)[0]
+        assert got[g]["n"] == 120
+        assert got[g]["intercept"] == pytest.approx(coef[0], abs=2e-5)
+        assert got[g]["beta_x1"] == pytest.approx(coef[1], abs=2e-6)
+    # grouped moments still one exchange (single grouped aggregate)
+    plan = (
+        ols_fit(df, ["x1"], "y", by=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
