@@ -6283,6 +6283,51 @@ FROM solved
 """
 
 
+_RRF_K0, _RRF_TOPK = 60, 10
+
+
+def q_emb_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval fusion (``retrieval.rrf_fuse``): reciprocal-
+    rank fusion of two backends over the same queries — the exact
+    brute-force cosine ranking and the PQ/ADC compressed-domain
+    ranking.  Every RRF term is one IEEE division of exact integers in
+    a fixed-order sum (no aggregate), so the fused ordering is
+    bit-identical cross-engine; fusion runs on candidate lists only,
+    never the corpus."""
+    from pynomaly_spark.retrieval import rrf_fuse
+
+    return rrf_fuse(
+        [q_ann_cosine_topk(spark, sf_dir), q_emb_pq_adc(spark, sf_dir)],
+        k0=_RRF_K0,
+        top_k=_RRF_TOPK,
+    )
+
+
+def _rrf_fusion_sql() -> str:
+    return f"""
+WITH ranking_a AS (
+  SELECT * FROM ({SQL_ANN_COSINE_TOPK})
+), ranking_b AS (
+  SELECT * FROM ({_pq_adc_sql()})
+), fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         coalesce(CAST(1 AS DOUBLE) / ({_RRF_K0} + a.rnk), 0)
+           + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K0} + b.rnk), 0) AS s
+  FROM ranking_a a
+  FULL JOIN ranking_b b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+       round(s, 6) AS rrf_score
+FROM (
+  SELECT fused.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rnk
+  FROM fused
+) WHERE rnk <= {_RRF_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6401,6 +6446,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_triangles": q_part_triangles,
     "doc_nb_confusion": q_doc_nb_confusion,
     "doc_ols_by_lang": q_doc_ols_by_lang,
+    "emb_rrf_fusion": q_emb_rrf_fusion,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6524,4 +6570,5 @@ ORACLES: Dict[str, str] = {
     "part_triangles": SQL_PART_TRIANGLES,
     "doc_nb_confusion": _nb_confusion_sql(),
     "doc_ols_by_lang": SQL_DOC_OLS_BY_LANG,
+    "emb_rrf_fusion": _rrf_fusion_sql(),
 }

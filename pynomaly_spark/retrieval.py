@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from .similarity import two_phase_topk
 from .textops import _TOKEN_SPLIT
 
-__all__ = ["bm25_topk", "build_postings"]
+__all__ = ["bm25_topk", "build_postings", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -229,4 +229,87 @@ def build_postings(
         F.col("cf").cast("long").alias("cf"),
         F.col("n_postings").cast("long").alias("n_postings"),
         "postings",
+    )
+
+
+def rrf_fuse(
+    rankings,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+    k0: int = 60,
+    top_k: int = 10,
+    r: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings — the standard
+    hybrid-search combiner (lexical BM25 + vector ANN, or any mix of
+    retrieval backends): a document's fused score is
+
+        rrf = Σ_i 1 / (k0 + rank_i)        (k0 = 60, Cormack et al.)
+
+    summing only over rankings that returned it.  Every term is one
+    IEEE division of exact integers and the sum is a FIXED-ORDER
+    two-plus-term expression (not an aggregate), so the fused score is
+    bit-identical on any engine — ties then break on the document id.
+
+    Input: a list of DataFrames each ``(query_col, doc_col,
+    rank_col)`` with dense integer ranks starting at 1 (the shape
+    every ``*_topk`` operator here emits).  Returns ``(query_col,
+    rnk, doc_col, rrf_score)`` — the fused top-``top_k`` per query,
+    score rounded to ``r`` dp for display (ranking uses the exact
+    value).
+
+    Scale: fusion runs on CANDIDATE LISTS (top-k per query), never the
+    corpus — the full-outer joins and the per-query window each see at
+    most Σ_i k_i rows per query, so the whole operator is
+    candidate-set-sized regardless of corpus scale.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (retrieval family, beside ``bm25_topk``).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    rankings = list(rankings)
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least 2 rankings")
+    if k0 < 1:
+        raise ValueError(f"rrf_fuse: k0 must be >= 1, got {k0}")
+    renamed = []
+    for i, rdf in enumerate(rankings):
+        missing = [
+            c for c in (query_col, doc_col, rank_col) if c not in rdf.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"rrf_fuse: ranking {i} lacks columns {missing}"
+            )
+        renamed.append(
+            rdf.select(
+                F.col(query_col).alias("_q"),
+                F.col(doc_col).alias("_d"),
+                F.col(rank_col).alias(f"_r{i}"),
+            )
+        )
+    j = reduce(lambda a, b: a.join(b, ["_q", "_d"], "full"), renamed)
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("_q").orderBy(
+        F.desc(score), F.asc(F.col("_d"))
+    )
+    return (
+        j.withColumn("_rrf", score)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(top_k))
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_rk").cast("long").alias("rnk"),
+            F.col("_d").alias(doc_col),
+            F.round(F.col("_rrf"), r).alias("rrf_score"),
+        )
     )
