@@ -6328,6 +6328,54 @@ FROM (
 """
 
 
+def q_part_skyline(spark, sf_dir):
+    """Pareto frontier (``skyline.skyline_2d``) over the part catalog:
+    minimize price, maximize size — the multi-objective shortlist
+    ("cheapest part at every size class").  Prices are fixed to exact
+    integer cents first, so dominance is pure integer comparison;
+    bucket-local frontiers run in parallel windows and only the tiny
+    survivor union hits the final single-partition pass.  The DuckDB
+    twin is the brute-force NOT EXISTS definition — the two very
+    different plans agreeing IS the exactness proof."""
+    from pynomaly_spark.skyline import skyline_2d
+
+    p = _tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    res = skyline_2d(p, "price_cents", "size", "p_partkey")
+    return res.select(
+        F.col("lo").alias("price_cents"),
+        F.col("hi").alias("size"),
+        F.col("n_dup").alias("n_parts"),
+        F.col("id_min").cast("long").alias("first_partkey"),
+    )
+
+
+SQL_PART_SKYLINE = """
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS lo,
+         CAST(p_size AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS n_dup,
+         CAST(min(p_partkey) AS BIGINT) AS id_min
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT p.lo AS price_cents, p.hi AS size, p.n_dup AS n_parts,
+       p.id_min AS first_partkey
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.lo <= p.lo AND q.hi >= p.hi
+    AND (q.lo < p.lo OR q.hi > p.hi)
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6447,6 +6495,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_nb_confusion": q_doc_nb_confusion,
     "doc_ols_by_lang": q_doc_ols_by_lang,
     "emb_rrf_fusion": q_emb_rrf_fusion,
+    "part_skyline": q_part_skyline,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6571,4 +6620,5 @@ ORACLES: Dict[str, str] = {
     "doc_nb_confusion": _nb_confusion_sql(),
     "doc_ols_by_lang": SQL_DOC_OLS_BY_LANG,
     "emb_rrf_fusion": _rrf_fusion_sql(),
+    "part_skyline": SQL_PART_SKYLINE,
 }
