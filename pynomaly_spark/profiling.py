@@ -60,6 +60,8 @@ __all__ = [
     "cms_estimate",
     "benford_profile",
     "cms_join_cardinality",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -717,3 +719,124 @@ def corr_matrix(
         "n",
         F.col("_p.corr").alias("corr"),
     )
+
+
+def _bloom_pos(key_col, j: int, m_bits: int):
+    """Bit position of hash ``j`` for a key: md5 48-bit prefix mod m —
+    the same seedless cross-engine hash device as the CMS (md5 is
+    bit-identical in Spark and DuckDB)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), key_col.cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter of ``key_col`` membership: ``word, bits`` with at
+    most ``m_bits / 32`` rows — the runtime-filter side of a join.
+
+    This is Spark's own InjectRuntimeFilter / DPP trick made explicit
+    and ENGINE-PORTABLE: build the filter over the small (already
+    filtered) side, broadcast it, and drop non-matching rows of the
+    100-TB side map-side BEFORE the shuffle.  A Bloom miss is definite
+    (the key is NOT in the set — zero false negatives); a hit means
+    "maybe" with false-positive rate ≈ (1 - e^(-kn/m))^k, so the probe
+    is a PRE-FILTER that never changes results, only shuffle volume.
+
+    Layout: 32-bit words stored in BIGINTs (bit 31 max ⇒ masks stay
+    positive — BIGINT shift-overflow semantics differ across engines,
+    so no bit ever nears the sign position).  Bit positions come from
+    ``k_hashes`` independent md5 hashes (seedless, reproducible by any
+    engine — unlike Spark's builtin ``bloom_filter_agg`` whose binary
+    layout is JVM-private).  ``bit_or`` aggregation is
+    order-independent, hence bit-identical on any partitioning.
+
+    Scale (100 TB): the ×k explode happens map-side and ``bit_or``
+    combines map-side down to ≤ m/32 rows per partition — the shuffle
+    carries the filter, not the data.  NULL keys are dropped (NULL
+    joins nothing).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (join pruning / profiling family).
+    """
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError(f"bloom_build: m_bits must be a multiple of 32")
+    if k_hashes < 1:
+        raise ValueError(f"bloom_build: k_hashes must be >= 1")
+    if key_col not in df.columns:
+        raise ValueError(f"bloom_build: unknown column {key_col}")
+    pos = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(F.col(key_col), j, m_bits)
+                        for j in range(k_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+    )
+    return (
+        pos.select(
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe a ``bloom_build`` sketch: ``<key>, bloom_maybe`` where
+    ``bloom_maybe = 1`` iff ALL ``k_hashes`` bits are set (0 is a
+    DEFINITE non-member; 1 is "maybe", false positives possible).
+
+    The sketch is ≤ m/32 rows — broadcast by construction — so probing
+    is a map-side broadcast join plus a per-key MIN: the big probe side
+    is never shuffled beyond its own aggregate.  A word no key ever
+    touched is absent from the sketch; its bits coalesce to 0 (miss).
+    """
+    if key_col not in probes.columns:
+        raise ValueError(f"bloom_probe: unknown column {key_col}")
+    probed = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(key_col), j, m_bits)
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        key_col,
+        F.expr("pos div 32").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("_m"),
+    )
+    joined = probed.join(
+        F.broadcast(sketch.limit(m_bits // 32)), ["word"], "left"
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+            F.col("_m")
+        )
+        == F.col("_m")
+    ).cast("long")
+    return joined.groupBy(key_col).agg(F.min(hit).alias("bloom_maybe"))

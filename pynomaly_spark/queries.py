@@ -6376,6 +6376,105 @@ WHERE NOT EXISTS (
 """
 
 
+_BLOOM_M = 1024
+_BLOOM_K = 3
+_BLOOM_SEG = "BUILDING"
+
+
+def q_orders_bloom(spark, sf_dir):
+    """Bloom-filter join pruning (``profiling.bloom_build`` /
+    ``bloom_probe``): build a 1024-bit / 3-hash filter over the
+    filtered dimension side (BUILDING-segment customers), probe every
+    distinct orders custkey, and audit the filter against exact
+    membership.  The sketch aggregate collapses map-side to ≤32 words
+    and broadcasts to the probe — the explicit, engine-portable form
+    of Spark's runtime bloom filter.  Guarantee under test: zero false
+    negatives (``is_member=1 ⇒ bloom_maybe=1``); false positives are
+    counted, never hidden.  All md5/bit integer ops — bit-identical
+    cross-engine."""
+    from pynomaly_spark.profiling import bloom_build, bloom_probe
+
+    members = (
+        _tbl(spark, sf_dir, "customer")
+        .where(
+            (F.col("c_mktsegment") == _BLOOM_SEG)
+            & F.col("c_custkey").isNotNull()
+        )
+        .select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+    )
+    sketch = bloom_build(
+        members, "custkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    probes = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    maybe = bloom_probe(
+        sketch, probes, "custkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    flagged = probes.join(
+        F.broadcast(members.withColumn("_mem", F.lit(1))), "custkey", "left"
+    )
+    return (
+        maybe.join(flagged, "custkey")
+        .select(
+            F.col("custkey").cast("long").alias("custkey"),
+            F.col("bloom_maybe").cast("long").alias("bloom_maybe"),
+            F.coalesce(F.col("_mem"), F.lit(0)).cast("long").alias(
+                "is_member"
+            ),
+            (
+                (F.col("bloom_maybe") == 1) & F.col("_mem").isNull()
+            ).cast("long").alias("false_pos"),
+        )
+    )
+
+
+SQL_ORDERS_BLOOM = f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey AS custkey, CAST(c_custkey AS VARCHAR) AS k
+  FROM customer
+  WHERE c_mktsegment = '{_BLOOM_SEG}' AND c_custkey IS NOT NULL
+), hs AS (SELECT unnest(range({_BLOOM_K})) AS j),
+bpos AS (
+  SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)
+           AS BIGINT) % {_BLOOM_M} AS pos
+  FROM members, hs
+), words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+), probes AS (
+  SELECT DISTINCT o_custkey AS custkey, CAST(o_custkey AS VARCHAR) AS k
+  FROM orders WHERE o_custkey IS NOT NULL
+), ppos AS (
+  SELECT custkey,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)
+           AS BIGINT) % {_BLOOM_M} AS pos
+  FROM probes, hs
+), hits AS (
+  SELECT p.custkey,
+         min(CASE WHEN coalesce(w.bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+                    = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM ppos p LEFT JOIN words w ON w.word = p.pos // 32
+  GROUP BY 1
+)
+SELECT h.custkey AS custkey,
+       CAST(h.maybe AS BIGINT) AS bloom_maybe,
+       CAST(CASE WHEN m.custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_member,
+       CAST(CASE WHEN h.maybe = 1 AND m.custkey IS NULL THEN 1 ELSE 0 END
+         AS BIGINT) AS false_pos
+FROM hits h
+LEFT JOIN (SELECT custkey FROM members) m ON m.custkey = h.custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6496,6 +6595,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ols_by_lang": q_doc_ols_by_lang,
     "emb_rrf_fusion": q_emb_rrf_fusion,
     "part_skyline": q_part_skyline,
+    "orders_bloom": q_orders_bloom,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6621,4 +6721,5 @@ ORACLES: Dict[str, str] = {
     "doc_ols_by_lang": SQL_DOC_OLS_BY_LANG,
     "emb_rrf_fusion": _rrf_fusion_sql(),
     "part_skyline": SQL_PART_SKYLINE,
+    "orders_bloom": SQL_ORDERS_BLOOM,
 }

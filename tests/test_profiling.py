@@ -284,3 +284,69 @@ def test_kmv_per_group_and_validation(spark):
         kmv_distinct(df, ["g"], "v", k=1)
     with pytest.raises(ValueError):
         kmv_distinct(df, ["g"], "nope")
+
+
+# --------------------------------------------------------------------------
+# bloom_build / bloom_probe
+# --------------------------------------------------------------------------
+
+def test_bloom_zero_false_negatives_and_layout(spark):
+    from pynomaly_spark.profiling import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(i,) for i in range(200)], "key long"
+    )
+    sk = bloom_build(members, "key", m_bits=256, k_hashes=3)
+    words = sk.collect()
+    # layout: word ids within [0, m/32), bits fit 32-bit unsigned
+    assert all(0 <= r["word"] < 8 for r in words)
+    assert all(0 < r["bits"] < (1 << 32) for r in words)
+    got = {
+        r["key"]: r["bloom_maybe"]
+        for r in bloom_probe(
+            sk, members, "key", m_bits=256, k_hashes=3
+        ).collect()
+    }
+    # THE bloom guarantee: every member answers maybe=1
+    assert all(v == 1 for v in got.values()) and len(got) == 200
+
+
+def test_bloom_misses_are_definite_and_fp_rate_sane(spark):
+    from pynomaly_spark.profiling import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "key long")
+    sk = bloom_build(members, "key", m_bits=1024, k_hashes=3)
+    outside = spark.createDataFrame(
+        [(i,) for i in range(1000, 1400)], "key long"
+    )
+    got = bloom_probe(sk, outside, "key", m_bits=1024, k_hashes=3)
+    fp = sum(r["bloom_maybe"] for r in got.collect())
+    # n=50, m=1024, k=3 -> theoretical fp ~ 0.3%; allow wide slack
+    assert fp <= 20
+
+
+def test_bloom_null_keys_dropped_and_validation(spark):
+    from pynomaly_spark.profiling import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([(1,), (None,)], "key long")
+    sk = bloom_build(df, "key", m_bits=64, k_hashes=2)
+    assert sk.count() <= 2  # only key 1 contributed
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, "key", m_bits=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_build(df, "key", k_hashes=0)
+    with pytest.raises(ValueError, match="unknown column"):
+        bloom_probe(sk, df, "nope")
+
+
+def test_bloom_probe_is_broadcast_no_probe_shuffle(spark):
+    from pynomaly_spark.profiling import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(10)], "key long")
+    probes = spark.createDataFrame([(i,) for i in range(30)], "key long")
+    sk = bloom_build(members, "key")
+    plan = (
+        bloom_probe(sk, probes, "key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
