@@ -48,6 +48,8 @@ __all__ = [
     "write_partitioned",
     "write_bucketed_table",
     "zorder_key",
+    "zone_map",
+    "zone_prune",
 ]
 
 
@@ -265,3 +267,74 @@ def zorder_key(cols, bits: int = 16):
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def zone_map(df, zone, minmax_cols, sum_cols=()):
+    """Per-zone min/max statistics — the data-skipping index (parquet
+    row-group stats / Iceberg manifest ranges / Delta file stats made
+    explicit as a relation): ``zone, n_rows`` plus ``<c>_min, <c>_max,
+    <c>_nnull`` for every stats column and ``<s>_sum`` for optional
+    pre-computed indicator columns (match-count audits).
+
+    ``zone`` is the file/row-group surrogate — any integer expression
+    of the LAYOUT order (``ingest_seq div rows_per_file``, a date
+    bucket, a ``zorder_key`` prefix).  Data skipping only works when
+    the predicate column correlates with that layout; building the
+    map over both a clustered and an unclustered column turns that
+    design rule into measurable output (see the lineitem_zonemap
+    registry query).
+
+    Scale (100 TB): ONE keyed aggregate with map-side combine; the
+    output is O(n_zones) — at a million files this is the planner-side
+    frame that decides which files a scan opens, exactly how Iceberg
+    evaluates manifests.  min/max/count/sum are order-independent, so
+    the map is bit-identical on any partitioning.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (lakehouse layout family: zorder_key builds the
+    clustered layout, zone_map measures what it buys).
+    """
+    minmax_cols = list(minmax_cols)
+    sum_cols = list(sum_cols)
+    if not minmax_cols:
+        raise ValueError("zone_map: minmax_cols must be non-empty")
+    missing = [
+        c for c in (*minmax_cols, *sum_cols) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"zone_map: unknown columns {missing}")
+    z = F.col(zone) if isinstance(zone, str) else zone
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nnull")
+        )
+    for s in sum_cols:
+        aggs.append(F.sum(s).cast("long").alias(f"{s}_sum"))
+    return df.groupBy(z.alias("zone")).agg(*aggs)
+
+
+def zone_prune(zmap, col, lo, hi):
+    """Evaluate a range predicate ``col BETWEEN lo AND hi`` against a
+    :func:`zone_map`: adds ``pruned`` (1 = the zone provably contains
+    NO matching row and its file never needs opening).
+
+    A zone is pruned when ``<col>_max < lo`` or ``<col>_min > hi`` —
+    or when its min is NULL (every value in the zone is NULL, and a
+    range predicate never matches NULL).  Soundness is the whole
+    contract: false positives (opening a file with no matches) cost
+    I/O, a false negative would corrupt results — the registry query
+    emits ``matched_in_pruned`` from real data as a perpetual audit.
+    """
+    mn, mx = f"{col}_min", f"{col}_max"
+    for c in (mn, mx):
+        if c not in zmap.columns:
+            raise ValueError(f"zone_prune: zone_map lacks {c}")
+    pruned = (
+        F.col(mn).isNull()
+        | (F.col(mx) < F.lit(lo))
+        | (F.col(mn) > F.lit(hi))
+    )
+    return zmap.withColumn("pruned", pruned.cast("long"))

@@ -6475,6 +6475,103 @@ LEFT JOIN (SELECT custkey FROM members) m ON m.custkey = h.custkey
 """
 
 
+_ZM_ZONE_DAYS = 64
+_ZM_PROBES = (
+    ("ship_window", "day", 9500, 9560),
+    ("orderkey_range", "okey", 100, 400),
+)
+
+
+def q_lineitem_zonemap(spark, sf_dir):
+    """Zone-map data skipping audit (``io.zone_map`` / ``zone_prune``):
+    per-zone min/max stats over a time-clustered layout (zone =
+    64-day bucket, modeling ingestion-ordered files), then two range
+    probes — one on the CLUSTERED column (shipdate: prunes most
+    zones), one on an UNCLUSTERED column (orderkey: prunes ~nothing) —
+    so the layout design rule is measurable output, not folklore.
+    ``matched_in_pruned`` recomputes matches inside pruned zones from
+    the real data and must be 0: the soundness audit ships with the
+    query.  One keyed aggregate builds the map; everything downstream
+    is O(n_zones)."""
+    from pynomaly_spark.io import zone_map, zone_prune
+
+    base = _tbl(spark, sf_dir, "lineitem").select(
+        F.expr(
+            f"unix_micros(cast(l_shipdate as timestamp)) div {_DAY_US}"
+        ).alias("day"),
+        F.col("l_orderkey").alias("okey"),
+    )
+    for pid, c, lo, hi in _ZM_PROBES:
+        base = base.withColumn(
+            f"m_{pid}", F.col(c).between(lo, hi).cast("long")
+        )
+    zm = zone_map(
+        base,
+        F.expr(f"day div {_ZM_ZONE_DAYS}"),
+        ["day", "okey"],
+        [f"m_{pid}" for pid, *_ in _ZM_PROBES],
+    )
+    out = None
+    for pid, c, lo, hi in _ZM_PROBES:
+        pr = zone_prune(zm, c, lo, hi)
+        row = pr.agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum("pruned").cast("long").alias("n_pruned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("pruned") == 1, F.col("n_rows"))),
+                F.lit(0),
+            ).cast("long").alias("rows_skipped"),
+            F.sum(f"m_{pid}_sum").cast("long").alias("rows_matched"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("pruned") == 1, F.col(f"m_{pid}_sum"))
+                ),
+                F.lit(0),
+            ).cast("long").alias("matched_in_pruned"),
+        ).select(F.lit(pid).alias("probe_id"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _zonemap_sql() -> str:
+    probes = []
+    for pid, c, lo, hi in _ZM_PROBES:
+        probes.append(f"""
+SELECT '{pid}' AS probe_id,
+       CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(sum(CASE WHEN {c}_min IS NULL OR {c}_max < {lo}
+                       OR {c}_min > {hi} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(coalesce(sum(CASE WHEN {c}_min IS NULL OR {c}_max < {lo}
+                       OR {c}_min > {hi} THEN n_rows END), 0) AS BIGINT)
+         AS rows_skipped,
+       CAST(sum(m_{pid}) AS BIGINT) AS rows_matched,
+       CAST(coalesce(sum(CASE WHEN {c}_min IS NULL OR {c}_max < {lo}
+                       OR {c}_min > {hi} THEN m_{pid} END), 0) AS BIGINT)
+         AS matched_in_pruned
+FROM zm""")
+    conds = ",\n".join(
+        f"""         sum(CASE WHEN {c} BETWEEN {lo} AND {hi}
+               THEN 1 ELSE 0 END) AS m_{pid}"""
+        for pid, c, lo, hi in _ZM_PROBES
+    )
+    return f"""
+WITH base AS (
+  SELECT epoch_us(l_shipdate) // {_DAY_US} AS day, l_orderkey AS okey
+  FROM lineitem
+), zm AS (
+  SELECT day // {_ZM_ZONE_DAYS} AS zone, count(*) AS n_rows,
+         min(day) AS day_min, max(day) AS day_max,
+         min(okey) AS okey_min, max(okey) AS okey_max,
+{conds}
+  FROM base GROUP BY 1
+)
+{" UNION ALL ".join(probes)}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6596,6 +6693,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_rrf_fusion": q_emb_rrf_fusion,
     "part_skyline": q_part_skyline,
     "orders_bloom": q_orders_bloom,
+    "lineitem_zonemap": q_lineitem_zonemap,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6722,4 +6820,5 @@ ORACLES: Dict[str, str] = {
     "emb_rrf_fusion": _rrf_fusion_sql(),
     "part_skyline": SQL_PART_SKYLINE,
     "orders_bloom": SQL_ORDERS_BLOOM,
+    "lineitem_zonemap": _zonemap_sql(),
 }

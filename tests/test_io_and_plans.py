@@ -292,3 +292,47 @@ def test_zorder_three_dims_and_validation(spark):
         zorder_key([], bits=4)
     with _pytest.raises(ValueError, match="exceeds a BIGINT"):
         zorder_key(["a", "b"], bits=32)
+
+
+# --------------------------------------------------------------------------
+# zone_map / zone_prune (data-skipping index)
+# --------------------------------------------------------------------------
+
+def test_zone_map_stats_and_prune(spark):
+    from pyspark.sql import functions as F
+
+    from pynomaly_spark.io import zone_map, zone_prune
+
+    rows = [(z, v) for z in range(3) for v in (z * 10, z * 10 + 5)]
+    rows.append((3, None))  # all-null zone
+    df = spark.createDataFrame(rows, "zone long, v long").withColumn(
+        "m", F.col("v").between(10, 15).cast("long")
+    )
+    zm = zone_map(df, F.col("zone"), ["v"], ["m"])
+    got = {r["zone"]: r for r in zm.collect()}
+    assert got[1]["v_min"] == 10 and got[1]["v_max"] == 15
+    assert got[3]["v_min"] is None and got[3]["v_nnull"] == 1
+    assert got[1]["m_sum"] == 2 and got[0]["m_sum"] == 0
+    pr = {r["zone"]: r["pruned"] for r in zone_prune(zm, "v", 10, 15).collect()}
+    # zone 1 overlaps, zones 0/2 out of range, all-null zone 3 pruned
+    assert pr == {0: 1, 1: 0, 2: 1, 3: 1}
+
+
+def test_zone_map_validation_and_single_shuffle(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pynomaly_spark.io import zone_map, zone_prune
+
+    df = spark.createDataFrame([(1, 2)], "zone long, v long")
+    with _pytest.raises(ValueError, match="unknown columns"):
+        zone_map(df, "zone", ["nope"])
+    with _pytest.raises(ValueError, match="minmax_cols"):
+        zone_map(df, "zone", [])
+    with _pytest.raises(ValueError, match="lacks"):
+        zone_prune(zone_map(df, "zone", ["v"]), "w", 0, 1)
+    plan = (
+        zone_map(df, F.col("zone"), ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # one keyed aggregate, map-side combined
