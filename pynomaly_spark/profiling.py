@@ -62,6 +62,7 @@ __all__ = [
     "cms_join_cardinality",
     "bloom_build",
     "bloom_probe",
+    "ab_proportions",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -840,3 +841,109 @@ def bloom_probe(
         == F.col("_m")
     ).cast("long")
     return joined.groupBy(key_col).agg(F.min(hit).alias("bloom_maybe"))
+
+
+def ab_proportions(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    unit_col: str,
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-proportion A/B z-test per group — the experiment readout:
+    units (users) are split 50/50 by a deterministic md5 coin on
+    ``unit_col``, a unit "converts" in a group when it appears there at
+    least once, and the group's treatment effect is the classic pooled
+    two-proportion z statistic
+
+        z = (p1 - p0) / sqrt(p·(1-p)·(1/n0 + 1/n1)),  p = (c0+c1)/(n0+n1)
+
+    Returns per group: ``n0, n1`` (exposed units per arm), ``c0, c1``
+    (converted units), ``p0_6, p1_6`` (arm rates, 6 dp) and ``z6`` (z,
+    6 dp; NULL when the pooled variance is 0 — all or none converted).
+
+    Determinism: the arm assignment is a seedless md5 parity — any
+    engine reproduces the exact split (the registry twin does); counts
+    are integers and the z expression is ONE fixed tree of IEEE
+    divisions/multiplications and a correctly-rounded sqrt, so the
+    6-dp rounding is bit-stable cross-engine.
+
+    Scale (100 TB): one distinct over ``(group, unit)`` (map-side
+    combine) feeding per-group conditional counts — the arm is a
+    map-side hash, never a join; one distinct over units for the
+    exposure row, broadcast at 1 row.  No shuffle carries the arm.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (experiment-analysis / profiling family).
+    """
+    group_cols = list(group_cols)
+    missing = [c for c in (*group_cols, unit_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"ab_proportions: unknown columns {missing}")
+    if not group_cols:
+        raise ValueError("ab_proportions: group_cols must be non-empty")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(unit_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    cond = F.col(unit_col).isNotNull()
+    for c in group_cols:
+        cond = cond & F.col(c).isNotNull()
+    pairs = (
+        df.where(cond).select(*group_cols, unit_col).distinct()
+        .withColumn("_v", arm)
+    )
+    conv = pairs.groupBy(*group_cols).agg(
+        F.sum((F.col("_v") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("_v") == 1).cast("long")).alias("c1"),
+    )
+    tot = (
+        df.where(F.col(unit_col).isNotNull())
+        .select(unit_col)
+        .distinct()
+        .withColumn("_v", arm)
+        .agg(
+            F.sum((F.col("_v") == 0).cast("long")).alias("n0"),
+            F.sum((F.col("_v") == 1).cast("long")).alias("n1"),
+        )
+    )
+    stats = conv.crossJoin(F.broadcast(tot))
+    z_expr = (
+        "round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) / "
+        "sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * "
+        "(1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * "
+        "(1.0 / n0 + 1.0 / n1)), 6)"
+    )
+    guard = (
+        (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+        & (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+    )
+    return stats.select(
+        *group_cols,
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c0").cast("long").alias("c0"),
+        F.col("c1").cast("long").alias("c1"),
+        F.when(
+            F.col("n0") > 0,
+            F.expr("round(CAST(c0 AS DOUBLE) / n0, 6)"),
+        ).alias("p0_6"),
+        F.when(
+            F.col("n1") > 0,
+            F.expr("round(CAST(c1 AS DOUBLE) / n1, 6)"),
+        ).alias("p1_6"),
+        F.when(guard, F.expr(z_expr)).alias("z6"),
+    )

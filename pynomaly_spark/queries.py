@@ -6572,6 +6572,66 @@ WITH base AS (
 """
 
 
+_AB_SALT = "ab"
+
+
+def q_events_ab(spark, sf_dir):
+    """Experiment readout (``profiling.ab_proportions``): a
+    deterministic md5 coin splits users 50/50, each event_type is a
+    conversion metric, and the output is the pooled two-proportion z
+    per metric.  One (type, user) distinct + one user distinct — the
+    arm is a map-side hash, no shuffle ever carries it.  Counts are
+    integers; the z is one fixed IEEE expression tree rounded at 6 dp,
+    bit-stable cross-engine."""
+    from pynomaly_spark.profiling import ab_proportions
+
+    return ab_proportions(
+        _tbl(spark, sf_dir, "events"),
+        ["event_type"],
+        "user_id",
+        salt=_AB_SALT,
+    )
+
+
+SQL_EVENTS_AB = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), armed AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('{_AB_SALT}:' || CAST(user_id AS VARCHAR)),
+              1, 12) AS BIGINT) % 2 AS v
+  FROM pairs
+), conv AS (
+  SELECT event_type,
+         sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1
+  FROM armed GROUP BY 1
+), tot AS (
+  SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1
+  FROM (
+    SELECT DISTINCT user_id,
+           CAST('0x' || substr(md5('{_AB_SALT}:' ||
+                CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 2 AS v
+    FROM events WHERE user_id IS NOT NULL
+  )
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+       CASE WHEN n0 > 0 THEN round(CAST(c0 AS DOUBLE) / n0, 6) END AS p0_6,
+       CASE WHEN n1 > 0 THEN round(CAST(c1 AS DOUBLE) / n1, 6) END AS p1_6,
+       CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 AND n0 > 0 AND n1 > 0
+            THEN round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+                 sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                 (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                 (1.0 / n0 + 1.0 / n1)), 6)
+       END AS z6
+FROM conv CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6694,6 +6754,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_skyline": q_part_skyline,
     "orders_bloom": q_orders_bloom,
     "lineitem_zonemap": q_lineitem_zonemap,
+    "events_ab": q_events_ab,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6821,4 +6882,5 @@ ORACLES: Dict[str, str] = {
     "part_skyline": SQL_PART_SKYLINE,
     "orders_bloom": SQL_ORDERS_BLOOM,
     "lineitem_zonemap": _zonemap_sql(),
+    "events_ab": SQL_EVENTS_AB,
 }

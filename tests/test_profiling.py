@@ -350,3 +350,64 @@ def test_bloom_probe_is_broadcast_no_probe_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# ab_proportions — deterministic two-proportion A/B readout
+# ---------------------------------------------------------------------------
+
+def test_ab_proportions_counts_and_z(spark):
+    from pynomaly_spark.profiling import ab_proportions
+
+    # 40 users, two metrics: "all" converts every user, "half" converts
+    # users 0..19 only.  Arms come from the md5 coin — recompute the
+    # expected split in python with the same hash.
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:12], 16) % 2
+
+    rows = [("all", u) for u in range(40)] + [
+        ("half", u) for u in range(20)
+    ]
+    df = spark.createDataFrame(rows, "metric string, user_id long")
+    got = {
+        r["metric"]: r
+        for r in ab_proportions(df, ["metric"], "user_id").collect()
+    }
+    n0 = sum(1 for u in range(40) if arm(u) == 0)
+    n1 = 40 - n0
+    assert (got["all"]["n0"], got["all"]["n1"]) == (n0, n1)
+    # degenerate all-converted metric -> z NULL, rates exactly 1
+    assert got["all"]["c0"] == n0 and got["all"]["c1"] == n1
+    assert got["all"]["z6"] is None
+    assert got["all"]["p0_6"] == 1.0 and got["all"]["p1_6"] == 1.0
+    # "half" converts users 0..19: recompute c0/c1 and the z by hand
+    c0 = sum(1 for u in range(20) if arm(u) == 0)
+    c1 = 20 - c0
+    assert (got["half"]["c0"], got["half"]["c1"]) == (c0, c1)
+    import math
+
+    p = (c0 + c1) / 40
+    z = (c1 / n1 - c0 / n0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    assert got["half"]["z6"] == round(z, 6)
+
+
+def test_ab_proportions_null_units_and_validation(spark):
+    from pynomaly_spark.profiling import ab_proportions
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("m", 1), ("m", None), (None, 2)],
+        "metric string, user_id long",
+    )
+    rows = ab_proportions(df, ["metric"], "user_id").collect()
+    # null metric row dropped from groups; null unit dropped everywhere;
+    # user 2 still counts as EXPOSED (denominator) though unconverted.
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n0"] + r["n1"] == 2 and r["c0"] + r["c1"] == 1
+    with _pytest.raises(ValueError, match="unknown columns"):
+        ab_proportions(df, ["nope"], "user_id")
+    with _pytest.raises(ValueError, match="non-empty"):
+        ab_proportions(df, [], "user_id")
