@@ -63,6 +63,9 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "ab_proportions",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -946,4 +949,155 @@ def ab_proportions(
             F.expr("round(CAST(c1 AS DOUBLE) / n1, 6)"),
         ).alias("p1_6"),
         F.when(guard, F.expr(z_expr)).alias("z6"),
+    )
+
+
+_HLL_RHO_BITS = 48  # md5 hex chars 5..16 -> 48-bit rho window; register
+# values span 1..49 (49 = all-zero window), so 2^(49-reg) fits BIGINT and
+# the scaled harmonic sum S = sum(2^(49-reg)) <= m * 2^49 stays exact for
+# every p <= 12.
+
+
+def _hll_alpha_c(m: int) -> float:
+    """The folded HLL constant ``alpha_m * m^2 * 2^49`` as ONE python
+    double — embedded verbatim into both engines' expressions so the
+    estimate is a single literal-over-BIGINT division, bit-identical."""
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:  # m == 16 (p=4 is the documented minimum)
+        alpha = 0.673
+    return alpha * float(m) * float(m) * float(1 << (_HLL_RHO_BITS + 1))
+
+
+def _hll_hash_cols(value, salt: str, p: int):
+    """(bucket, rho) columns from a seedless md5 — the engine-portable
+    HLL hash: hex chars 1..4 (16 bits, uniform) pick the register via
+    ``% 2^p``; chars 5..16 (48 bits) yield rho = leading zeros + 1 via
+    the binary-string-length device (``49 - length(bin(bits))``, never
+    a float log2)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), value.cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(1 << p)
+    )
+    bits = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    rho = F.when(
+        bits > 0, F.lit(_HLL_RHO_BITS + 1) - F.length(F.bin(bits))
+    ).otherwise(F.lit(_HLL_RHO_BITS + 1))
+    return bucket, rho
+
+
+def hll_build(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """Dense-register HyperLogLog sketch per group — the third leg of
+    the cardinality family: ``count(DISTINCT)`` is exact but shuffles
+    every distinct value, :func:`kmv_distinct` keeps k order statistics,
+    HLL keeps ``m = 2^p`` 6-bit registers and merges with ``MAX`` —
+    the only one whose merge is a plain aggregate, so day-over-day /
+    partition-over-partition rollups never touch the raw data again.
+
+    Returns ``*group_cols, bucket, register`` — at most ``m`` rows per
+    group (absent buckets mean register 0).  Feed to
+    :func:`hll_estimate` (optionally through :func:`hll_merge`).
+
+    Determinism: the hash is a seedless md5 both engines share; bucket
+    is a 16-bit hex prefix mod ``2^p`` (exactly uniform for p <= 12);
+    rho is ``49 - length(bin(bits))`` on a 48-bit window — a binary
+    string length, never a float log2, so registers are bit-identical
+    across engines and partitionings.
+
+    Scale (100 TB): ONE aggregate over ``(group, bucket)`` with
+    map-side partial MAX — the shuffle carries at most ``groups * m``
+    rows no matter the input size (vs ``count(DISTINCT)``'s shuffle of
+    every distinct value).  The sketch is idempotent (re-adding rows is
+    a no-op) and unionable, the streaming-friendly property
+    ``streaming_cms`` exploits for CMS.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (cardinality profiling; complements profiling.py's
+    KMV/CMS/AGMS/Bloom sketch family).
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"hll_build: p must be in [4, 12], got {p}")
+    group_cols = list(group_cols)
+    missing = [c for c in (*group_cols, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"hll_build: unknown columns {missing}")
+    bucket, rho = _hll_hash_cols(F.col(value_col), salt, p)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("register"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge unioned HLL sketches: ``MAX(register)`` per (group,
+    bucket).  Losslessly equivalent to building one sketch over the
+    concatenated inputs — the property that makes HLL the rollup
+    sketch (tested)."""
+    return (
+        sketches.groupBy(*group_cols, "bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], p: int = 10
+) -> DataFrame:
+    """Cardinality estimate from a :func:`hll_build` sketch.
+
+    Per group: ``hll_v`` (empty registers), ``hll_s`` (the EXACT
+    BIGINT-scaled harmonic sum ``sum(2^(49-register))`` including the
+    ``V * 2^49`` contribution of absent buckets — the deterministic
+    heart of the estimator), and ``est6``, the Flajolet et al. 2007
+    estimate rounded at 6 dp:
+
+        E  = alpha_m * m^2 / Z,   Z = S / 2^49
+        E* = m * ln(m / V)        when E <= 2.5m and V > 0  (linear
+                                   counting, small-range correction)
+
+    Cross-engine: S and V are integers; ``alpha_m * m^2 * 2^49`` is
+    folded into ONE python-double literal shared by both engines, so
+    the raw branch is a single literal/BIGINT division; the linear-
+    counting branch's ``ln`` is the only libm call (1-ulp engine skew
+    vanishes at 6 dp).  The 48-bit rho window needs no large-range
+    correction at any practical cardinality.
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"hll_estimate: p must be in [4, 12], got {p}")
+    m = 1 << p
+    c = _hll_alpha_c(m)
+    pow_col = F.expr(
+        f"CAST(power(2, {_HLL_RHO_BITS + 1} - register) AS BIGINT)"
+    )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(pow_col).alias("_sp"),
+    )
+    v = (F.lit(m) - F.col("_nb")).cast("long")
+    s = (
+        F.col("_sp")
+        + v * F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
+    ).cast("long")
+    raw = F.lit(c) / F.col("hll_s").cast("double")
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("hll_v"))
+    small = (raw <= F.lit(2.5 * m)) & (F.col("hll_v") > 0)
+    return (
+        agg.select(*group_cols, v.alias("hll_v"), s.alias("hll_s"))
+        .select(
+            *group_cols,
+            "hll_v",
+            "hll_s",
+            F.round(F.when(small, lin).otherwise(raw), 6).alias("est6"),
+        )
     )

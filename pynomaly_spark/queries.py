@@ -6632,6 +6632,103 @@ FROM conv CROSS JOIN tot
 """
 
 
+_HLL_P = 8  # m=256: sf0.001 exercises the linear-counting branch,
+# sf0.01 the raw harmonic branch — both twinned.
+_HLL_SALT = "hll"
+
+
+def q_events_hll(spark, sf_dir):
+    """HyperLogLog distinct cardinalities per event_type
+    (``profiling.hll_build`` → ``hll_estimate``) side-by-side with the
+    exact counts — the mergeable-register cardinality sketch, one row
+    per (event_type, metric) for metric ∈ {user, event}.  The low-
+    cardinality user metric pins the linear-counting branch, the
+    per-row event_id metric the raw harmonic branch.  The sketch pass
+    shuffles at most ``types * 256`` register rows with a map-side
+    partial MAX (vs count(DISTINCT)'s shuffle of every distinct pair);
+    registers are md5-derived integers so both engines build the
+    IDENTICAL sketch, and the estimate is one shared-literal division
+    (+ 6-dp-rounded ln on the linear-counting branch)."""
+    from pynomaly_spark.profiling import hll_build, hll_estimate
+
+    events = _tbl(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+
+    def one(col, label):
+        est = hll_estimate(
+            hll_build(events, ["event_type"], col, p=_HLL_P, salt=_HLL_SALT),
+            ["event_type"],
+            p=_HLL_P,
+        )
+        exact = events.groupBy("event_type").agg(
+            F.countDistinct(col).cast("long").alias("exact_distinct")
+        )
+        return est.join(F.broadcast(exact), "event_type").select(
+            "event_type",
+            F.lit(label).alias("metric"),
+            "hll_v",
+            "hll_s",
+            "est6",
+            "exact_distinct",
+        )
+
+    return one("user_id", "user").unionByName(one("event_id", "event"))
+
+
+def _events_hll_sql() -> str:
+    from pynomaly_spark.profiling import _HLL_RHO_BITS, _hll_alpha_c
+
+    m = 1 << _HLL_P
+    w1 = _HLL_RHO_BITS + 1
+    scale = 1 << w1
+    c = _hll_alpha_c(m)
+    base = (
+        "SELECT * FROM events WHERE event_type IS NOT NULL "
+        "AND user_id IS NOT NULL AND event_id IS NOT NULL"
+    )
+
+    def one(col, label):
+        h = f"md5('{_HLL_SALT}:' || CAST({col} AS VARCHAR))"
+        return f"""
+SELECT e.event_type, '{label}' AS metric, e.hll_v, e.hll_s,
+       round(CASE WHEN {c!r} / CAST(e.hll_s AS DOUBLE) <= {2.5 * m!r}
+                       AND e.hll_v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / e.hll_v)
+                  ELSE {c!r} / CAST(e.hll_s AS DOUBLE) END, 6) AS est6,
+       ex.exact_distinct
+FROM (
+  SELECT event_type,
+         CAST({m} - nb AS BIGINT) AS hll_v,
+         CAST(sp + ({m} - nb) * {scale} AS BIGINT) AS hll_s
+  FROM (
+    SELECT event_type, count(*) AS nb,
+           CAST(sum(CAST(power(2, {w1} - register) AS BIGINT)) AS BIGINT)
+             AS sp
+    FROM (
+      SELECT event_type, bucket,
+             max(CASE WHEN bits > 0 THEN {w1} - length(bin(bits))
+                      ELSE {w1} END) AS register
+      FROM (
+        SELECT event_type,
+               CAST('0x' || substr({h}, 1, 4) AS BIGINT) % {m} AS bucket,
+               CAST('0x' || substr({h}, 5, 12) AS BIGINT) AS bits
+        FROM ({base})
+      ) GROUP BY 1, 2
+    ) GROUP BY 1
+  )
+) e JOIN (
+  SELECT event_type, CAST(count(DISTINCT {col}) AS BIGINT)
+           AS exact_distinct
+  FROM ({base}) GROUP BY 1
+) ex USING (event_type)
+"""
+
+    return one("user_id", "user") + " UNION ALL " + one("event_id", "event")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6755,6 +6852,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_bloom": q_orders_bloom,
     "lineitem_zonemap": q_lineitem_zonemap,
     "events_ab": q_events_ab,
+    "events_hll": q_events_hll,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6883,4 +6981,5 @@ ORACLES: Dict[str, str] = {
     "orders_bloom": SQL_ORDERS_BLOOM,
     "lineitem_zonemap": _zonemap_sql(),
     "events_ab": SQL_EVENTS_AB,
+    "events_hll": _events_hll_sql(),
 }

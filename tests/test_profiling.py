@@ -411,3 +411,68 @@ def test_ab_proportions_null_units_and_validation(spark):
         ab_proportions(df, ["nope"], "user_id")
     with _pytest.raises(ValueError, match="non-empty"):
         ab_proportions(df, [], "user_id")
+
+
+# ---------------------------------------------------------------------------
+# hll_build / hll_merge / hll_estimate — dense-register HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_and_register_bound(spark):
+    from pynomaly_spark.profiling import hll_build, hll_estimate
+    import pyspark.sql.functions as F
+
+    df = spark.range(20000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sk = hll_build(df, ["g"], "v", p=10)
+    regs = sk.collect()
+    assert len(regs) <= 1024
+    assert all(1 <= r["register"] <= 49 for r in regs)
+    est = hll_estimate(sk, ["g"], p=10).collect()[0]
+    # sigma ~ 1.04/sqrt(1024) = 3.25%; allow 4 sigma
+    assert abs(est["est6"] - 20000) / 20000 < 0.13
+    assert est["hll_v"] == 1024 - len(regs)
+
+
+def test_hll_merge_equals_whole_and_idempotent(spark):
+    from pynomaly_spark.profiling import hll_build, hll_merge
+    import pyspark.sql.functions as F
+
+    df = spark.range(5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    whole = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_build(df, ["g"], "v", p=8).collect()
+    }
+    a = hll_build(df.where("v < 3000"), ["g"], "v", p=8)
+    b = hll_build(df.where("v >= 2000"), ["g"], "v", p=8)  # overlap 2-3k
+    merged = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_merge(a.unionByName(b), ["g"]).collect()
+    }
+    assert merged == whole
+    # idempotence: merging the whole sketch with itself is a no-op
+    sk = hll_build(df, ["g"], "v", p=8)
+    twice = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_merge(sk.unionByName(sk), ["g"]).collect()
+    }
+    assert twice == whole
+
+
+def test_hll_linear_counting_branch_and_validation(spark):
+    from pynomaly_spark.profiling import hll_build, hll_estimate
+    import pyspark.sql.functions as F
+    import math
+
+    df = spark.range(10).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    sk = hll_build(df, ["g"], "v", p=10)
+    est = hll_estimate(sk, ["g"], p=10).collect()[0]
+    v = est["hll_v"]
+    assert est["est6"] == round(1024.0 * math.log(1024.0 / v), 6)
+    with pytest.raises(ValueError, match="p must be"):
+        hll_build(df, ["g"], "v", p=3)
+    with pytest.raises(ValueError, match="unknown columns"):
+        hll_build(df, ["g"], "nope")
+    # null values contribute nothing
+    dfn = spark.createDataFrame([("g", None), ("g", 1)], "g string, v int")
+    assert hll_build(dfn, ["g"], "v", p=4).count() == 1
