@@ -40,7 +40,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_state", "scd2_history", "snapshot_diff", "merge_aggs"]
+__all__ = [
+    "latest_state",
+    "scd2_history",
+    "snapshot_diff",
+    "merge_aggs",
+    "ivm_join_delta",
+]
 
 
 def _us(ts_col: str):
@@ -238,3 +244,71 @@ def merge_aggs(
         .groupBy(*key_cols)
         .agg(*aggs)
     )
+
+
+def ivm_join_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: Sequence[str],
+    broadcast_deltas: bool = False,
+) -> DataFrame:
+    """Incremental view maintenance for an INNER JOIN under insert-only
+    deltas — the join-side counterpart of :func:`merge_aggs`:
+
+        Δ(L ⋈ R) = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR
+
+    (the standard delta-rule factoring: the ΔL⋈ΔR cross term is folded
+    into the first join so each pair of new rows meets exactly once).
+    Contract: ``(L ⋈ R) ∪ ivm_join_delta(...) == (L∪ΔL) ⋈ (R∪ΔR)``
+    row-for-row — the registry twin recomputes the full join from
+    scratch and the maintained result must hash-match it.
+
+    This is the nightly-pipeline join shape at 100 TB: the landed join
+    result is already paid for; maintaining it costs two joins that
+    each carry a DELTA on one side — the two base relations are never
+    joined with each other again, and the history-sized join output is
+    never rebuilt.  With daily deltas ~0.1% of base, that is a ~1000×
+    reduction over recompute.
+
+    Set ``broadcast_deltas=True`` to hint both delta sides broadcast
+    (right when deltas are batch-sized); left False, AQE sizes the
+    joins at runtime.  Deletions/updates need keyed retractions (a
+    sign column) — not silently supported: this operator is documented
+    insert-only, the common append-only-log case.
+
+    Both left frames must share a schema, both right frames likewise;
+    non-key column names must not collide across sides (the join
+    output carries them unqualified — same rule as any SQL join).
+    """
+    on = list(on)
+    if not on:
+        raise ValueError("ivm_join_delta: on must be non-empty")
+    for name, frame, proto in (
+        ("delta_left", delta_left, base_left),
+        ("delta_right", delta_right, base_right),
+    ):
+        if set(frame.columns) != set(proto.columns):
+            raise ValueError(
+                f"ivm_join_delta: {name} schema {sorted(frame.columns)} != "
+                f"base schema {sorted(proto.columns)}"
+            )
+    for side, frame in (("left", base_left), ("right", base_right)):
+        missing = [c for c in on if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"ivm_join_delta: {side} side missing key columns {missing}"
+            )
+    clash = (set(base_left.columns) & set(base_right.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"ivm_join_delta: non-key columns collide across sides: "
+            f"{sorted(clash)}"
+        )
+    dl = F.broadcast(delta_left) if broadcast_deltas else delta_left
+    dr = F.broadcast(delta_right) if broadcast_deltas else delta_right
+    new_right = base_right.unionByName(delta_right)
+    d1 = dl.join(new_right, on, "inner")
+    d2 = base_left.join(dr, on, "inner")
+    return d1.unionByName(d2.select(*d1.columns))

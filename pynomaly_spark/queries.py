@@ -6729,6 +6729,79 @@ FROM (
     return one("user_id", "user") + " UNION ALL " + one("event_id", "event")
 
 
+def q_orders_ivm_join(spark, sf_dir):
+    """Join incremental view maintenance (``cdc.ivm_join_delta``): the
+    orders ⋈ lineitem result maintained across an insert batch on BOTH
+    sides — Δ(L⋈R) = ΔL⋈(R∪ΔR) ∪ L⋈ΔR, so the two base relations are
+    never re-joined and each maintenance join carries a delta on one
+    side.  Deltas are adversarial md5 splits (~25% of orders, ~31% of
+    lineitems, independent coins — old-order/new-item and
+    new-order/old-item pairs both occur).  The maintained rollup
+    (base-join rollup + delta rollup, exact integer revenue units) must
+    hash-match the twin's from-scratch full join — the IVM contract."""
+    from pynomaly_spark.cdc import ivm_join_delta
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_units"),
+    )
+    o_coin = F.substring(
+        F.md5(F.concat(F.lit("ivmo:"), F.col("okey").cast("string"))), 1, 1
+    )
+    li_coin = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("ivml:"),
+                F.col("okey").cast("string"),
+                F.lit(":"),
+                F.col("rev_units").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    o_new = o_coin.isin(*"0123")
+    li_new = li_coin.isin(*"01234")
+    base_join = o.where(~o_new).join(li.where(~li_new), "okey")
+    delta = ivm_join_delta(
+        o.where(~o_new),
+        o.where(o_new),
+        li.where(~li_new),
+        li.where(li_new),
+        ["okey"],
+    )
+    return (
+        base_join.unionByName(delta.select(*base_join.columns))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_units").alias("sum_rev_units"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("sum_rev_units").cast("long").alias("sum_rev_units"),
+        )
+    )
+
+
+SQL_ORDERS_IVM_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS sum_rev_units
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6853,6 +6926,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_zonemap": q_lineitem_zonemap,
     "events_ab": q_events_ab,
     "events_hll": q_events_hll,
+    "orders_ivm_join": q_orders_ivm_join,
 }
 
 ORACLES: Dict[str, str] = {
@@ -6982,4 +7056,5 @@ ORACLES: Dict[str, str] = {
     "lineitem_zonemap": _zonemap_sql(),
     "events_ab": SQL_EVENTS_AB,
     "events_hll": _events_hll_sql(),
+    "orders_ivm_join": SQL_ORDERS_IVM_JOIN,
 }
