@@ -46,6 +46,7 @@ __all__ = [
     "snapshot_diff",
     "merge_aggs",
     "ivm_join_delta",
+    "state_durations",
 ]
 
 
@@ -312,3 +313,62 @@ def ivm_join_delta(
     d1 = dl.join(new_right, on, "inner")
     d2 = base_left.join(dr, on, "inner")
     return d1.unionByName(d2.select(*d1.columns))
+
+
+def state_durations(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state occupancy: each keyed update opens a state segment
+    that closes at the key's NEXT update; the key's last segment closes
+    at the global observation horizon (``max`` timestamp in the frame —
+    "as of the end of the data").  Returns per ``(key, state)``:
+    ``n_segments`` and ``total_us`` (exact integer microseconds).
+
+    The time-weighted companion to :func:`latest_state`: latest-state
+    says where each entity IS, state_durations says how long entities
+    STAY — the dwell-time readout behind SLA/incident-duration and
+    device-status analytics.
+
+    Determinism: segment order is (integer µs, tiebreak) — same device
+    as :func:`scd2_history`; equal-timestamp updates yield zero-length
+    segments for all but the last, and the horizon is an exact integer
+    max, so every duration is integer arithmetic cross-engine.
+
+    Scale (100 TB): ONE keyed shuffle (the per-key ``lead`` window),
+    plus a 1-row global-max aggregate broadcast into the projection —
+    no second pass, no per-state shuffle of raw updates (the final
+    rollup is map-side partial over (key, state) segments).  Hot-key
+    caveat as :func:`scd2_history`.
+    """
+    for c in (key_col, ts_col, state_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"state_durations: unknown column {c!r}")
+    base = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .withColumn("_us", _us(ts_col))
+    )
+    horizon = base.agg(F.max("_us").alias("_hz"))
+    w = Window.partitionBy(key_col).orderBy("_us", tiebreak_col)
+    seg = (
+        base.withColumn("_next", F.lead("_us").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            key_col,
+            F.col(state_col).alias("state"),
+            (F.coalesce(F.col("_next"), F.col("_hz")) - F.col("_us")).alias(
+                "_dur"
+            ),
+        )
+    )
+    return seg.groupBy(key_col, "state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("_dur").cast("long").alias("total_us"),
+    )

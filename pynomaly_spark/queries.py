@@ -6802,6 +6802,53 @@ GROUP BY 1
 """
 
 
+def q_events_state_time(spark, sf_dir):
+    """Dwell-time occupancy (``cdc.state_durations``): each user's
+    event opens a state segment closed by their next event (last one
+    capped at the global horizon); the rollup is total time the user
+    base spent in each event_type.  One keyed window shuffle + a 1-row
+    horizon broadcast; everything is exact integer µs — the mean dwell
+    is an integer division (a 6-dp float at 1e10 µs magnitude exceeds
+    double precision, the representability trap)."""
+    from pynomaly_spark.cdc import state_durations
+
+    per_user = state_durations(
+        _tbl(spark, sf_dir, "events"), "user_id", "ts", "event_type"
+    )
+    return (
+        per_user.groupBy("state")
+        .agg(
+            F.sum("n_segments").cast("long").alias("n_segments"),
+            F.sum("total_us").cast("long").alias("total_us"),
+        )
+        .select(
+            "state",
+            "n_segments",
+            "total_us",
+            F.expr("total_us div n_segments").alias("mean_us"),
+        )
+    )
+
+
+SQL_EVENTS_STATE_TIME = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), seg AS (
+  SELECT event_type,
+         coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+                  (SELECT max(us) FROM base)) - us AS dur
+  FROM base
+)
+SELECT event_type AS state,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur) AS BIGINT) AS total_us,
+       CAST(sum(dur) // count(*) AS BIGINT) AS mean_us
+FROM seg GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6927,6 +6974,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab": q_events_ab,
     "events_hll": q_events_hll,
     "orders_ivm_join": q_orders_ivm_join,
+    "events_state_time": q_events_state_time,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7057,4 +7105,5 @@ ORACLES: Dict[str, str] = {
     "events_ab": SQL_EVENTS_AB,
     "events_hll": _events_hll_sql(),
     "orders_ivm_join": SQL_ORDERS_IVM_JOIN,
+    "events_state_time": SQL_EVENTS_STATE_TIME,
 }

@@ -60,3 +60,44 @@ def test_ivm_join_validation_and_broadcast_hint(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# cdc.state_durations — dwell-time occupancy
+# ---------------------------------------------------------------------------
+
+def test_state_durations_segments_ties_and_horizon(spark):
+    from datetime import datetime as dt
+
+    from pynomaly_spark.cdc import state_durations
+
+    rows = [
+        # user 1: A at t=0s, B at t=10s, A at t=25s (open -> horizon 40s)
+        (1, 1, dt(2024, 1, 1, 0, 0, 0), "A"),
+        (2, 1, dt(2024, 1, 1, 0, 0, 10), "B"),
+        (3, 1, dt(2024, 1, 1, 0, 0, 25), "A"),
+        # user 2: two updates at the SAME µs -> zero-length first segment
+        # (tiebreak order: event_id 4 then 5), then open until horizon
+        (4, 2, dt(2024, 1, 1, 0, 0, 30), "A"),
+        (5, 2, dt(2024, 1, 1, 0, 0, 30), "B"),
+        # user 3 defines the horizon at t=40s; null state row dropped
+        (6, 3, dt(2024, 1, 1, 0, 0, 40), "C"),
+        (7, None, dt(2024, 1, 1, 0, 0, 35), "A"),
+        (8, 3, dt(2024, 1, 1, 0, 0, 20), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    got = {
+        (r["user_id"], r["state"]): (r["n_segments"], r["total_us"])
+        for r in state_durations(df, "user_id", "ts", "state").collect()
+    }
+    s = 1_000_000
+    assert got[(1, "A")] == (2, 10 * s + 15 * s)  # 0-10s and 25-40s
+    assert got[(1, "B")] == (1, 15 * s)  # 10-25s
+    assert got[(2, "A")] == (1, 0)  # zero-length tie segment
+    assert got[(2, "B")] == (1, 10 * s)  # 30-40s
+    assert got[(3, "C")] == (1, 0)  # horizon row itself
+    assert (None, "A") not in got and (3, None) not in got
+    with pytest.raises(ValueError, match="unknown column"):
+        state_durations(df, "user_id", "ts", "nope")
