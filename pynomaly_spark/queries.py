@@ -6849,6 +6849,48 @@ FROM seg GROUP BY 1
 """
 
 
+def q_events_cube(spark, sf_dir):
+    """Grouping-sets profile: (event_type × weekday) CUBE in ONE
+    aggregate — the 2D marginal table every dashboard backs onto,
+    without re-scanning per marginal (Spark plans one Expand feeding
+    one shuffle; four separate GROUP BYs would scan the source four
+    times).  ``gid`` is the engine grouping_id (bit per cube column,
+    Spark and DuckDB agree); the weekday is an epoch-day mod 7 integer
+    (never engine dayofweek, whose origin differs); revenue is exact
+    cents."""
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 % 7"
+            ).alias("dow"),
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_cents").cast("long").alias("sum_cents"),
+    ).select("event_type", "dow", "gid", "n", "sum_cents")
+
+
+SQL_EVENTS_CUBE = """
+SELECT event_type, dow,
+       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) % 7 AS dow,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6975,6 +7017,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll": q_events_hll,
     "orders_ivm_join": q_orders_ivm_join,
     "events_state_time": q_events_state_time,
+    "events_cube": q_events_cube,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7106,4 +7149,5 @@ ORACLES: Dict[str, str] = {
     "events_hll": _events_hll_sql(),
     "orders_ivm_join": SQL_ORDERS_IVM_JOIN,
     "events_state_time": SQL_EVENTS_STATE_TIME,
+    "events_cube": SQL_EVENTS_CUBE,
 }

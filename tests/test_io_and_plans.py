@@ -336,3 +336,21 @@ def test_zone_map_validation_and_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1  # one keyed aggregate, map-side combined
+
+
+def test_events_cube_is_one_expand_one_shuffle(spark):
+    """The CUBE profile must be ONE Expand feeding ONE exchange — four
+    separate GROUP BYs (one per marginal) would scan the source four
+    times and shuffle four times."""
+    from pynomaly_spark.queries import q_events_cube
+
+    df = q_events_cube(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
