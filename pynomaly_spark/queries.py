@@ -6891,6 +6891,53 @@ GROUP BY CUBE (event_type, dow)
 """
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Wide-format pivot: weekday × event_type count matrix via
+    ``groupBy().pivot(values=...)`` — the values list is PINNED so the
+    plan needs no distinct-collect pre-pass (an unpinned pivot runs a
+    driver-side collect of the pivot domain first; at 100 TB the domain
+    scan alone is a full pass) and the output schema is stable for the
+    oracle.  Unseen (dow, type) cells surface as explicit 0 via
+    coalesce.  One Expand-free aggregate: pivot compiles to per-value
+    conditional counts in a single shuffle."""
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 % 7"
+            ).alias("dow"),
+            "event_type",
+        )
+    )
+    wide = (
+        ev.groupBy("dow")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "dow",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+           f" AS n_{t}" for t in _PIVOT_TYPES
+       )}
+FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7018,6 +7065,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_ivm_join": q_orders_ivm_join,
     "events_state_time": q_events_state_time,
     "events_cube": q_events_cube,
+    "events_pivot": q_events_pivot,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7150,4 +7198,5 @@ ORACLES: Dict[str, str] = {
     "orders_ivm_join": SQL_ORDERS_IVM_JOIN,
     "events_state_time": SQL_EVENTS_STATE_TIME,
     "events_cube": SQL_EVENTS_CUBE,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }
