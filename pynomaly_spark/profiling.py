@@ -66,6 +66,7 @@ __all__ = [
     "hll_build",
     "hll_merge",
     "hll_estimate",
+    "chisq_uniformity",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1099,5 +1100,73 @@ def hll_estimate(
             "hll_v",
             "hll_s",
             F.round(F.when(small, lin).otherwise(raw), 6).alias("est6"),
+        )
+    )
+
+
+def chisq_uniformity(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str,
+    k: int,
+) -> DataFrame:
+    """Chi-square uniformity screen per group: is the distribution of
+    rows over a k-bucket domain (hour-of-day, weekday, shard id, hash
+    prefix) consistent with uniform?  The seasonality / partition-skew
+    companion to ``key_frequency_histogram``: a large statistic on a
+    shard-id bucket means the write path is hot-spotting; on an
+    hour-of-day bucket it means load is seasonal and drift baselines
+    must be time-of-day-conditioned.
+
+    Uses the algebraic form that is exact under absent buckets:
+
+        chi2 = sum_i (o_i - N/k)^2 / (N/k) = k * sum(o_i^2) / N - N
+
+    (buckets with zero observations contribute 0 to ``sum(o^2)`` and
+    are thereby correctly penalized — no dense spine join needed).
+
+    Returns ``*group_cols, n, k_obs, chi2_6`` — ``n`` total rows,
+    ``k_obs`` buckets actually observed (``k_obs < k`` flags empty
+    buckets), ``chi2_6`` the statistic at 6 dp (compare against the
+    chi-square(k-1) critical value; with k fixed that is one literal).
+
+    Determinism: counts are integers; the statistic is ONE fixed
+    double expression ``k * S2 / N - N`` evaluated identically by both
+    engines.  ``sum(o^2)`` is BIGINT — exact to ~3e9 rows per bucket;
+    at true petabyte group sizes promote to decimal(38,0) (the
+    checks.py checksum note).
+
+    Scale (100 TB): one (group, bucket) count with map-side combine —
+    the shuffle carries at most ``groups * k`` rows — then a k-row
+    per-group rollup.  Nothing else touches the base data.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (distribution screening for validation config).
+    """
+    if k < 2:
+        raise ValueError(f"chisq_uniformity: k must be >= 2, got {k}")
+    group_cols = list(group_cols)
+    missing = [c for c in (*group_cols, bucket_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"chisq_uniformity: unknown columns {missing}")
+    counts = (
+        df.where(F.col(bucket_col).isNotNull())
+        .groupBy(*group_cols, bucket_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        counts.groupBy(*group_cols)
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k_obs"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_s2"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "k_obs",
+            F.round(
+                F.lit(float(k)) * F.col("_s2") / F.col("n") - F.col("n"), 6
+            ).alias("chi2_6"),
         )
     )

@@ -6938,6 +6938,74 @@ GROUP BY 1
 """
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Seasonality screen (``profiling.chisq_uniformity``): per
+    event_type, the chi-square uniformity statistic over hour-of-day
+    (k=24) and weekday (k=7) — the time-of-day-conditioning gate for
+    drift baselines.  Buckets are integer epoch arithmetic; the
+    statistic is the zero-bucket-exact closed form ``k·Σo²/N − N``
+    rounded at 6 dp; each dimension costs one (type, bucket) count
+    whose shuffle is at most ``types × k`` rows."""
+    from pynomaly_spark.profiling import chisq_uniformity
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+
+    def one(expr, k, label):
+        return chisq_uniformity(
+            ev.select("event_type", expr.alias("_b")),
+            ["event_type"],
+            "_b",
+            k,
+        ).select(
+            "event_type",
+            F.lit(label).alias("dim"),
+            "n",
+            "k_obs",
+            "chi2_6",
+        )
+
+    return one(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 % 24"),
+        24,
+        "hour24",
+    ).unionByName(
+        one(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 % 7"),
+            7,
+            "dow7",
+        )
+    )
+
+
+SQL_EVENTS_SEASONALITY = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS h,
+         (epoch_us(ts) // 86400000000) % 7 AS d
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), hc AS (
+  SELECT event_type, h, count(*) AS c FROM base GROUP BY 1, 2
+), dc AS (
+  SELECT event_type, d, count(*) AS c FROM base GROUP BY 1, 2
+)
+SELECT event_type, 'hour24' AS dim,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS k_obs,
+       round(24.0 * CAST(sum(c * c) AS BIGINT) / CAST(sum(c) AS BIGINT)
+             - CAST(sum(c) AS BIGINT), 6) AS chi2_6
+FROM hc GROUP BY 1
+UNION ALL
+SELECT event_type, 'dow7' AS dim,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS k_obs,
+       round(7.0 * CAST(sum(c * c) AS BIGINT) / CAST(sum(c) AS BIGINT)
+             - CAST(sum(c) AS BIGINT), 6) AS chi2_6
+FROM dc GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7066,6 +7134,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_state_time": q_events_state_time,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
+    "events_seasonality": q_events_seasonality,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7199,4 +7268,5 @@ ORACLES: Dict[str, str] = {
     "events_state_time": SQL_EVENTS_STATE_TIME,
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_seasonality": SQL_EVENTS_SEASONALITY,
 }

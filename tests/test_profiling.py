@@ -476,3 +476,31 @@ def test_hll_linear_counting_branch_and_validation(spark):
     # null values contribute nothing
     dfn = spark.createDataFrame([("g", None), ("g", 1)], "g string, v int")
     assert hll_build(dfn, ["g"], "v", p=4).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# chisq_uniformity — k-bucket uniformity screen
+# ---------------------------------------------------------------------------
+
+def test_chisq_uniformity_exact_values_and_zero_buckets(spark):
+    from pynomaly_spark.profiling import chisq_uniformity
+
+    # group "u": perfectly uniform over k=4 -> chi2 = 0
+    # group "s": all 8 rows in one of 4 buckets -> chi2 = 4*64/8-8 = 24
+    #            (zero buckets penalized by the closed form, k_obs=1)
+    rows = [("u", b) for b in range(4) for _ in range(2)] + [
+        ("s", 0) for _ in range(8)
+    ] + [("n", None)] * 3 + [("n", 1)]
+    df = spark.createDataFrame(rows, "g string, b int")
+    got = {
+        r["g"]: r
+        for r in chisq_uniformity(df, ["g"], "b", 4).collect()
+    }
+    assert got["u"]["chi2_6"] == 0.0 and got["u"]["k_obs"] == 4
+    assert got["s"]["chi2_6"] == 24.0 and got["s"]["k_obs"] == 1
+    # nulls dropped: group n has 1 row in 1 bucket -> chi2 = 4*1/1-1 = 3
+    assert got["n"]["n"] == 1 and got["n"]["chi2_6"] == 3.0
+    with pytest.raises(ValueError, match="k must be"):
+        chisq_uniformity(df, ["g"], "b", 1)
+    with pytest.raises(ValueError, match="unknown columns"):
+        chisq_uniformity(df, ["g"], "nope", 4)
