@@ -50,6 +50,8 @@ __all__ = [
     "zorder_key",
     "zone_map",
     "zone_prune",
+    "compaction_plan",
+    "compaction_summary",
 ]
 
 
@@ -338,3 +340,75 @@ def zone_prune(zmap, col, lo, hi):
         | (F.col(mn) > F.lit(hi))
     )
     return zmap.withColumn("pruned", pruned.cast("long"))
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+    group_col: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance pass
+    that turns a million 2 MB parquet files into target-sized rewrite
+    groups.  Each input file is assigned WHOLE to exactly one ``bin``:
+    files are laid out in ``(group, order_col)`` order and binned by
+    ``floor(exclusive_cumsum(size) / target_bytes)`` — the
+    Iceberg-style bin-pack: every bin closes within one file of the
+    target (bins hold ``target ± max_file_size`` bytes; an oversized
+    file gets bins to itself).  Deterministic: the plan depends only on
+    the ordering column, never on scan order.
+
+    Returns the input columns plus ``bin`` (long).  Aggregate with
+    :func:`compaction_summary` for the per-bin work list.
+
+    Scale (100 TB of file metadata): the exclusive prefix sum is the
+    TWO-LEVEL scan from ``packing.pack_chunks`` (range-bucket local
+    cumsums + a broadcast bucket-offset relation) — never a global
+    single-reducer window; a billion-file listing plans in one keyed
+    shuffle.  This plans; the rewrite itself is
+    ``df.where(bin = k).repartition(1).write`` per group, or one job
+    partitioned by ``bin``.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (storage-layout maintenance for the 100-TB brief).
+    """
+    if target_bytes < 1:
+        raise ValueError(
+            f"compaction_plan: target_bytes must be >= 1, got {target_bytes}"
+        )
+    from .packing import pack_chunks
+
+    packed = pack_chunks(
+        files,
+        size_col,
+        order_col,
+        cap=target_bytes,
+        group_col=group_col,
+        n_buckets=n_buckets,
+    )
+    return packed.select(*files.columns, F.col("first_chunk").alias("bin"))
+
+
+def compaction_summary(
+    plan: DataFrame,
+    size_col: str,
+    order_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-bin rollup of a :func:`compaction_plan`: ``n_files``,
+    ``total_bytes``, ``first_file`` / ``last_file`` (min/max of the
+    ordering column) — the work list a rewrite job executes."""
+    grp = [group_col] if group_col else []
+    return (
+        plan.groupBy(*grp, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.col(size_col).cast("long")).cast("long").alias(
+                "total_bytes"
+            ),
+            F.min(order_col).alias("first_file"),
+            F.max(order_col).alias("last_file"),
+        )
+    )

@@ -7006,6 +7006,58 @@ FROM dc GROUP BY 1
 """
 
 
+_COMPACT_TARGET = 2000
+
+
+def q_doc_compaction(spark, sf_dir):
+    """Small-file compaction plan (``io.compaction_plan`` →
+    ``compaction_summary``): documents stand in for a file listing
+    (doc_id = path, n_chars = bytes), binned per source into
+    ~2000-byte rewrite groups — whole files only, bins close within
+    one file of target.  The exclusive prefix sum underneath is the
+    two-level scan (bucketed local cumsums + broadcast offsets), never
+    a global single-reducer window; all outputs are exact integers."""
+    from pynomaly_spark.io import compaction_plan, compaction_summary
+
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = compaction_plan(
+        docs, "n_chars", "doc_id", _COMPACT_TARGET, group_col="source"
+    )
+    return compaction_summary(
+        plan, "n_chars", "doc_id", group_col="source"
+    ).select(
+        "source",
+        F.col("bin").cast("long").alias("bin"),
+        "n_files",
+        "total_bytes",
+        F.col("first_file").cast("long").alias("first_file"),
+        F.col("last_file").cast("long").alias("last_file"),
+    )
+
+
+SQL_DOC_COMPACTION = f"""
+WITH f AS (
+  SELECT doc_id, source, n_chars
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0
+), planned AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {_COMPACT_TARGET} AS bin
+  FROM f
+)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_file,
+       CAST(max(doc_id) AS BIGINT) AS last_file
+FROM planned GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7135,6 +7187,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
     "events_seasonality": q_events_seasonality,
+    "doc_compaction": q_doc_compaction,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7269,4 +7322,5 @@ ORACLES: Dict[str, str] = {
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_seasonality": SQL_EVENTS_SEASONALITY,
+    "doc_compaction": SQL_DOC_COMPACTION,
 }

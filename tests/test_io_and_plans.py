@@ -354,3 +354,23 @@ def test_events_cube_is_one_expand_one_shuffle(spark):
     )
     assert plan.count("Expand") == 1
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
+
+
+def test_compaction_plan_bins_whole_files_near_target(spark):
+    from pynomaly_spark.io import compaction_plan, compaction_summary
+
+    # sizes: 900,900,900 -> bin0 holds 900+900 (cum 0,900), third file
+    # cum=1800 -> bin1; a 5000-byte monster gets a bin of its own
+    rows = [(1, 900), (2, 900), (3, 900), (4, 5000), (5, 100)]
+    df = spark.createDataFrame(rows, "fid long, bytes long")
+    plan = compaction_plan(df, "bytes", "fid", target_bytes=1000)
+    bins = {r["fid"]: r["bin"] for r in plan.collect()}
+    assert bins == {1: 0, 2: 0, 3: 1, 4: 2, 5: 7}
+    # every file appears in exactly one bin and no bytes are lost
+    summ = compaction_summary(plan, "bytes", "fid").collect()
+    assert sum(r["n_files"] for r in summ) == 5
+    assert sum(r["total_bytes"] for r in summ) == 7800
+    # bins close within one file of target: every bin except each
+    # stream's last starts before the target boundary
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, "bytes", "fid", 0)
