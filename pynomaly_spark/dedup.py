@@ -43,6 +43,7 @@ __all__ = [
     "fuzzy_blocked_pairs",
     "prefix_jaccard_join",
     "linkage_scores",
+    "corpus_overlap",
 ]
 
 
@@ -1237,4 +1238,116 @@ def linkage_scores(
     return (
         pairs.select("*", *fields, score.alias("link_score"))
         .where(F.col("link_score") >= threshold)
+    )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Corpus-to-corpus overlap matrix: the shingle-set Jaccard between
+    every pair of GROUPS (sources, dumps, snapshots) — the
+    dataset-contamination screen run before mixing corpora into a
+    training run (is dump B mostly a re-crawl of dump A?).
+
+    Per pair: ``n_a, n_b`` (distinct shingles per side), ``n_inter``
+    and ``jaccard_exact_6`` (when ``exact=True``), plus ``mh_matches``
+    / ``jaccard_mh_6`` — the MinHash estimate: ``num_perm``
+    md5-salted min-hashes per group; the match fraction of the two
+    signature vectors is an unbiased Jaccard estimator (Broder 1997).
+
+    Determinism: min of md5 HEX STRINGS (lexicographic — the
+    ``doc_minhash`` device), so both engines build identical
+    signatures; match counts are integers; each Jaccard is one
+    6-dp-rounded division.
+
+    Scale (100 TB): the sketch path reduces map-side to ``groups ×
+    num_perm`` minimums (64 flat MIN aggregates, no per-salt explode)
+    and the pairwise compare runs on a groups-sized control-plane
+    frame — data-volume independent.  The EXACT path self-joins the
+    distinct (group, shingle) relation: one shingle-keyed shuffle, and
+    a shingle shared by g groups emits C(g,2) rows — at petabyte scale
+    set ``exact=False`` and ship only the sketch (the registry twin
+    pins exact mode at test scale to measure the estimator's error).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (corpus-level dedup planning; complements the
+    row-level minhash/LSH family).
+    """
+    if num_perm < 1:
+        raise ValueError(f"corpus_overlap: num_perm must be >= 1")
+    for c in (group_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"corpus_overlap: unknown column {c!r}")
+    sh = shingles(text_col, shingle_n)
+    dist = (
+        df.where(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.explode(sh).alias("_sh"))
+        .distinct()
+    )
+    sig = (
+        dist.select(
+            "_g",
+            *[
+                F.md5(F.concat(F.lit(str(s)), F.col("_sh"))).alias(f"_h{s}")
+                for s in range(num_perm)
+            ],
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_perm)],
+        )
+    )
+    right = sig.select(
+        F.col("_g").alias("_g_r"),
+        F.col("_n").alias("_n_r"),
+        *[F.col(f"_m{s}").alias(f"_m{s}_r") for s in range(num_perm)],
+    )
+    matches = sum(
+        (F.col(f"_m{s}") == F.col(f"_m{s}_r")).cast("int")
+        for s in range(num_perm)
+    ).cast("long")
+    pairs = sig.join(right, F.col("_g") < F.col("_g_r")).select(
+        F.col("_g").alias("src_a"),
+        F.col("_g_r").alias("src_b"),
+        F.col("_n").alias("n_a"),
+        F.col("_n_r").alias("n_b"),
+        matches.alias("mh_matches"),
+        F.round(matches / F.lit(float(num_perm)), 6).alias("jaccard_mh_6"),
+    )
+    if not exact:
+        return pairs
+    other = dist.select(
+        F.col("_g").alias("_g2"), F.col("_sh").alias("_sh2")
+    )
+    inter = (
+        dist.join(
+            other,
+            (F.col("_sh") == F.col("_sh2")) & (F.col("_g") < F.col("_g2")),
+        )
+        .groupBy(F.col("_g").alias("_ia"), F.col("_g2").alias("_ib"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    )
+    out = pairs.join(
+        inter,
+        (F.col("src_a") == F.col("_ia")) & (F.col("src_b") == F.col("_ib")),
+        "left",
+    )
+    ni = F.coalesce(F.col("_ni"), F.lit(0)).cast("long")
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        ni.alias("n_inter"),
+        F.round(
+            ni / (F.col("n_a") + F.col("n_b") - ni).cast("double"), 6
+        ).alias("jaccard_exact_6"),
+        "mh_matches",
+        "jaccard_mh_6",
     )

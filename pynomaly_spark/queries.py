@@ -7058,6 +7058,69 @@ FROM planned GROUP BY 1, 2
 """
 
 
+_CO_PERM = 64
+_CO_N = 3
+
+
+def q_doc_corpus_overlap(spark, sf_dir):
+    """Corpus contamination matrix (``dedup.corpus_overlap``): the
+    shingle-set Jaccard between every pair of sources — MinHash
+    estimate (64 md5-salted mins, match fraction) next to the exact
+    value, so the estimator's error is measured on-data.  The sketch
+    side is 64 flat MIN aggregates collapsing to sources×64 map-side;
+    the exact side's shingle self-join is the documented
+    test-scale-only path (``exact=False`` ships just the sketch at
+    petabyte scale)."""
+    from pynomaly_spark.dedup import corpus_overlap
+
+    return corpus_overlap(
+        _tbl(spark, sf_dir, "documents"),
+        "source",
+        "text",
+        num_perm=_CO_PERM,
+        shingle_n=_CO_N,
+    )
+
+
+def _doc_corpus_overlap_sql() -> str:
+    n = _CO_N
+    mins = ",\n         ".join(
+        f"min(md5('{s}' || sh)) AS m{s}" for s in range(_CO_PERM)
+    )
+    match_terms = " + ".join(
+        f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END"
+        for s in range(_CO_PERM)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source AS g,
+         array_to_string(t[CAST(i AS BIGINT):CAST(least(i + {n - 1}, len(t))
+                          AS BIGINT)], ' ') AS sh
+  FROM (SELECT source, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+       LATERAL unnest(generate_series(1, greatest(len(t) - {n - 1}, 1)))
+         AS u(i)
+), sig AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         {mins}
+  FROM sh GROUP BY g
+), inter AS (
+  SELECT x.g AS ia, y.g AS ib, CAST(count(*) AS BIGINT) AS ni
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.g < y.g
+  GROUP BY 1, 2
+)
+SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b,
+       CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter,
+       round(coalesce(i.ni, 0) /
+             CAST(a.n + b.n - coalesce(i.ni, 0) AS DOUBLE), 6)
+         AS jaccard_exact_6,
+       CAST({match_terms} AS BIGINT) AS mh_matches,
+       round(({match_terms}) / {float(_CO_PERM)!r}, 6) AS jaccard_mh_6
+FROM sig a JOIN sig b ON a.g < b.g
+LEFT JOIN inter i ON i.ia = a.g AND i.ib = b.g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7188,6 +7251,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": q_events_pivot,
     "events_seasonality": q_events_seasonality,
     "doc_compaction": q_doc_compaction,
+    "doc_corpus_overlap": q_doc_corpus_overlap,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7323,4 +7387,5 @@ ORACLES: Dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_seasonality": SQL_EVENTS_SEASONALITY,
     "doc_compaction": SQL_DOC_COMPACTION,
+    "doc_corpus_overlap": _doc_corpus_overlap_sql(),
 }

@@ -1683,3 +1683,62 @@ class TestBitstringNearDups:
             bitstring_near_dups(df, n_bits=64, n_bands=7)
         with pytest.raises(ValueError):
             bitstring_near_dups(df, max_hamming=-1)
+
+
+# ---------------------------------------------------------------------------
+# dedup.corpus_overlap — source-pair Jaccard matrix (exact + MinHash)
+# ---------------------------------------------------------------------------
+
+def test_corpus_overlap_exact_matches_python_sets(spark):
+    from pynomaly_spark.dedup import corpus_overlap, shingles
+    import pyspark.sql.functions as F
+
+    texts = {
+        "A": ["the quick brown fox jumps", "pack my box with jugs"],
+        "B": ["the quick brown fox sleeps", "pack my box with jugs"],
+        "C": ["completely different words here now"],
+    }
+    rows = [(g, t) for g, ts in texts.items() for t in ts]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in corpus_overlap(df, "source", "text", num_perm=32).collect()
+    }
+    # recompute shingle sets with the SAME spark expression
+    sets = {}
+    sdf = df.select("source", F.explode(shingles("text", 3)).alias("g"))
+    for r in sdf.collect():
+        sets.setdefault(r["source"], set()).add(r["g"])
+    import itertools
+
+    for a, b in itertools.combinations(sorted(texts), 2):
+        r = got[(a, b)]
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert r["n_a"] == len(sets[a]) and r["n_b"] == len(sets[b])
+        assert r["n_inter"] == inter
+        assert r["jaccard_exact_6"] == round(inter / union, 6)
+        assert 0 <= r["jaccard_mh_6"] <= 1
+    # high-overlap pair must estimate higher than the disjoint pair
+    assert got[("A", "B")]["jaccard_mh_6"] > got[("A", "C")]["jaccard_mh_6"]
+    assert got[("A", "C")]["n_inter"] == 0
+
+
+def test_corpus_overlap_sketch_only_and_validation(spark):
+    from pynomaly_spark.dedup import corpus_overlap
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("A", "x y z"), ("B", "x y z"), ("C", None), (None, "q")],
+        "source string, text string",
+    )
+    rows = corpus_overlap(df, "source", "text", num_perm=8, exact=False)
+    cols = rows.columns
+    assert "n_inter" not in cols and "jaccard_exact_6" not in cols
+    got = {(r["src_a"], r["src_b"]): r for r in rows.collect()}
+    # identical corpora -> every minhash component matches
+    assert got[("A", "B")]["mh_matches"] == 8
+    assert got[("A", "B")]["jaccard_mh_6"] == 1.0
+    assert len(got) == 1  # null source/text rows dropped entirely
+    with _pytest.raises(ValueError, match="unknown column"):
+        corpus_overlap(df, "nope", "text")
