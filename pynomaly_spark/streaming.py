@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -56,6 +56,7 @@ __all__ = [
     "streaming_latest_state",
     "streaming_cms",
     "streaming_ols_moments",
+    "streaming_hll",
 ]
 
 
@@ -675,3 +676,43 @@ def streaming_ols_moments(
     from .features import ols_moments
 
     return ols_moments(stream_df, x_cols, y_col)
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """Continuously-maintained HyperLogLog registers for a stream
+    column's distinct cardinality — the streaming analog of
+    :func:`pynomaly_spark.profiling.hll_build` (identical output
+    columns; the batch operator over the landed history is the parity
+    oracle; estimate with ``profiling.hll_estimate`` on any sink
+    snapshot).
+
+    MAX is what makes HLL the canonical streaming distinct-counter:
+    each micro-batch's registers merge into the state by per-cell MAX,
+    re-seeing a value is a no-op (idempotent — exactly-once NOT
+    required for correctness of the sketch), and the state is bounded
+    at ``groups × 2^p`` rows regardless of stream length or value
+    cardinality.  No watermark — a cardinality is a total-history
+    aggregate (there is no "too late" distinct).  Run in
+    update/complete mode.
+
+    A per-key streaming ``approx_count_distinct`` would hold opaque
+    engine-private state; these registers are md5-deterministic
+    integers any engine (or the batch twin) reproduces bit-for-bit.
+    """
+    from .profiling import _hll_hash_cols
+
+    if not 4 <= p <= 12:
+        raise ValueError(f"streaming_hll: p must be in [4, 12], got {p}")
+    bucket, rho = _hll_hash_cols(F.col(value_col), salt, p)
+    return (
+        stream_df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("register"))
+    )

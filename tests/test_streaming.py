@@ -713,3 +713,46 @@ def test_streaming_ols_matches_batch(spark, tmp_path):
     want_fit = ols_fit(landed, ["chars"], "tokens").toPandas()
     pd.testing.assert_frame_equal(got_fit, want_fit)
     assert want_fit["r2"][0] is not None
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Streaming HLL registers: the complete-mode register table over
+    the replayed event stream must equal profiling.hll_build over the
+    landed history, register for register — the MAX-merge law under
+    real micro-batching (and the idempotence that makes exactly-once
+    unnecessary for sketch correctness)."""
+    from pynomaly_spark.profiling import hll_build, hll_estimate
+    from pynomaly_spark.streaming import streaming_hll
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "hll_in")
+    ev.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_hll(stream, "user_id", ["event_type"], p=8)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM hll_regs").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            hll_build(ev, ["event_type"], "user_id", p=8).collect(),
+        )
+    )
+    assert len(got) > 0 and got == want
+    # the landed snapshot estimates like any batch sketch
+    est = hll_estimate(
+        spark.sql("SELECT * FROM hll_regs"), ["event_type"], p=8
+    ).collect()
+    assert all(r["est6"] > 0 for r in est)
+    with pytest.raises(ValueError, match="p must be"):
+        streaming_hll(ev, "user_id", p=13)
