@@ -7121,6 +7121,159 @@ LEFT JOIN inter i ON i.ia = a.g AND i.ib = b.g
 """
 
 
+def q_customer_order_dist(spark, sf_dir):
+    """TPC-H Q13 flavor: the distribution of orders-per-customer
+    INCLUDING the zero bucket — the left outer join + two-level
+    aggregate whose outer side must survive unmatched (an inner join
+    silently erases the idle-customer bucket, the classic Q13 bug).
+    First aggregate keys on custkey (map-side partial), the histogram
+    rollup is at most max-orders rows."""
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = _tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+        )
+    )
+
+
+SQL_CUSTOMER_ORDER_DIST = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+) GROUP BY 1
+"""
+
+
+def q_part_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 flavor: revenue locked in small-quantity lineitems —
+    items whose quantity is below 20% of their PART's average.  The
+    correlated scalar subquery decorrelates into one per-part
+    aggregate joined back; the threshold compare is INTEGER-exact
+    (``5 · qty_c · cnt < sum_qty_c`` — never ``qty < 0.2·avg``, whose
+    float boundary can flip items cross-engine).  Per-brand rollup;
+    the brand filter pushes into the part scan and the qualifying part
+    list broadcasts."""
+    p = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("_qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_px_c"),
+    )
+    avgs = li.groupBy("l_partkey").agg(
+        F.sum("_qty_c").alias("_sum_q"), F.count(F.lit(1)).alias("_cnt")
+    )
+    small = (
+        li.join(
+            avgs.withColumnRenamed("l_partkey", "_pk"),
+            F.col("l_partkey") == F.col("_pk"),
+        )
+        .where(
+            F.lit(5) * F.col("_qty_c") * F.col("_cnt") < F.col("_sum_q")
+        )
+    )
+    return (
+        small.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_items"),
+            F.sum("_px_c").cast("long").alias("sum_price_cents"),
+        )
+    )
+
+
+SQL_PART_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS px_c
+  FROM lineitem
+), avgs AS (
+  SELECT l_partkey AS pk, CAST(sum(qty_c) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_items,
+       CAST(sum(li.px_c) AS BIGINT) AS sum_price_cents
+FROM li JOIN avgs a ON li.l_partkey = a.pk
+JOIN part p ON li.l_partkey = p.p_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND 5 * li.qty_c * a.cnt < a.sum_q
+GROUP BY 1
+"""
+
+
+def q_customer_idle_rich(spark, sf_dir):
+    """TPC-H Q22 flavor: customers richer than the global average
+    balance who never placed an URGENT order — scalar-subquery
+    decorrelation (the global avg is a 1-row aggregate broadcast as a
+    literal-free cross join) + LEFT ANTI join whose probe side carries
+    a pushed priority filter (this datagen gives every customer SOME
+    order, so the unfiltered Q22 anti-join is vacuous).  The richness
+    compare is integer-exact: ``bal_c · n > sum_c`` over cents, never
+    ``bal > avg``.  Per-mktsegment rollup."""
+    c = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("_bal_c"),
+    )
+    glob = c.agg(
+        F.sum("_bal_c").alias("_sum_c"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(glob)).where(
+        F.col("_bal_c") * F.col("_n") > F.col("_sum_c")
+    )
+    idle = rich.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_bal_c").cast("long").alias("sum_bal_cents"),
+    )
+
+
+SQL_CUSTOMER_IDLE_RICH = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), g AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c.bal_c) AS BIGINT) AS sum_bal_cents
+FROM c CROSS JOIN g
+WHERE c.bal_c * g.n > g.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7252,6 +7405,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonality": q_events_seasonality,
     "doc_compaction": q_doc_compaction,
     "doc_corpus_overlap": q_doc_corpus_overlap,
+    "customer_order_dist": q_customer_order_dist,
+    "part_small_qty_revenue": q_part_small_qty_revenue,
+    "customer_idle_rich": q_customer_idle_rich,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7388,4 +7544,7 @@ ORACLES: Dict[str, str] = {
     "events_seasonality": SQL_EVENTS_SEASONALITY,
     "doc_compaction": SQL_DOC_COMPACTION,
     "doc_corpus_overlap": _doc_corpus_overlap_sql(),
+    "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
+    "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
+    "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
 }
