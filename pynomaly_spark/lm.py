@@ -44,6 +44,7 @@ __all__ = [
     "nb_model",
     "nb_priors",
     "nb_predict",
+    "build_vocab",
 ]
 
 
@@ -349,4 +350,93 @@ def nb_predict(
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select(id_col, F.col("label").alias("pred"), "score")
+    )
+
+
+def build_vocab(
+    tokens_df: DataFrame,
+    token_col: str,
+    min_count: int = 1,
+    head_cap: int = 256,
+) -> DataFrame:
+    """Frequency-ranked vocabulary with contiguous 0-based ids — the
+    tokenizer-training step of an LM data pipeline: count every token,
+    keep those seen ``min_count``+ times, and assign ``vocab_id`` in
+    ``(count DESC, token ASC)`` order (id 0 = most frequent; ties
+    break lexicographically, so the table is reproducible across
+    engines, partitionings and reruns).
+
+    Returns ``token, n, vocab_id``.
+
+    Scale (100 TB of tokens → 10^8-row vocabularies): the naive id
+    assignment is ``row_number() OVER (ORDER BY n DESC, token)`` — a
+    GLOBAL window that funnels the whole vocabulary through one
+    reducer.  Here ids come from a banded two-level rank, the
+    ``sampling.shuffle_order`` discipline adapted to a non-uniform
+    key: rows bucket by ``(-min(count, head_cap), first token char)``
+    — a key ORDER-MONOTONE in (count DESC, token) because bucket 1
+    decreases with count and, when counts tie below the cap, the first
+    character prefixes the token order; all heavy hitters
+    (count ≥ head_cap, a handful of rows by Zipf) share one head
+    bucket.  Each bucket ranks its slice in parallel; bucket counts
+    (≤ cap × alphabet + 1 rows, control-plane) prefix-sum into
+    broadcast offsets; ``vocab_id = offset + local_rank``.  The
+    largest bucket is one (count, first-char) cell of the count=1
+    tail, ~|vocab| / (alphabet size) rows — bounded parallelism
+    without any quantile sketch.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (LM preprocessing; feeds ``unigram_model`` /
+    ``dsir_scores`` pipelines with stable ids).
+    """
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"build_vocab: min_count must be >= 1")
+    if head_cap < 2:
+        raise ValueError(f"build_vocab: head_cap must be >= 2")
+    if token_col not in tokens_df.columns:
+        raise ValueError(f"build_vocab: unknown column {token_col!r}")
+    counts = (
+        tokens_df.where(
+            F.col(token_col).isNotNull() & (F.col(token_col) != "")
+        )
+        .groupBy(F.col(token_col).alias("token"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    b1 = -F.least(F.col("n"), F.lit(head_cap)).cast("long")
+    b2 = F.when(F.col("n") >= head_cap, F.lit("")).otherwise(
+        F.substring("token", 1, 1)
+    )
+    keyed = counts.withColumn("_b1", b1).withColumn("_b2", b2)
+    w_local = Window.partitionBy("_b1", "_b2").orderBy(
+        F.col("n").desc(), "token"
+    )
+    local = keyed.withColumn(
+        "_local", F.row_number().over(w_local).cast("long") - 1
+    )
+    w_bkt = Window.orderBy("_b1", "_b2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("_b1", "_b2")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .select(
+            F.col("_b1").alias("_r_b1"),
+            F.col("_b2").alias("_r_b2"),
+            F.coalesce(F.sum("_bc").over(w_bkt), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            (F.col("_b1") == F.col("_r_b1"))
+            & (F.col("_b2") == F.col("_r_b2")),
+        )
+        .select(
+            "token",
+            "n",
+            (F.col("_off") + F.col("_local")).cast("long").alias("vocab_id"),
+        )
     )

@@ -7274,6 +7274,61 @@ GROUP BY 1
 """
 
 
+def q_doc_vocab(spark, sf_dir):
+    """Vocabulary construction (``lm.build_vocab``): word-bigram
+    vocabulary over the corpus with contiguous frequency-ranked ids —
+    id assignment is the banded two-level rank (bucket by count band ×
+    first char, broadcast offsets), never a global single-reducer
+    ``row_number``; the DuckDB twin IS that naive global window, so
+    the gate proves the two ranks agree row-for-row.  Bigrams pair
+    cleaned tokens ('' dropped BEFORE pairing — the collocation_pmi
+    adjacency lesson inverted, both engines agree)."""
+    from pynomaly_spark.lm import build_vocab
+
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != ""
+    )
+    doc = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+    )
+    grams = doc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_t"), i),
+                    F.element_at(F.col("_t"), i + 1),
+                ),
+            )
+        ).alias("gram")
+    )
+    return build_vocab(grams, "gram", min_count=2, head_cap=64)
+
+
+SQL_DOC_VOCAB = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT t[CAST(i AS BIGINT)] || ' ' || t[CAST(i + 1 AS BIGINT)] AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT gram AS token, CAST(count(*) AS BIGINT) AS n
+  FROM grams GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+         AS vocab_id
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7408,6 +7463,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_dist": q_customer_order_dist,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
+    "doc_vocab": q_doc_vocab,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7547,4 +7603,5 @@ ORACLES: Dict[str, str] = {
     "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
+    "doc_vocab": SQL_DOC_VOCAB,
 }

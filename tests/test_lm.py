@@ -256,3 +256,43 @@ class TestDsirScores:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# lm.build_vocab — banded two-level frequency rank
+# ---------------------------------------------------------------------------
+
+def test_build_vocab_ids_match_global_order(spark):
+    from pynomaly_spark.lm import build_vocab
+    import pyspark.sql.functions as F
+
+    # zipfish synthetic: token t_i appears (1000 // (i+1)) times; many
+    # count ties in the tail + a heavy head crossing head_cap=16
+    rows = []
+    for i in range(300):
+        rows += [(f"t{i:03d}",)] * max(1, 1000 // (i + 1))
+    df = spark.createDataFrame(rows, "tok string")
+    got = build_vocab(df, "tok", min_count=1, head_cap=16).collect()
+    # contiguous 0-based ids
+    ids = sorted(r["vocab_id"] for r in got)
+    assert ids == list(range(len(got)))
+    # id order == (n DESC, token ASC)
+    by_id = sorted(got, key=lambda r: r["vocab_id"])
+    expect = sorted(got, key=lambda r: (-r["n"], r["token"]))
+    assert [r["token"] for r in by_id] == [r["token"] for r in expect]
+    assert by_id[0]["token"] == "t000" and by_id[0]["n"] == 1000
+
+
+def test_build_vocab_min_count_nulls_and_validation(spark):
+    from pynomaly_spark.lm import build_vocab
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("",), (None,)], "tok string"
+    )
+    got = {r["token"]: r for r in build_vocab(df, "tok", min_count=2).collect()}
+    assert set(got) == {"a"} and got["a"]["vocab_id"] == 0
+    with _pytest.raises(ValueError, match="min_count"):
+        build_vocab(df, "tok", min_count=0)
+    with _pytest.raises(ValueError, match="unknown column"):
+        build_vocab(df, "nope")
