@@ -67,6 +67,7 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "chisq_uniformity",
+    "weighted_quantiles",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1169,4 +1170,81 @@ def chisq_uniformity(
                 F.lit(float(k)) * F.col("_s2") / F.col("n") - F.col("n"), 6
             ).alias("chi2_6"),
         )
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[int] = (50,),
+) -> DataFrame:
+    """Exact weighted quantiles per group — the robust-stats answer
+    when each row carries a mass (median price weighted by quantity,
+    median latency weighted by request count): the p-quantile is the
+    smallest value whose cumulative weight reaches p% of the group's
+    total, the LOWER-quantile convention, decided by the integer-exact
+    inequality ``100 · cum_weight >= p · total_weight`` (never a float
+    fraction compare, whose boundary can flip cross-engine).
+
+    Returns ``*group_cols, total_w`` and one ``wq{p}`` column per
+    requested percentile.  Rows with NULL or non-positive weight carry
+    no mass and are dropped (documented; the twin mirrors).
+
+    Determinism: equal values are mass-interchangeable — whatever
+    order ties accumulate in (ROWS vs RANGE frames, any partitioning),
+    the threshold-crossing VALUE is the same, so the output is
+    frame-convention-proof.  All comparisons are integer for integer
+    weights.
+
+    Scale (100 TB): ONE value-ordered window pass per group computes
+    the running and total weights on the same exchange (Catalyst
+    chains both Window operators on one sort); the quantile pick is a
+    map-side-combinable MIN aggregate.  All requested percentiles ride
+    the same pass — k quantiles cost one shuffle, not k.  Hot-key
+    caveat as any per-group sort (``sessions.sessionize`` note).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (robust profiling; complements
+    ``robust_group_outliers``'s unweighted median/MAD).
+    """
+    ps = list(ps)
+    if not ps or any(not 0 < p < 100 for p in ps):
+        raise ValueError(
+            f"weighted_quantiles: ps must be integers in (0, 100), got {ps}"
+        )
+    group_cols = list(group_cols)
+    missing = [
+        c for c in (*group_cols, value_col, weight_col) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"weighted_quantiles: unknown columns {missing}")
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = base.withColumn("_cum", F.sum("_w").over(w_cum)).withColumn(
+        "_tot", F.sum("_w").over(w_tot)
+    )
+    return cum.groupBy(*group_cols).agg(
+        F.max("_tot").cast("long").alias("total_w"),
+        *[
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cum") >= F.lit(p) * F.col("_tot"),
+                    F.col("_v"),
+                )
+            ).alias(f"wq{p}")
+            for p in ps
+        ],
     )

@@ -7329,6 +7329,50 @@ FROM counts
 """
 
 
+def q_lineitem_wquantiles(spark, sf_dir):
+    """Exact weighted price quantiles (``profiling.weighted_quantiles``):
+    per return flag, the p25/p50/p75 of unit price in cents with each
+    lineitem weighted by its quantity units — one value-ordered window
+    pass per group carries running + total weight, the quantile pick
+    is an integer-exact ``100·cum ≥ p·total`` MIN, and all three
+    percentiles ride the same shuffle."""
+    from pynomaly_spark.profiling import weighted_quantiles
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("px_c"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_u"),
+    )
+    return weighted_quantiles(
+        li, ["l_returnflag"], "px_c", "qty_u", ps=(25, 50, 75)
+    )
+
+
+SQL_LINEITEM_WQUANTILES = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity * 100) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND round(l_quantity * 100) > 0
+), c AS (
+  SELECT g, v, w,
+         sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(w) OVER (PARTITION BY g) AS tot
+  FROM base
+)
+SELECT g AS l_returnflag,
+       CAST(max(tot) AS BIGINT) AS total_w,
+       CAST(min(CASE WHEN 100 * cum >= 25 * tot THEN v END) AS BIGINT)
+         AS wq25,
+       CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN v END) AS BIGINT)
+         AS wq50,
+       CAST(min(CASE WHEN 100 * cum >= 75 * tot THEN v END) AS BIGINT)
+         AS wq75
+FROM c GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7464,6 +7508,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
+    "lineitem_wquantiles": q_lineitem_wquantiles,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7604,4 +7649,5 @@ ORACLES: Dict[str, str] = {
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,
+    "lineitem_wquantiles": SQL_LINEITEM_WQUANTILES,
 }

@@ -504,3 +504,31 @@ def test_chisq_uniformity_exact_values_and_zero_buckets(spark):
         chisq_uniformity(df, ["g"], "b", 1)
     with pytest.raises(ValueError, match="unknown columns"):
         chisq_uniformity(df, ["g"], "nope", 4)
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles — exact weighted quantiles per group
+# ---------------------------------------------------------------------------
+
+def test_weighted_quantiles_hand_computed(spark):
+    from pynomaly_spark.profiling import weighted_quantiles
+
+    # group g: values 1..4 with weights 1,1,6,2 (total 10)
+    # cum: 1->1, 2->2, 3->8, 4->10
+    # p25: first v with 100cum>=250 -> v=3; p50: 100cum>=500 -> 3
+    # p75: 100cum>=750 -> 3; p90: >=900 -> 4
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 6), ("g", 4, 2),
+            ("g", 0, 0), ("g", None, 5)]  # zero-weight + null value drop
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    r = weighted_quantiles(df, ["g"], "v", "w", ps=(25, 50, 75, 90)).collect()[0]
+    assert r["total_w"] == 10
+    assert (r["wq25"], r["wq50"], r["wq75"], r["wq90"]) == (3, 3, 3, 4)
+    # exact boundary: weights 1,1 values 1,2 -> p50 threshold 100*1>=50*2
+    # -> lower median 1 (lower-quantile convention)
+    df2 = spark.createDataFrame([("h", 1, 1), ("h", 2, 1)], "g string, v int, w int")
+    r2 = weighted_quantiles(df2, ["g"], "v", "w", ps=(50,)).collect()[0]
+    assert r2["wq50"] == 1
+    with pytest.raises(ValueError, match="ps must be"):
+        weighted_quantiles(df, ["g"], "v", "w", ps=(0,))
+    with pytest.raises(ValueError, match="unknown columns"):
+        weighted_quantiles(df, ["g"], "nope", "w")
