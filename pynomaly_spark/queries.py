@@ -7373,6 +7373,50 @@ FROM c GROUP BY 1
 """
 
 
+_BOOL_TERMS = ["scan", "merge", "window"]
+
+
+def q_doc_bool_search(spark, sf_dir):
+    """Boolean retrieval (``retrieval.boolean_search``): AND and OR
+    over three query terms, one labeled row set each.  The conjunction
+    is ONE count aggregate over map-side vocabulary-pruned token hits
+    — never an m-way semi-join chain — so an m-term query still costs
+    a single shuffle."""
+    from pynomaly_spark.retrieval import boolean_search
+
+    doc = _doc(spark, sf_dir)
+
+    def one(mode):
+        return boolean_search(doc, _BOOL_TERMS, mode=mode).select(
+            F.lit(mode).alias("mode"), "doc_id", "n_matched"
+        )
+
+    return one("and").unionByName(one("or"))
+
+
+def _doc_bool_search_sql() -> str:
+    from pynomaly_spark.textops import _TOKEN_SPLIT
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BOOL_TERMS)))
+    m = len(set(_BOOL_TERMS))
+    return f"""
+WITH hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM (
+    SELECT DISTINCT doc_id, t
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}'))
+                   AS t
+          FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+    WHERE t IN ({terms})
+  ) GROUP BY 1
+)
+SELECT 'and' AS mode, doc_id, n_matched FROM hits WHERE n_matched = {m}
+UNION ALL
+SELECT 'or' AS mode, doc_id, n_matched FROM hits
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7509,6 +7553,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
     "lineitem_wquantiles": q_lineitem_wquantiles,
+    "doc_bool_search": q_doc_bool_search,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7650,4 +7695,5 @@ ORACLES: Dict[str, str] = {
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,
     "lineitem_wquantiles": SQL_LINEITEM_WQUANTILES,
+    "doc_bool_search": _doc_bool_search_sql(),
 }

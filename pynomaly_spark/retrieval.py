@@ -30,13 +30,15 @@ ranking and output.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .similarity import two_phase_topk
 from .textops import _TOKEN_SPLIT
 
-__all__ = ["bm25_topk", "build_postings", "rrf_fuse"]
+__all__ = ["bm25_topk", "build_postings", "rrf_fuse", "boolean_search"]
 
 
 def bm25_topk(
@@ -313,3 +315,53 @@ def rrf_fuse(
             F.round(F.col("_rrf"), r).alias("rrf_score"),
         )
     )
+
+
+def boolean_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "and",
+) -> DataFrame:
+    """Boolean set retrieval: documents matching ALL (``mode="and"``)
+    or ANY (``mode="or"``) of the query terms under the shared
+    tokenizer (``textops._TOKEN_SPLIT``, lowercased) — the filter
+    primitive under every faceted search and eval-set pull.
+
+    Returns ``(id_col, n_matched)`` — for AND, only rows with
+    ``n_matched == len(terms)`` survive; for OR, any match.
+
+    Scale (100 TB): the term postings are NEVER materialized as a
+    per-term join chain (an m-term AND as m semi-joins is m shuffles);
+    instead tokens are pruned to the query vocabulary MAP-SIDE (the
+    ``bm25_topk`` discipline — the explode emits only query-term hits,
+    a |docs|·|terms|-bounded trickle), deduped per (doc, term), and
+    the conjunction is ONE count aggregate: ``count == m``.  One
+    shuffle total, independent of term count.
+    """
+    if not terms:
+        raise ValueError("boolean_search: terms must be non-empty")
+    if mode not in ("and", "or"):
+        raise ValueError(f"boolean_search: mode must be and|or, got {mode}")
+    vocab = sorted({t.lower() for t in terms})
+    toks = (
+        docs.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT),
+                        lambda t: t.isin(*vocab),
+                    )
+                )
+            ).alias("_t"),
+        )
+    )
+    hits = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    if mode == "and":
+        return hits.where(F.col("n_matched") == len(vocab))
+    return hits

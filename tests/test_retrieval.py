@@ -102,3 +102,39 @@ def test_bm25_validates_args(spark):
         bm25_topk(spark, df, [("q", [])])
     with pytest.raises(ValueError):
         bm25_topk(spark, df, QS, k=0)
+
+
+# ---------------------------------------------------------------------------
+# retrieval.boolean_search — conjunctive/disjunctive set retrieval
+# ---------------------------------------------------------------------------
+
+def test_boolean_search_and_or_semantics(spark):
+    from pynomaly_spark.retrieval import boolean_search
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Scan the WINDOW, then merge"),   # all 3 (case-folded)
+            (2, "scan scan scan window"),          # 2 of 3, dup-proof
+            (3, "merge only"),                     # 1 of 3
+            (4, "nothing relevant"),               # 0
+            (5, None),                             # null text dropped
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["scan", "merge", "window"]
+    a = {r["doc_id"]: r["n_matched"]
+         for r in boolean_search(docs, terms, mode="and").collect()}
+    assert a == {1: 3}
+    o = {r["doc_id"]: r["n_matched"]
+         for r in boolean_search(docs, terms, mode="or").collect()}
+    assert o == {1: 3, 2: 2, 3: 1}
+    # duplicate query terms collapse; single shuffle regardless of m
+    dup = boolean_search(docs, ["scan", "SCAN", "scan"], mode="and")
+    assert {r["doc_id"] for r in dup.collect()} == {1, 2}
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # conjunction is an aggregate, not joins
+    with _pytest.raises(ValueError, match="non-empty"):
+        boolean_search(docs, [])
+    with _pytest.raises(ValueError, match="mode"):
+        boolean_search(docs, terms, mode="xor")
