@@ -45,6 +45,7 @@ __all__ = [
     "nb_priors",
     "nb_predict",
     "build_vocab",
+    "feature_hash",
 ]
 
 
@@ -439,4 +440,69 @@ def build_vocab(
             "n",
             (F.col("_off") + F.col("_local")).cast("long").alias("vocab_id"),
         )
+    )
+
+
+def feature_hash(
+    tokens_df: DataFrame,
+    id_col: str,
+    token_col: str,
+    dim: int = 256,
+    salt: str = "fh",
+) -> DataFrame:
+    """The hashing trick (signed, Weinberger et al. 2009): map tokens
+    into a FIXED ``dim``-slot feature space with a hash — no
+    vocabulary pass, no id table, no OOV — the constant-memory
+    alternative to :func:`build_vocab` when the model can take
+    collision noise.  Token t lands in slot ``md5(salt:t) % dim`` and
+    contributes ±1 (sign from an independent md5 bit); signed
+    contributions make collisions cancel in expectation instead of
+    inflating counts.
+
+    Returns sparse rows ``(id, slot, weight)`` — ``weight`` the signed
+    count of the row's tokens in that slot; zero-sum slots (perfect
+    cancellation) are kept only if some token hit them (weight may be
+    0), absent slots are implicit zeros.
+
+    Determinism: slot and sign are seedless md5 arithmetic both
+    engines share (16-bit hex prefix mod dim, exactly uniform for dim
+    a power of two ≤ 65536 — enforced; sign from the NEXT hex digit's
+    parity, an independent bit).  Weights are integers.
+
+    Scale (100 TB): one (id, slot) aggregate with map-side combine —
+    output bounded by ``docs × min(doc_len, dim)`` rows; nothing is
+    corpus-global, so this pipelines per-partition (the property that
+    makes hashing the only featurizer that needs NO second pass or
+    broadcast state).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (LM/classifier featurization; pairs with
+    ``nb_model`` and ``ols_fit`` as the fixed-width input maker).
+    """
+    if dim < 2 or dim > 65536 or dim & (dim - 1):
+        raise ValueError(
+            f"feature_hash: dim must be a power of two in [2, 65536], "
+            f"got {dim}"
+        )
+    for c in (id_col, token_col):
+        if c not in tokens_df.columns:
+            raise ValueError(f"feature_hash: unknown column {c!r}")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(token_col)))
+    slot = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(dim)
+    )
+    sign = (
+        F.pmod(F.conv(F.substring(h, 5, 1), 16, 10).cast("long"), F.lit(2))
+        * 2
+        - 1
+    )
+    return (
+        tokens_df.where(
+            F.col(id_col).isNotNull()
+            & F.col(token_col).isNotNull()
+            & (F.col(token_col) != "")
+        )
+        .select(F.col(id_col), slot.alias("slot"), sign.alias("_s"))
+        .groupBy(id_col, "slot")
+        .agg(F.sum("_s").cast("long").alias("weight"))
     )

@@ -7417,6 +7417,58 @@ SELECT 'or' AS mode, doc_id, n_matched FROM hits
 """
 
 
+_FH_DIM = 64
+_FH_SALT = "fh"
+
+
+def q_doc_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization (``lm.feature_hash``): every token
+    signed-hashed into 64 fixed slots with no vocabulary pass — the
+    constant-memory featurizer — then a per-slot corpus rollup
+    (occupancy, signed sum, L1 mass) that exposes the collision/
+    cancellation profile.  Slot and sign are seedless md5 arithmetic,
+    weights are integers; one (doc, slot) aggregate + one 64-row
+    rollup."""
+    from pynomaly_spark.lm import feature_hash
+
+    toks = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+    )
+    sparse = feature_hash(toks, "doc_id", "tok", dim=_FH_DIM, salt=_FH_SALT)
+    return sparse.groupBy("slot").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("weight").cast("long").alias("sum_weight"),
+        F.sum(F.abs("weight")).cast("long").alias("l1_mass"),
+    )
+
+
+SQL_DOC_FEATURE_HASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{_FH_SALT}:' || w), 1, 4) AS BIGINT)
+           % {_FH_DIM} AS slot,
+         (CAST('0x' || substr(md5('{_FH_SALT}:' || w), 5, 1) AS BIGINT)
+           % 2) * 2 - 1 AS s
+  FROM toks WHERE w <> ''
+), sparse AS (
+  SELECT doc_id, slot, CAST(sum(s) AS BIGINT) AS weight
+  FROM hashed GROUP BY 1, 2
+)
+SELECT slot, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(weight) AS BIGINT) AS sum_weight,
+       CAST(sum(abs(weight)) AS BIGINT) AS l1_mass
+FROM sparse GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7554,6 +7606,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_vocab": q_doc_vocab,
     "lineitem_wquantiles": q_lineitem_wquantiles,
     "doc_bool_search": q_doc_bool_search,
+    "doc_feature_hash": q_doc_feature_hash,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7696,4 +7749,5 @@ ORACLES: Dict[str, str] = {
     "doc_vocab": SQL_DOC_VOCAB,
     "lineitem_wquantiles": SQL_LINEITEM_WQUANTILES,
     "doc_bool_search": _doc_bool_search_sql(),
+    "doc_feature_hash": SQL_DOC_FEATURE_HASH,
 }

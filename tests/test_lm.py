@@ -296,3 +296,31 @@ def test_build_vocab_min_count_nulls_and_validation(spark):
         build_vocab(df, "tok", min_count=0)
     with _pytest.raises(ValueError, match="unknown column"):
         build_vocab(df, "nope")
+
+
+def test_feature_hash_sign_cancellation_and_bounds(spark):
+    from pynomaly_spark.lm import feature_hash
+    import hashlib
+
+    def slot_sign(t, dim=8):
+        h = hashlib.md5(f"fh:{t}".encode()).hexdigest()
+        return int(h[:4], 16) % dim, (int(h[4], 16) % 2) * 2 - 1
+
+    rows = [(1, "alpha"), (1, "alpha"), (1, "beta"), (2, "gamma"),
+            (2, ""), (None, "x"), (3, None)]
+    df = spark.createDataFrame(rows, "doc long, tok string")
+    got = {(r["doc"], r["slot"]): r["weight"]
+           for r in feature_hash(df, "doc", "tok", dim=8).collect()}
+    # recompute expected sparse map in python with the same hash
+    expect = {}
+    for d, t in rows:
+        if d is None or not t:
+            continue
+        s, sg = slot_sign(t)
+        expect[(d, s)] = expect.get((d, s), 0) + sg
+    assert got == expect
+    assert all(0 <= s < 8 for _, s in got)
+    with pytest.raises(ValueError, match="power of two"):
+        feature_hash(df, "doc", "tok", dim=100)
+    with pytest.raises(ValueError, match="unknown column"):
+        feature_hash(df, "doc", "nope")
