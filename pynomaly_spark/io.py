@@ -52,6 +52,7 @@ __all__ = [
     "zone_prune",
     "compaction_plan",
     "compaction_summary",
+    "write_range_sorted",
 ]
 
 
@@ -412,3 +413,35 @@ def compaction_summary(
             F.max(order_col).alias("last_file"),
         )
     )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-partitioned, fully-sorted parquet export: rows are range-
+    partitioned on ``sort_cols`` (each output file owns a DISJOINT key
+    interval) and sorted within every file — the layout that makes
+    downstream zone maps (:func:`zone_map`) maximally selective (one
+    zone per predicate boundary instead of every zone overlapping) and
+    lets merge-join readers consume pre-sorted runs without a shuffle.
+
+    ``repartitionByRange`` plans a sampled RangePartitioner — the
+    boundary estimation is a reservoir over the keys, so file SIZES
+    are approximate but the disjointness contract is exact.  Contrast
+    with :func:`write_bucketed_table` (hash-bucketed: co-located joins,
+    no range pruning) and :func:`zorder_key` (multi-column locality,
+    no total order): one axis, total order → range-sorted is the
+    right layout for time-series / id-scan workloads.
+    """
+    if not sort_cols:
+        raise ValueError("write_range_sorted: sort_cols must be non-empty")
+    cols = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

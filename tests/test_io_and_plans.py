@@ -374,3 +374,34 @@ def test_compaction_plan_bins_whole_files_near_target(spark):
     # stream's last starts before the target boundary
     with pytest.raises(ValueError, match="target_bytes"):
         compaction_plan(df, "bytes", "fid", 0)
+
+
+def test_write_range_sorted_disjoint_files_and_inner_order(spark, tmp_path):
+    """The range-sorted layout contract: every output file owns a
+    DISJOINT key interval (file min > previous file max) and rows
+    inside each file are sorted — the zone-map-perfect layout."""
+    from pynomaly_spark.io import write_range_sorted
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "rs")
+    write_range_sorted(df, out, ["k"], n_files=8)
+    back = spark.read.parquet(out).select(
+        "k", F.input_file_name().alias("f")
+    )
+    rows = back.collect()
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["f"], []).append(r["k"])
+    assert len(rows) == 10_000 and 2 <= len(per_file) <= 8
+    spans = []
+    for f, ks in per_file.items():
+        # parquet preserves row order within a file
+        assert ks == sorted(ks)
+        spans.append((min(ks), max(ks)))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo  # strict disjointness between files
+    with pytest.raises(ValueError, match="sort_cols"):
+        write_range_sorted(df, out, [])
