@@ -53,6 +53,8 @@ __all__ = [
     "compaction_plan",
     "compaction_summary",
     "write_range_sorted",
+    "zone_bloom",
+    "zone_bloom_probe",
 ]
 
 
@@ -445,3 +447,115 @@ def write_range_sorted(
         else df.repartitionByRange(*cols)
     )
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def zone_bloom(
+    df: DataFrame,
+    zone,
+    key_col: str,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Per-zone Bloom index: the point-lookup companion of
+    :func:`zone_map`.  Min/max zone stats prune RANGE predicates on
+    CLUSTERED columns but are useless for ``key = ?`` on an
+    unclustered key (every zone's [min,max] straddles it — the
+    lineitem_zonemap orderkey probe measures exactly that).  A per-zone
+    Bloom filter answers "can zone z contain key k?" with zero false
+    negatives, so equality lookups skip zones safely no matter how the
+    data is clustered.
+
+    Returns ``(zone, word, bits)`` — at most ``zones × m_bits/32``
+    rows; same 32-bit-word BIGINT layout and seedless md5 positions as
+    ``profiling.bloom_build`` (bit-identical on any engine /
+    partitioning; ``bit_or`` merges map-side).
+
+    Scale (100 TB): ONE pass — the ×k position explode is map-side and
+    collapses to index rows before the shuffle; the index, not the
+    data, moves.  Size m for the PER-ZONE key count (fp ≈
+    (1-e^(-kn/m))^k); an undersized filter saturates and prunes
+    nothing, which the probe's audit columns expose.
+    """
+    from .profiling import _bloom_pos
+
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError("zone_bloom: m_bits must be a multiple of 32")
+    if k_hashes < 1:
+        raise ValueError("zone_bloom: k_hashes must be >= 1")
+    if key_col not in df.columns:
+        raise ValueError(f"zone_bloom: unknown column {key_col}")
+    zone = zone if not isinstance(zone, str) else F.col(zone)
+    pos = (
+        df.where(F.col(key_col).isNotNull() & zone.isNotNull())
+        .select(
+            zone.alias("zone"),
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(F.col(key_col), j, m_bits)
+                        for j in range(k_hashes)
+                    ]
+                )
+            ).alias("pos"),
+        )
+    )
+    return (
+        pos.select(
+            "zone",
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("_m"),
+        )
+        .groupBy("zone", "word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def zone_bloom_probe(
+    zbloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe a :func:`zone_bloom` index with a small key list: returns
+    ``(zone, <key>, maybe)`` for every (zone, probe key) pair —
+    ``maybe = 0`` is a DEFINITE skip (the key cannot be in the zone),
+    ``maybe = 1`` schedules the zone for scanning.  The probe list
+    broadcasts; the join runs on the index rows, never the data."""
+    from .profiling import _bloom_pos
+
+    if key_col not in probes.columns:
+        raise ValueError(f"zone_bloom_probe: unknown column {key_col}")
+    zones = zbloom.select("zone").distinct()
+    keys = probes.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    expanded = zones.crossJoin(F.broadcast(keys)).select(
+        "zone",
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(key_col), j, m_bits)
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos"),
+    )
+    j = expanded.join(
+        zbloom.select(
+            F.col("zone").alias("_z"),
+            F.col("word").alias("_w"),
+            "bits",
+        ),
+        (F.col("zone") == F.col("_z"))
+        & (F.expr("pos div 32") == F.col("_w")),
+        "left",
+    )
+    mask = F.expr("shiftleft(1L, cast(pos % 32 as int))")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask) == mask
+    ).cast("long")
+    return (
+        j.select("zone", key_col, hit.alias("_h"))
+        .groupBy("zone", key_col)
+        .agg(F.min("_h").cast("long").alias("maybe"))
+    )

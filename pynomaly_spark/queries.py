@@ -7469,6 +7469,106 @@ FROM sparse GROUP BY 1
 """
 
 
+_ZB_M, _ZB_K = 1024, 3
+_ZB_KEYS = (1, 17, 424242)  # two live partkeys + one absent everywhere
+_ZB_ZONE_DAYS = 64
+
+
+def q_lineitem_zonebloom(spark, sf_dir):
+    """Per-zone Bloom data skipping (``io.zone_bloom`` /
+    ``zone_bloom_probe``): equality lookups on the UNCLUSTERED partkey
+    — exactly the probe the zone map cannot prune (its orderkey probe
+    measures that) — answered per 64-day zone with zero false
+    negatives.  Per probe key: zones scanned vs skipped, exact
+    presence, false-positive zones, and ``missed_zones`` (present but
+    bloom said skip) which must be 0 — the soundness audit ships with
+    the query, the lineitem_zonemap discipline."""
+    from pynomaly_spark.io import zone_bloom, zone_bloom_probe
+
+    base = _tbl(spark, sf_dir, "lineitem").select(
+        F.expr(
+            f"unix_micros(cast(l_shipdate as timestamp)) div {_DAY_US} "
+            f"div {_ZB_ZONE_DAYS}"
+        ).alias("zone"),
+        F.col("l_partkey").alias("pk"),
+    )
+    zb = zone_bloom(base, "zone", "pk", m_bits=_ZB_M, k_hashes=_ZB_K)
+    probes = spark.createDataFrame([(int(k),) for k in _ZB_KEYS], "pk long")
+    pr = zone_bloom_probe(zb, probes, "pk", m_bits=_ZB_M, k_hashes=_ZB_K)
+    present = (
+        base.where(F.col("pk").isin(*[int(k) for k in _ZB_KEYS]))
+        .groupBy("zone", "pk")
+        .agg(F.lit(1).alias("_present"))
+        .select(F.col("zone").alias("_z"), F.col("pk").alias("_pk"), "_present")
+    )
+    j = pr.join(
+        present,
+        (F.col("zone") == F.col("_z")) & (F.col("pk") == F.col("_pk")),
+        "left",
+    ).select(
+        "pk", "maybe", F.coalesce(F.col("_present"), F.lit(0)).alias("pres")
+    )
+    return j.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_zones"),
+        F.sum("maybe").cast("long").alias("zones_maybe"),
+        F.sum("pres").cast("long").alias("zones_present"),
+        F.sum(
+            ((F.col("maybe") == 1) & (F.col("pres") == 0)).cast("long")
+        ).cast("long").alias("false_pos_zones"),
+        F.sum(
+            ((F.col("maybe") == 0) & (F.col("pres") == 1)).cast("long")
+        ).cast("long").alias("missed_zones"),
+    )
+
+
+def _lineitem_zonebloom_sql() -> str:
+    keys = ", ".join(str(int(k)) for k in _ZB_KEYS)
+    h = (
+        "CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || "
+        "CAST({key} AS VARCHAR)), 1, 12) AS BIGINT) % {m}"
+    )
+    return f"""
+WITH base AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 // {_ZB_ZONE_DAYS} AS zone,
+         l_partkey AS k
+  FROM lineitem WHERE l_shipdate IS NOT NULL AND l_partkey IS NOT NULL
+), hs AS (SELECT unnest(range({_ZB_K})) AS j),
+words AS (
+  SELECT zone, pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM (SELECT zone, {h.format(key="k", m=_ZB_M)} AS pos FROM base, hs)
+  GROUP BY 1, 2
+), keys AS (SELECT unnest([{keys}]) AS pk),
+zones AS (SELECT DISTINCT zone FROM words),
+ppos AS (
+  SELECT zone, pk, {h.format(key="pk", m=_ZB_M)} AS pos
+  FROM zones, keys, hs
+), maybe AS (
+  SELECT p.zone, p.pk,
+         min(CASE WHEN coalesce(w.bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+                    = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM ppos p LEFT JOIN words w
+    ON w.zone = p.zone AND w.word = p.pos // 32
+  GROUP BY 1, 2
+), present AS (
+  SELECT zone, k AS pk, 1 AS pres FROM base WHERE k IN ({keys})
+  GROUP BY 1, 2
+)
+SELECT m.pk,
+       CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(sum(m.maybe) AS BIGINT) AS zones_maybe,
+       CAST(sum(coalesce(p.pres, 0)) AS BIGINT) AS zones_present,
+       CAST(sum(CASE WHEN m.maybe = 1 AND coalesce(p.pres, 0) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_zones,
+       CAST(sum(CASE WHEN m.maybe = 0 AND coalesce(p.pres, 0) = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS missed_zones
+FROM maybe m LEFT JOIN present p ON p.zone = m.zone AND p.pk = m.pk
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7607,6 +7707,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_wquantiles": q_lineitem_wquantiles,
     "doc_bool_search": q_doc_bool_search,
     "doc_feature_hash": q_doc_feature_hash,
+    "lineitem_zonebloom": q_lineitem_zonebloom,
 }
 
 ORACLES: Dict[str, str] = {
@@ -7750,4 +7851,5 @@ ORACLES: Dict[str, str] = {
     "lineitem_wquantiles": SQL_LINEITEM_WQUANTILES,
     "doc_bool_search": _doc_bool_search_sql(),
     "doc_feature_hash": SQL_DOC_FEATURE_HASH,
+    "lineitem_zonebloom": _lineitem_zonebloom_sql(),
 }

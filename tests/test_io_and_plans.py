@@ -405,3 +405,34 @@ def test_write_range_sorted_disjoint_files_and_inner_order(spark, tmp_path):
         assert a_hi < b_lo  # strict disjointness between files
     with pytest.raises(ValueError, match="sort_cols"):
         write_range_sorted(df, out, [])
+
+
+def test_zone_bloom_no_false_negatives_and_saturation(spark):
+    from pynomaly_spark.io import zone_bloom, zone_bloom_probe
+
+    rows = [(z, k) for z in range(4) for k in range(z * 10, z * 10 + 10)]
+    df = spark.createDataFrame(rows, "zone int, k long")
+    zb = zone_bloom(df, "zone", "k", m_bits=1024, k_hashes=3)
+    probes = spark.createDataFrame([(5,), (25,), (999,)], "k long")
+    got = {
+        (r["zone"], r["k"]): r["maybe"]
+        for r in zone_bloom_probe(
+            zb, probes, "k", m_bits=1024, k_hashes=3
+        ).collect()
+    }
+    # zero false negatives: every true member zone says maybe
+    assert got[(0, 5)] == 1 and got[(2, 25)] == 1
+    # key 999 is nowhere; with m=1024 for n=10/zone, fp ~ 0
+    assert all(got[(z, 999)] == 0 for z in range(4))
+    # an undersized filter (m=32 for 10 keys x3 hashes) loses precision
+    # but NEVER soundness: true members still say maybe
+    zb_sat = zone_bloom(df, "zone", "k", m_bits=32, k_hashes=3)
+    sat = {
+        (r["zone"], r["k"]): r["maybe"]
+        for r in zone_bloom_probe(
+            zb_sat, probes, "k", m_bits=32, k_hashes=3
+        ).collect()
+    }
+    assert sat[(0, 5)] == 1 and sat[(2, 25)] == 1
+    with pytest.raises(ValueError, match="m_bits"):
+        zone_bloom(df, "zone", "k", m_bits=33)
