@@ -4770,7 +4770,7 @@ FROM kept GROUP BY lang
 _PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
-def q_events_pivot(spark, sf_dir):
+def q_events_user_pivot(spark, sf_dir):
     """Long-to-wide engagement matrix (``features.pivot_agg``): per
     user, count and cents-sum for each of the five event types as ONE
     conditional hash aggregate — measured on Spark 4, the equivalent
@@ -7662,7 +7662,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decay": q_events_decay,
     "doc_profile": q_doc_profile,
     "doc_kmv_distinct": q_doc_kmv,
-    "events_pivot": q_events_pivot,
+    "events_user_pivot": q_events_user_pivot,
     "orders_late_semi": q_orders_late_semi,
     "events_transitions": q_events_transitions,
     "events_cusum": q_events_cusum,
@@ -7806,7 +7806,7 @@ ORACLES: Dict[str, str] = {
     "events_decay": SQL_EVENTS_DECAY,
     "doc_profile": _column_profile_sql(),
     "doc_kmv_distinct": _kmv_sql(),
-    "events_pivot": _events_pivot_sql(),
+    "events_user_pivot": _events_pivot_sql(),
     "orders_late_semi": SQL_ORDERS_LATE_SEMI,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_cusum": SQL_EVENTS_CUSUM,
