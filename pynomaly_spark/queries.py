@@ -7569,6 +7569,142 @@ GROUP BY 1
 """
 
 
+_Q18_QTY_C = 150 * 100  # order qty-sum threshold, in qty-cents
+
+
+def q_customer_big_orders(spark, sf_dir):
+    """TPC-H Q18 flavor: customers holding "large-volume" orders —
+    orders whose summed lineitem quantity exceeds a threshold — rolled
+    up per customer.  The HAVING-subquery shape becomes one lineitem
+    aggregate (groupBy orderkey, map-side partial sums) whose SMALL
+    survivor set then joins orders and customer; the qty threshold is
+    INTEGER-exact over qty-cents so the boundary never flips
+    cross-engine.  At 100 TB the lineitem→orders join shuffles on the
+    shared orderkey (co-partitioned in one exchange each); the
+    threshold prunes ~80% of orders BEFORE the customer join."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("_qty_c"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_qty_c").alias("_sum_qty_c"))
+        .where(F.col("_sum_qty_c") > F.lit(_Q18_QTY_C))
+    )
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_px_c"),
+    )
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_big_orders"),
+            F.sum("_sum_qty_c").cast("long").alias("sum_qty_cents"),
+            F.sum("_px_c").cast("long").alias("sum_price_cents"),
+        )
+    )
+
+
+SQL_CUSTOMER_BIG_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {_Q18_QTY_C}
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(count(*) AS BIGINT) AS n_big_orders,
+       CAST(sum(b.sum_qty_c) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+_Q21_LATE_US = 60 * 86_400 * 1_000_000  # ship > 60 days after order
+
+
+def q_supplier_blame(spark, sf_dir):
+    """TPC-H Q21 flavor: suppliers who SOLELY kept a multi-supplier
+    order waiting — orders with >1 distinct supplier where exactly one
+    supplier shipped >60 days after the order date; count such orders
+    per blamed supplier.  The EXISTS/NOT-EXISTS pair decorrelates into
+    one (orderkey, suppkey) collapse (max(late) per pair — a supplier
+    is late if ANY of its items is) followed by one per-order
+    aggregate; lateness compares integer microseconds so the boundary
+    is bit-identical cross-engine.  No Expand plan: the two "distinct"
+    counts are plain counts over the pre-collapsed pairs.  The tiny
+    supplier dim broadcasts."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("_ship_us"),
+    )
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("_ord_us"),
+    )
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("_ship_us") > F.col("_ord_us") + F.lit(_Q21_LATE_US))
+                .cast("int")
+            ).alias("_late")
+        )
+    )
+    blamed = (
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n_supp"),
+            F.sum("_late").alias("_n_late"),
+            F.max(
+                F.when(F.col("_late") == 1, F.col("l_suppkey"))
+            ).alias("_supp"),
+        )
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blame_orders"))
+        .join(F.broadcast(s), F.col("_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_blame_orders")
+    )
+
+
+SQL_SUPPLIER_BLAME = f"""
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN epoch_us(l.l_shipdate) >
+                       epoch_us(o.o_orderdate) + {_Q21_LATE_US}
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), blamed AS (
+  SELECT l_orderkey,
+         count(*) AS n_supp,
+         sum(late) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS supp
+  FROM pairs GROUP BY 1
+  HAVING count(*) > 1 AND sum(late) = 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_blame_orders
+FROM blamed b JOIN supplier s ON b.supp = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7701,6 +7837,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_compaction": q_doc_compaction,
     "doc_corpus_overlap": q_doc_corpus_overlap,
     "customer_order_dist": q_customer_order_dist,
+    "customer_big_orders": q_customer_big_orders,
+    "supplier_blame": q_supplier_blame,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -7845,6 +7983,8 @@ ORACLES: Dict[str, str] = {
     "doc_compaction": SQL_DOC_COMPACTION,
     "doc_corpus_overlap": _doc_corpus_overlap_sql(),
     "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
+    "customer_big_orders": SQL_CUSTOMER_BIG_ORDERS,
+    "supplier_blame": SQL_SUPPLIER_BLAME,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

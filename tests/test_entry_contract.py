@@ -41,6 +41,23 @@ def test_queries_and_oracles_line_up():
     assert rows_only == set()
 
 
+def test_registry_has_no_duplicate_keys():
+    """A duplicate key in the QUERIES/ORACLES dict literal silently
+    drops the earlier entry (Python keeps the last) — exactly how the
+    per-user pivot query shipped shadowed in round 5.  Parse the source
+    and assert every literal key is unique."""
+    import ast
+
+    import pynomaly_spark.queries as qmod
+
+    tree = ast.parse(open(qmod.__file__).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict) and len(node.keys) > 20:
+            keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate registry keys: {dupes}"
+
+
 def test_oracle_parity_all(spark):
     from tests.oracle_compare import compare_all
 
