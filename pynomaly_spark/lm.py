@@ -46,6 +46,7 @@ __all__ = [
     "nb_predict",
     "build_vocab",
     "feature_hash",
+    "linear_score",
 ]
 
 
@@ -505,4 +506,53 @@ def feature_hash(
         .select(F.col(id_col), slot.alias("slot"), sign.alias("_s"))
         .groupBy(id_col, "slot")
         .agg(F.sum("_s").cast("long").alias("weight"))
+    )
+
+
+def linear_score(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    slot_col: str = "slot",
+    x_col: str = "weight",
+    w_col: str = "w",
+    bias: int = 0,
+) -> DataFrame:
+    """Linear-model inference over sparse hashed features — the
+    serving half of the fastText/VW-style pipeline whose featurizer is
+    :func:`feature_hash`: per row id, ``score = bias + Σ x_slot ·
+    w_slot`` and the sign decision.  ``weights`` is ANY (slot, w)
+    relation — a trained model read from a table, or a deterministic
+    stand-in; it is dimension-bounded (``feature_hash`` caps dim at
+    65536), so it ALWAYS broadcasts — model inference at 100 TB is a
+    map-side join plus one per-id aggregate, no corpus-global state.
+
+    Integer discipline: with integer ``x`` and ``w`` the score is an
+    exact BIGINT — the decision boundary can never flip cross-engine.
+    Features absent from ``weights`` score 0 (an L1-pruned model slot
+    means "no contribution", not "drop the row").
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (classifier serving; pairs with feature_hash).
+    """
+    for c in (id_col, slot_col, x_col):
+        if c not in features.columns:
+            raise ValueError(f"linear_score: unknown feature column {c!r}")
+    for c in (slot_col, w_col):
+        if c not in weights.columns:
+            raise ValueError(f"linear_score: unknown weight column {c!r}")
+    w = F.broadcast(
+        weights.select(
+            F.col(slot_col).alias("_w_slot"), F.col(w_col).alias("_w")
+        )
+    )
+    joined = features.join(
+        w, F.col(slot_col) == F.col("_w_slot"), "left"
+    ).select(
+        F.col(id_col),
+        (F.col(x_col) * F.coalesce(F.col("_w"), F.lit(0))).alias("_term"),
+    )
+    return joined.groupBy(id_col).agg(
+        (F.sum("_term") + F.lit(bias)).cast("long").alias("score"),
+        ((F.sum("_term") + F.lit(bias)) > 0).alias("positive"),
     )

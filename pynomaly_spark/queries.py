@@ -7705,6 +7705,83 @@ GROUP BY 1, 2
 """
 
 
+_LW_SALT = "lw"  # weight-table hash family, independent of _FH_SALT
+
+
+def q_doc_linear_score(spark, sf_dir):
+    """Classifier serving at corpus scale (``lm.linear_score`` over
+    ``lm.feature_hash``): every document's tokens hashed into 64 slots,
+    scored against a broadcast (slot, w) weight table, one exact BIGINT
+    margin + sign decision per doc.  The weight table here is a
+    deterministic md5-derived stand-in (w ∈ [-8, 8] from the slot id) —
+    the operator takes ANY trained (slot, w) relation; dim ≤ 65536
+    guarantees the model side always broadcasts, so inference is
+    map-side + one per-doc aggregate.  All-integer arithmetic: the
+    decision boundary cannot flip cross-engine."""
+    from pynomaly_spark.lm import feature_hash, linear_score
+
+    toks = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+    )
+    sparse = feature_hash(toks, "doc_id", "tok", dim=_FH_DIM, salt=_FH_SALT)
+    weights = spark.range(_FH_DIM).select(
+        F.col("id").alias("slot"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{_LW_SALT}:"), F.col("id"))),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(17),
+            )
+            - 8
+        ).alias("w"),
+    )
+    scored = linear_score(sparse, weights, id_col="doc_id")
+    return scored.select(
+        "doc_id", "score", F.col("positive").cast("long").alias("positive")
+    )
+
+
+SQL_DOC_LINEAR_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{_FH_SALT}:' || w), 1, 4) AS BIGINT)
+           % {_FH_DIM} AS slot,
+         (CAST('0x' || substr(md5('{_FH_SALT}:' || w), 5, 1) AS BIGINT)
+           % 2) * 2 - 1 AS s
+  FROM toks WHERE w <> ''
+), sparse AS (
+  SELECT doc_id, slot, CAST(sum(s) AS BIGINT) AS x
+  FROM hashed GROUP BY 1, 2
+), weights AS (
+  SELECT slot,
+         CAST('0x' || substr(md5('{_LW_SALT}:' || slot), 1, 2) AS BIGINT)
+           % 17 - 8 AS w
+  FROM (SELECT unnest(generate_series(0, {_FH_DIM - 1})) AS slot)
+)
+SELECT s.doc_id,
+       CAST(sum(s.x * coalesce(w.w, 0)) AS BIGINT) AS score,
+       CAST(CASE WHEN sum(s.x * coalesce(w.w, 0)) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS positive
+FROM sparse s LEFT JOIN weights w ON s.slot = w.slot
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7839,6 +7916,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_dist": q_customer_order_dist,
     "customer_big_orders": q_customer_big_orders,
     "supplier_blame": q_supplier_blame,
+    "doc_linear_score": q_doc_linear_score,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -7985,6 +8063,7 @@ ORACLES: Dict[str, str] = {
     "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
     "customer_big_orders": SQL_CUSTOMER_BIG_ORDERS,
     "supplier_blame": SQL_SUPPLIER_BLAME,
+    "doc_linear_score": SQL_DOC_LINEAR_SCORE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

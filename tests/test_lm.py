@@ -324,3 +324,32 @@ def test_feature_hash_sign_cancellation_and_bounds(spark):
         feature_hash(df, "doc", "tok", dim=100)
     with pytest.raises(ValueError, match="unknown column"):
         feature_hash(df, "doc", "nope")
+
+
+def test_linear_score_exact_margin_and_pruned_slots(spark):
+    """Known sparse features × known weights → exact integer margin;
+    slots absent from the weight table contribute 0; the sign decision
+    follows the margin."""
+    from pynomaly_spark.lm import linear_score
+
+    feats = spark.createDataFrame(
+        [(1, 0, 2), (1, 1, -1), (1, 9, 100),   # slot 9 is pruned
+         (2, 0, -3), (3, 1, 0)],
+        "doc_id long, slot long, weight long",
+    )
+    weights = spark.createDataFrame(
+        [(0, 5), (1, -4)], "slot long, w long"
+    )
+    got = {r["doc_id"]: (r["score"], r["positive"])
+           for r in linear_score(feats, weights, id_col="doc_id").collect()}
+    assert got == {1: (2 * 5 + (-1) * -4 + 0, True),
+                   2: (-15, False), 3: (0, False)}
+    # bias shifts the margin and can flip the decision
+    got_b = {r["doc_id"]: (r["score"], r["positive"])
+             for r in linear_score(
+                 feats, weights, id_col="doc_id", bias=16).collect()}
+    assert got_b[2] == (1, True)
+    with pytest.raises(ValueError, match="unknown feature column"):
+        linear_score(feats, weights, id_col="nope")
+    with pytest.raises(ValueError, match="unknown weight column"):
+        linear_score(feats, weights.withColumnRenamed("w", "v"))
