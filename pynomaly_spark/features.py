@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "target_encode_loo",
     "rolling_range_aggs",
     "rolling_distinct",
     "quantile_bins",
@@ -650,3 +651,64 @@ def ols_fit(
     x_cols = list(x_cols)
     by = list(by)
     return ols_solve(ols_moments(df, x_cols, y_col, by=by), x_cols, r, by=by)
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    y_col: str,
+    out_col: str = "loo_mean",
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Leave-one-out target encoding (Micci-Barreca 2001): replace a
+    categorical column with the mean of the target over the OTHER rows
+    of the same category — ``(Σy − y_row) / (n − 1)`` — the encoding
+    that never leaks the row's own label into its feature.  With
+    ``smoothing`` m > 0 the estimate shrinks toward the global prior:
+    ``(Σy − y + m·ȳ) / (n − 1 + m)`` — singleton categories then
+    gracefully yield the prior; at m = 0 they yield NULL.
+
+    Adds ``out_col`` (double) and ``n_peers`` (category size − 1) to
+    the input relation.
+
+    Exactness: pass an INTEGER target (cents) — the per-category sums
+    and the global prior are then exact, and the final division is one
+    IEEE op on identical operands cross-engine.
+
+    Scale (100 TB): one map-side-combined aggregate per category + a
+    join back.  No window over the category — a hot category (the
+    Zipfian head) would route every row through one task; the
+    aggregate collapses it to one row instead, and the join-back is
+    broadcast when the category count is bounded, AQE-planned
+    otherwise.  The global prior is a 1-row broadcast cross join.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (ML feature engineering for training pipelines).
+    """
+    if cat_col not in df.columns or y_col not in df.columns:
+        raise ValueError(
+            f"target_encode_loo: unknown column {cat_col!r} or {y_col!r}"
+        )
+    base = df.where(F.col(cat_col).isNotNull() & F.col(y_col).isNotNull())
+    stats = base.groupBy(cat_col).agg(
+        F.sum(y_col).alias("_te_sum"), F.count(F.lit(1)).alias("_te_n")
+    )
+    glob = base.agg(
+        (F.sum(y_col).cast("double") / F.count(F.lit(1))).alias("_te_prior")
+    )
+    stats = stats.withColumnRenamed(cat_col, "_te_cat")
+    joined = base.join(
+        stats, F.col(cat_col) == F.col("_te_cat")
+    ).crossJoin(F.broadcast(glob))
+    m = float(smoothing)
+    denom = F.col("_te_n") - 1 + F.lit(m)
+    num = (
+        (F.col("_te_sum") - F.col(y_col)).cast("double")
+        + F.lit(m) * F.col("_te_prior")
+    )
+    enc = F.when(denom > 0, num / denom)
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        (F.col("_te_n") - 1).cast("long").alias("n_peers"),
+        enc.alias(out_col),
+    )

@@ -7782,6 +7782,50 @@ GROUP BY 1
 """
 
 
+def q_events_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding (``features.target_encode_loo``):
+    each event's type replaced by the mean cents-value of the OTHER
+    events of that type — the leakage-free categorical encoder.  One
+    map-side-combined per-type aggregate + a broadcast join back; NO
+    window over the type (the Zipfian head type would funnel through
+    one task).  Sums are exact BIGINT cents; the single trailing
+    division is rounded to 6 dp on both engines."""
+    from pynomaly_spark.features import target_encode_loo
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y_cents"),
+    )
+    enc = target_encode_loo(ev, "event_type", "y_cents")
+    return enc.select(
+        "event_id",
+        "event_type",
+        "y_cents",
+        "n_peers",
+        F.round(F.col("loo_mean"), 6).alias("loo_mean"),
+    )
+
+
+SQL_EVENTS_TARGET_ENCODE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS y_c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), stats AS (
+  SELECT event_type AS t, CAST(sum(y_c) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.y_c AS y_cents,
+       CAST(st.n - 1 AS BIGINT) AS n_peers,
+       round(CASE WHEN st.n > 1
+                  THEN CAST(st.s - b.y_c AS DOUBLE) / (st.n - 1) END,
+             6) AS loo_mean
+FROM base b JOIN stats st ON b.event_type = st.t
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7917,6 +7961,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_big_orders": q_customer_big_orders,
     "supplier_blame": q_supplier_blame,
     "doc_linear_score": q_doc_linear_score,
+    "events_target_encode": q_events_target_encode,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8064,6 +8109,7 @@ ORACLES: Dict[str, str] = {
     "customer_big_orders": SQL_CUSTOMER_BIG_ORDERS,
     "supplier_blame": SQL_SUPPLIER_BLAME,
     "doc_linear_score": SQL_DOC_LINEAR_SCORE,
+    "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

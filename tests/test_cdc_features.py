@@ -409,3 +409,30 @@ def test_pivot_agg_validation(spark):
         pivot_agg(df, ["u"], "et", ["a", "a"], "c")
     with pytest.raises(ValueError):
         pivot_agg(df, ["u"], "nope", ["a"], "c")
+
+
+def test_target_encode_loo_exact_and_smoothed(spark):
+    """LOO mean excludes the row's own label; singletons are NULL at
+    m=0 and shrink to the global prior at m>0."""
+    from pynomaly_spark.features import target_encode_loo
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 100),
+         (5, None, 7), (6, "c", None)],
+        "id long, cat string, y long",
+    )
+    got = {r["id"]: (r["n_peers"], r["loo_mean"])
+           for r in target_encode_loo(df, "cat", "y").collect()}
+    assert got[1] == (2, 25.0)          # (20+30)/2
+    assert got[2] == (2, 20.0)
+    assert got[3] == (2, 15.0)
+    assert got[4] == (0, None)          # singleton, m=0
+    assert set(got) == {1, 2, 3, 4}     # null cat / null y dropped
+    prior = (10 + 20 + 30 + 100) / 4.0
+    sm = {r["id"]: r["loo_mean"]
+          for r in target_encode_loo(df, "cat", "y", smoothing=2.0).collect()}
+    assert sm[4] == _pytest.approx(2 * prior / 2)   # pure prior
+    assert sm[1] == _pytest.approx((50 + 2 * prior) / 4)
+    with _pytest.raises(ValueError, match="unknown column"):
+        target_encode_loo(df, "nope", "y")
