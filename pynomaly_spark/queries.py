@@ -7826,6 +7826,59 @@ FROM base b JOIN stats st ON b.event_type = st.t
 """
 
 
+def q_part_basket_pairs(spark, sf_dir):
+    """Market-basket mining over orders (``sequences.
+    cooccurrence_pairs``): part pairs co-purchased in the same order,
+    support ≥ 2, with lift from exact integer counts — the
+    frequent-2-itemset screen.  One basket-keyed self-join (viral
+    baskets dropped BEFORE the join by the max_basket guard), map-side
+    combined pair counts, support prune before the frequency joins;
+    the 1-row order count broadcasts.  Lift is the only float, rounded
+    6 dp both engines."""
+    from pynomaly_spark.sequences import cooccurrence_pairs
+
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket=64
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "support",
+        "n_a",
+        "n_b",
+        F.round(F.col("lift"), 6).alias("lift"),
+    )
+
+
+SQL_PART_BASKET_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), kept AS (
+  SELECT bk FROM items GROUP BY 1 HAVING count(*) <= 64
+), eligible AS (
+  SELECT i.* FROM items i JOIN kept k ON i.bk = k.bk
+), n AS (
+  SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM eligible
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM eligible a JOIN eligible b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), freq AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS f FROM eligible GROUP BY 1
+)
+SELECT p.item_a, p.item_b, p.support, fa.f AS n_a, fb.f AS n_b,
+       round(CAST(n.n_baskets * p.support AS DOUBLE) / (fa.f * fb.f), 6)
+         AS lift
+FROM pairs p
+JOIN freq fa ON p.item_a = fa.item
+JOIN freq fb ON p.item_b = fb.item
+CROSS JOIN n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7962,6 +8015,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_blame": q_supplier_blame,
     "doc_linear_score": q_doc_linear_score,
     "events_target_encode": q_events_target_encode,
+    "part_basket_pairs": q_part_basket_pairs,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8110,6 +8164,7 @@ ORACLES: Dict[str, str] = {
     "supplier_blame": SQL_SUPPLIER_BLAME,
     "doc_linear_score": SQL_DOC_LINEAR_SCORE,
     "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
+    "part_basket_pairs": SQL_PART_BASKET_PAIRS,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

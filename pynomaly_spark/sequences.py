@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_counts", "cusum_flags", "path_counts", "acf"]
+__all__ = [
+    "transition_counts",
+    "cusum_flags",
+    "path_counts",
+    "acf",
+    "cooccurrence_pairs",
+]
 
 
 def transition_counts(
@@ -312,4 +318,89 @@ def acf(
         F.round(
             F.when((va > 0) & (vb > 0), num / F.sqrt(va * vb)), r
         ).alias("acf"),
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 1024,
+) -> DataFrame:
+    """Market-basket pair mining: for every unordered item pair that
+    shares a basket, the co-occurrence support and the lift
+    ``N·n_ab / (n_a·n_b)`` — the association-rule screen (Agrawal &
+    Srikant 1994's frequent-2-itemset stage, which at web scale is the
+    stage that matters: higher orders mine the survivors of this one).
+
+    Scale (100 TB): the dangerous input is the VIRAL basket — a basket
+    of k items emits k(k−1)/2 pairs, so one million-item basket alone
+    is ~5·10¹¹ rows out of the self-join.  ``max_basket`` drops
+    oversized baskets BEFORE the join (the standard cap in production
+    basket mining; NULL-safe distinct first, so duplicate lines don't
+    inflate).  The pair counts come from one equi-self-join on the
+    basket key (both sides the same shuffle), collapsed by a map-side
+    combined aggregate; ``min_support`` prunes before the frequency
+    joins; the 1-row basket count broadcasts.  Lift's single division
+    is the only float.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (co-occurrence analytics for recommendation /
+    data-curation pipelines).
+    """
+    if basket_col not in df.columns or item_col not in df.columns:
+        raise ValueError(
+            f"cooccurrence_pairs: unknown column {basket_col!r} or "
+            f"{item_col!r}"
+        )
+    if min_support < 1:
+        raise ValueError("cooccurrence_pairs: min_support must be >= 1")
+    items = (
+        df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(basket_col, item_col)
+        .distinct()
+    )
+    if max_basket is not None:
+        keep = (
+            items.groupBy(basket_col)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_basket)
+            .select(basket_col)
+        )
+        items = items.join(keep, basket_col, "left_semi")
+    n_baskets = items.agg(
+        F.countDistinct(basket_col).cast("long").alias("_N")
+    )
+    a = items.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("item_a")
+    )
+    b = items.select(
+        F.col(basket_col).alias("_bk2"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_bk") == F.col("_bk2"))
+            & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    freq = items.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_f")
+    )
+    fa = freq.select(F.col(item_col).alias("_ia"), F.col("_f").alias("n_a"))
+    fb = freq.select(F.col(item_col).alias("_ib"), F.col("_f").alias("n_b"))
+    out = (
+        pairs.join(fa, F.col("item_a") == F.col("_ia"))
+        .join(fb, F.col("item_b") == F.col("_ib"))
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = (F.col("_N") * F.col("support")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return out.select(
+        "item_a", "item_b", "support", "n_a", "n_b", lift.alias("lift")
     )

@@ -313,3 +313,34 @@ def test_merge_aggs_new_keys_pass_through_and_validation(spark):
         merge_aggs(base, delta, ["k"])
     with _pytest.raises(ValueError, match="missing columns"):
         merge_aggs(base, delta, ["k"], count_cols=["nope"])
+
+
+def test_cooccurrence_pairs_support_lift_and_viral_guard(spark):
+    """Hand-checked pair supports and lift on 4 baskets; duplicate
+    basket lines don't inflate; a viral basket is dropped whole."""
+    from pynomaly_spark.sequences import cooccurrence_pairs
+    import pytest as _pytest
+
+    rows = (
+        [(1, "a"), (1, "b"), (1, "b"), (1, "c"),      # dup b line
+         (2, "a"), (2, "b"),
+         (3, "a"), (3, "c"),
+         (4, "d"), (None, "a"), (5, None)]
+    )
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {(r["item_a"], r["item_b"]): (r["support"], r["n_a"], r["n_b"], r["lift"])
+           for r in cooccurrence_pairs(df, "bk", "item", min_support=2).collect()}
+    # N=4 baskets; a in 3, b in 2, c in 2; support ab=2, ac=2, bc=1(<minsup)
+    assert got == {
+        ("a", "b"): (2, 3, 2, 4 * 2 / (3 * 2)),
+        ("a", "c"): (2, 3, 2, 4 * 2 / (3 * 2)),
+    }
+    # viral basket: basket 1 has 3 distinct items; cap at 2 drops it
+    capped = {(r["item_a"], r["item_b"]): r["support"]
+              for r in cooccurrence_pairs(
+                  df, "bk", "item", min_support=1, max_basket=2).collect()}
+    assert capped == {("a", "b"): 1, ("a", "c"): 1}
+    with _pytest.raises(ValueError, match="unknown column"):
+        cooccurrence_pairs(df, "bk", "nope")
+    with _pytest.raises(ValueError, match="min_support"):
+        cooccurrence_pairs(df, "bk", "item", min_support=0)
