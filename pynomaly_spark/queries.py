@@ -7879,6 +7879,68 @@ CROSS JOIN n
 """
 
 
+_CONC_HOUR_US = 3_600_000_000
+
+
+def q_events_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per hour (``sessions.
+    concurrency_profile`` over the gap sessionizer): the sweep-line
+    +1/−1 scan over session intervals, collapsed per distinct instant
+    (closed intervals: starts count before ends, made tie-proof by the
+    collapse), run as the packing-style TWO-LEVEL prefix sum — local
+    cumulative sums inside day buckets + a broadcast exclusive prefix
+    over the tiny per-bucket totals — never a global single-reducer
+    time window."""
+    from pynomaly_spark.sessions import concurrency_profile, session_stats
+
+    ev = _tbl(spark, sf_dir, "events")
+    s = session_stats(ev, "user_id", "ts", gap_minutes=_SESSION_GAP_MIN)
+    iv = s.select(
+        F.col("start_us").alias("s"),
+        (F.col("start_us") + F.col("duration_us")).alias("e"),
+    )
+    return concurrency_profile(iv, "s", "e", bucket_us=_CONC_HOUR_US)
+
+
+def _concurrency_sql(gap_min: int = _SESSION_GAP_MIN) -> str:
+    gap_us = gap_min * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM marked
+), ivs AS (
+  SELECT min(us) AS s, max(us) AS e
+  FROM sess GROUP BY user_id, sess_idx
+), deltas AS (
+  SELECT t,
+         sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS ns,
+         sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS ne
+  FROM (SELECT s AS t, 1 AS d FROM ivs
+        UNION ALL SELECT e AS t, -1 AS d FROM ivs)
+  GROUP BY 1
+), swept AS (
+  SELECT t, ns, ne,
+         sum(ns - ne) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+  FROM deltas
+)
+SELECT CAST(t // {_CONC_HOUR_US} AS BIGINT) AS bucket,
+       CAST(max(cum - (ns - ne) + ns) AS BIGINT) AS peak_concurrency,
+       CAST(arg_max(cum, t) AS BIGINT) AS level_after,
+       CAST(count(*) AS BIGINT) AS n_boundary_instants
+FROM swept GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8016,6 +8078,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_linear_score": q_doc_linear_score,
     "events_target_encode": q_events_target_encode,
     "part_basket_pairs": q_part_basket_pairs,
+    "events_concurrency": q_events_concurrency,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8165,6 +8228,7 @@ ORACLES: Dict[str, str] = {
     "doc_linear_score": SQL_DOC_LINEAR_SCORE,
     "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
     "part_basket_pairs": SQL_PART_BASKET_PAIRS,
+    "events_concurrency": _concurrency_sql(),
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "funnel_steps", "funnel_counts"]
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "funnel_steps",
+    "funnel_counts",
+    "concurrency_profile",
+]
 
 
 def sessionize(
@@ -160,3 +166,90 @@ def funnel_counts(
         ]
     )
     return counts.select(F.explode(pairs).alias("_f")).select("_f.*")
+
+
+def concurrency_profile(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3_600_000_000,
+    scan_bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Sweep-line concurrency over closed intervals ``[start, end]``
+    (integer µs): per report bucket (hour by default), the PEAK number
+    of simultaneously-open intervals and the level still open as the
+    bucket's last boundary instant passes — the "peak concurrent
+    sessions per hour" readout.
+
+    Semantics: concurrency changes only at interval boundaries, so the
+    sweep collapses deltas PER DISTINCT INSTANT first (n_start, n_end
+    at each µs) — closed intervals mean starts at an instant count
+    before ends, and the per-instant collapse makes tie order a
+    non-question cross-engine.  Buckets with no boundary are not
+    emitted (the level there is the previous bucket's ``level_after``).
+
+    Scale (100 TB): a running sum ordered by global time is the
+    classic single-reducer trap — a naive ``Window.orderBy(ts)``
+    funnels every boundary through one task.  This is the same
+    two-level scan as ``packing.sliding_chunks``: a local cumulative
+    sum within coarse scan buckets (day-sized) + an exclusive prefix
+    over the TINY per-bucket totals (a control-plane relation,
+    broadcast back).  Malformed intervals (end < start) raise IN PLAN
+    rather than silently skewing the level.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (capacity/behavioral analytics).
+    """
+    for c in (start_col, end_col):
+        if c not in df.columns:
+            raise ValueError(f"concurrency_profile: unknown column {c!r}")
+    iv = df.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        F.col(start_col).alias("_s"),
+        F.when(
+            F.col(end_col) < F.col(start_col),
+            F.raise_error("concurrency_profile: end < start"),
+        ).otherwise(F.col(end_col)).alias("_e"),
+    )
+    deltas = (
+        iv.select(F.col("_s").alias("_t"), F.lit(1).alias("_d"))
+        .unionAll(iv.select(F.col("_e").alias("_t"), F.lit(-1).alias("_d")))
+        .groupBy("_t")
+        .agg(
+            F.sum(F.when(F.col("_d") == 1, 1).otherwise(0)).alias("_ns"),
+            F.sum(F.when(F.col("_d") == -1, 1).otherwise(0)).alias("_ne"),
+        )
+        .withColumn("_net", F.col("_ns") - F.col("_ne"))
+        .withColumn("_bucket", F.expr(f"_t div {int(scan_bucket_us)}"))
+    )
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("_cum", F.sum("_net").over(w_local))
+    totals = deltas.groupBy("_bucket").agg(F.sum("_net").alias("_btot"))
+    w_excl = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(w_excl), F.lit(0)).alias("_off"),
+    )
+    swept = local.join(
+        F.broadcast(offsets.withColumnRenamed("_bucket", "_ob")),
+        F.col("_bucket") == F.col("_ob"),
+    ).select(
+        F.expr(f"_t div {int(bucket_us)}").alias("bucket"),
+        (F.col("_off") + F.col("_cum") - F.col("_net") + F.col("_ns")).alias(
+            "_peak_at"
+        ),
+        (F.col("_off") + F.col("_cum")).alias("_level"),
+        "_t",
+    )
+    return swept.groupBy("bucket").agg(
+        F.max("_peak_at").cast("long").alias("peak_concurrency"),
+        F.max_by("_level", "_t").cast("long").alias("level_after"),
+        F.count(F.lit(1)).cast("long").alias("n_boundary_instants"),
+    )

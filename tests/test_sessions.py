@@ -144,3 +144,34 @@ class TestFunnel:
         )._jdf.queryExecution().optimizedPlan().numberedTreeString()
         joins = plan.lower().count("join")
         assert joins == 0, plan
+
+
+def test_concurrency_profile_handchecked_sweep(spark):
+    """Intervals with shared boundaries: a start at the exact instant
+    another interval ends counts as overlapping (closed intervals);
+    peak/level/boundary counts hand-verified per hour bucket."""
+    from pynomaly_spark.sessions import concurrency_profile
+    import pytest as _pytest
+
+    H = 3_600_000_000
+    ivs = [
+        (0, 2 * H),              # spans hours 0..2
+        (H, H + 10),             # inside hour 1
+        (2 * H, 3 * H),          # starts exactly when #1 ends
+        (10 * H, 10 * H),        # zero-length: peak 1 at its instant
+    ]
+    df = spark.createDataFrame(ivs, "s long, e long")
+    got = {r["bucket"]: (r["peak_concurrency"], r["level_after"],
+                         r["n_boundary_instants"])
+           for r in concurrency_profile(df, "s", "e").collect()}
+    assert got[0] == (1, 1, 1)        # one start
+    assert got[1] == (2, 1, 2)        # starts+ends of the short one
+    assert got[2] == (2, 1, 1)        # tie instant: start before end
+    assert got[3] == (1, 0, 1)        # last end
+    assert got[10] == (1, 0, 1)       # zero-length blip
+    # malformed interval raises in plan
+    bad = spark.createDataFrame([(5, 1)], "s long, e long")
+    with _pytest.raises(Exception, match="end < start"):
+        concurrency_profile(bad, "s", "e").collect()
+    with _pytest.raises(ValueError, match="unknown column"):
+        concurrency_profile(df, "s", "nope")
