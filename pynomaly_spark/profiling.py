@@ -44,6 +44,7 @@ a measured skew profile, not a guess).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, Window
@@ -68,6 +69,7 @@ __all__ = [
     "hll_estimate",
     "chisq_uniformity",
     "weighted_quantiles",
+    "seasonal_outliers",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1247,4 +1249,78 @@ def weighted_quantiles(
             ).alias(f"wq{p}")
             for p in ps
         ],
+    )
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Seasonal-profile anomaly screen: group rows by a seasonal key
+    (e.g. event type × hour-of-week), fit the cell's own mean/variance,
+    and count the rows beyond ``k`` sigma — the seasonal-naive residual
+    gate, z-scored against the cell the row belongs to.
+
+    INTEGER-EXACT boundary: with an integer ``value_col`` the flag
+    ``|x − μ| > k·σ`` is evaluated in cross-multiplied form —
+    ``den²·(n·x − Σ)² > num²·(n·Σx² − Σ²)`` — entirely in DECIMAL(38,0)
+    (the moments are exact; int64 would overflow at ``n²·x²`` scale
+    long before 100 TB), so the cut can never flip cross-engine; k is
+    the rational ``k_num/k_den``.  Zero-variance cells flag nothing.
+
+    One map-side-combined aggregate for the moments + one join back
+    per cell; the flag count is a second aggregate on the same key, so
+    AQE reuses the partitioning.  Output per cell: n, sum, the outlier
+    count, and the 6-dp mean.
+
+    Reference parity: generalizes the z-score discipline of
+    /root/reference/PyNomaly/loop.py (erf over normalized scores) to
+    grouped seasonal cells — engine addition.
+    """
+    keys = list(key_cols)
+    for c in keys + [value_col]:
+        if c not in df.columns:
+            raise ValueError(f"seasonal_outliers: unknown column {c!r}")
+    if k_den <= 0 or k_num < 0:
+        raise ValueError("seasonal_outliers: k must be a ratio >= 0")
+    base = df.where(F.col(value_col).isNotNull())
+    for c in keys:
+        base = base.where(F.col(c).isNotNull())
+    dec = "decimal(38,0)"
+    moments = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(value_col).cast("long").alias("_s"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec))
+        .cast(dec)
+        .alias("_ss"),
+    )
+    renamed = moments.select(
+        *[F.col(c).alias(f"_k_{c}") for c in keys], "_n", "_s", "_ss"
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c) == F.col(f"_k_{c}") for c in keys],
+    )
+    j = base.join(renamed, cond)
+    nx_s = (
+        F.col("_n").cast(dec) * F.col(value_col).cast(dec)
+        - F.col("_s").cast(dec)
+    )
+    var_n2 = F.col("_n").cast(dec) * F.col("_ss") - F.col("_s").cast(
+        dec
+    ) * F.col("_s").cast(dec)
+    is_out = (
+        F.lit(k_den * k_den).cast(dec) * nx_s * nx_s
+        > F.lit(k_num * k_num).cast(dec) * var_n2
+    ) & (var_n2 > 0)
+    return j.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.max("_s").alias("sum_value"),
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+        F.round(
+            F.max(F.col("_s").cast("double") / F.col("_n")), 6
+        ).alias("mean_value"),
     )

@@ -7941,6 +7941,120 @@ FROM swept GROUP BY 1
 """
 
 
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+def q_supplier_top_revenue(spark, sf_dir):
+    """TPC-H Q15 flavor: the top-revenue supplier(s) of one quarter,
+    TIES INCLUDED — the correlated ``rev = (SELECT max(...))`` shape
+    decorrelated into one per-supplier aggregate + a 1-row broadcast
+    global max joined back as an equality filter (no window, no sort:
+    a global rank would shuffle every supplier through one task just
+    to keep row 1).  The quarter filter pushes into the lineitem scan;
+    revenue is exact integer cents×(100−disc_pct), so "the max" is
+    unambiguous cross-engine."""
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("_rev"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("_rev").cast("long").alias("revenue_c4")
+    )
+    mx = rev.agg(F.max("revenue_c4").alias("_mx"))
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("revenue_c4") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_c4")
+    )
+
+
+SQL_SUPPLIER_TOP_REVENUE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_c4
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.revenue_c4 = (SELECT max(revenue_c4) FROM rev)
+"""
+
+
+def q_events_residual_outliers(spark, sf_dir):
+    """Seasonal anomaly screen (``profiling.seasonal_outliers``): per
+    (event type × hour-of-week) cell, the count of events beyond 1.5σ
+    of the CELL's own mean — the seasonal-naive residual gate.  The
+    σ-cut is evaluated in cross-multiplied DECIMAL(38,0) form
+    (``4·(n·x−Σ)² > 9·(n·Σx²−Σ²)``), so the boundary is exact on both
+    engines (k = 3/2 dyadic: k = 2 flags ZERO events on this data —
+    the robust_group_outliers lesson).  One moments aggregate + one
+    join back; the flag rollup reuses the cell partitioning."""
+    from pynomaly_spark.profiling import seasonal_outliers
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 % 168"
+            ).alias("how"),
+            F.round(F.col("value") * 100).cast("long").alias("y_c"),
+        )
+    )
+    return seasonal_outliers(ev, ["event_type", "how"], "y_c", 3, 2)
+
+
+SQL_EVENTS_RESIDUAL_OUTLIERS = """
+WITH base AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 168 AS how,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), m AS (
+  SELECT event_type, how, count(*) AS n, sum(y) AS s,
+         sum(CAST(y AS HUGEINT) * y) AS ss
+  FROM base GROUP BY 1, 2
+), j AS (
+  SELECT b.event_type, b.how, b.y, m.n, m.s, m.ss
+  FROM base b JOIN m ON b.event_type = m.event_type AND b.how = m.how
+)
+SELECT event_type, how,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(s) AS BIGINT) AS sum_value,
+       CAST(sum(CASE WHEN (n * ss - CAST(s AS HUGEINT) * s) > 0
+                      AND 4 * CAST(n * y - s AS HUGEINT) * (n * y - s)
+                          > 9 * (n * ss - CAST(s AS HUGEINT) * s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(max(s) AS DOUBLE) / max(n), 6) AS mean_value
+FROM j GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8079,6 +8193,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_target_encode": q_events_target_encode,
     "part_basket_pairs": q_part_basket_pairs,
     "events_concurrency": q_events_concurrency,
+    "supplier_top_revenue": q_supplier_top_revenue,
+    "events_residual_outliers": q_events_residual_outliers,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8229,6 +8345,8 @@ ORACLES: Dict[str, str] = {
     "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
     "part_basket_pairs": SQL_PART_BASKET_PAIRS,
     "events_concurrency": _concurrency_sql(),
+    "supplier_top_revenue": SQL_SUPPLIER_TOP_REVENUE,
+    "events_residual_outliers": SQL_EVENTS_RESIDUAL_OUTLIERS,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

@@ -532,3 +532,32 @@ def test_weighted_quantiles_hand_computed(spark):
         weighted_quantiles(df, ["g"], "v", "w", ps=(0,))
     with pytest.raises(ValueError, match="unknown columns"):
         weighted_quantiles(df, ["g"], "nope", "w")
+
+
+def test_seasonal_outliers_integer_exact_boundary(spark):
+    """Hand-built cell: values [0,0,0,0,100] — mean 20, sigma from
+    population moments; only the 100 crosses 1.5 sigma.  Zero-variance
+    cells flag nothing; boundary equality does NOT flag (strict >)."""
+    from pynomaly_spark.profiling import seasonal_outliers
+    import pytest as _pytest
+
+    rows = [("a", 0), ("a", 0), ("a", 0), ("a", 0), ("a", 100),
+            ("b", 7), ("b", 7), ("b", 7),
+            (None, 5), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, y long")
+    got = {r["k"]: (r["n"], r["sum_value"], r["n_outliers"], r["mean_value"])
+           for r in seasonal_outliers(df, ["k"], "y", 3, 2).collect()}
+    # cell a: n=5, s=100, var*n^2 = 5*10000-10000 = 40000
+    # x=100: (5*100-100)^2*4 = 640000 > 9*40000 -> out; x=0: 40000*... ->
+    # (0*5-100)^2*4 = 40000 < 360000 -> in
+    assert got["a"] == (5, 100, 1, 20.0)
+    assert got["b"] == (3, 21, 0, 7.0)          # zero variance
+    assert set(got) == {"a", "b"}
+    # exact boundary: values [0, 2] with k=1 -> (n*x-s)^2 == k^2*(n*ss-s^2)
+    eq = spark.createDataFrame([("e", 0), ("e", 2)], "k string, y long")
+    r = seasonal_outliers(eq, ["k"], "y", 1, 1).collect()[0]
+    assert r["n_outliers"] == 0                  # strict inequality
+    with _pytest.raises(ValueError, match="unknown column"):
+        seasonal_outliers(df, ["nope"], "y")
+    with _pytest.raises(ValueError, match="ratio"):
+        seasonal_outliers(df, ["k"], "y", 1, 0)
