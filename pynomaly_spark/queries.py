@@ -8055,6 +8055,95 @@ FROM j GROUP BY 1, 2
 """
 
 
+_RETRACT_SPLIT = "1998-01-01"
+_RETRACT_DEL_HI, _RETRACT_UPD_HI = "20", "38"  # md5-prefix slices of base
+
+
+def q_orders_retract_aggs(spark, sf_dir):
+    """Retraction-aware IVM (``cdc.apply_changelog``): a landed
+    per-priority rollup of pre-1998 orders updated by a CDC changelog
+    — later orders as inserts, an md5-slice of the base as deletes
+    (cancellations), another slice as updates (D(old)+I(new) retract
+    pairs with a +10% integer price bump) — WITHOUT rescanning the
+    base rows.  The oracle recomputes the final state from rows; the
+    incremental path must hash-match it (the merge_aggs contract
+    extended to deletes).  Cost O(|keys|+|log|), never O(|history|);
+    negative counts raise in plan."""
+    from pynomaly_spark.cdc import apply_changelog
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        "o_orderdate",
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string")), 1, 2
+        ).alias("_h2"),
+    )
+    split = F.lit(_RETRACT_SPLIT).cast("timestamp")
+    base = o.where(F.col("o_orderdate") < split)
+    base_aggs = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_c").cast("long").alias("sum_cents"),
+    )
+    ins = o.where(F.col("o_orderdate") >= split).select(
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        F.col("_c").alias("sum_cents"),
+    )
+    dels = base.where(F.col("_h2") < _RETRACT_DEL_HI).select(
+        "o_orderpriority",
+        F.lit("D").alias("op"),
+        F.col("_c").alias("sum_cents"),
+    )
+    upd = base.where(
+        (F.col("_h2") >= _RETRACT_DEL_HI) & (F.col("_h2") < _RETRACT_UPD_HI)
+    )
+    upd_old = upd.select(
+        "o_orderpriority",
+        F.lit("D").alias("op"),
+        F.col("_c").alias("sum_cents"),
+    )
+    upd_new = upd.select(
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        F.expr("_c * 11 div 10").alias("sum_cents"),
+    )
+    log = ins.unionByName(dels).unionByName(upd_old).unionByName(upd_new)
+    return apply_changelog(
+        base_aggs,
+        log,
+        ["o_orderpriority"],
+        count_col="n_orders",
+        sum_cols=["sum_cents"],
+    )
+
+
+SQL_ORDERS_RETRACT_AGGS = f"""
+WITH o AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         o_orderdate,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS h2
+  FROM orders
+), final AS (
+  SELECT prio, c FROM o
+  WHERE o_orderdate < TIMESTAMP '{_RETRACT_SPLIT}'
+    AND h2 >= '{_RETRACT_UPD_HI}'
+  UNION ALL
+  SELECT prio, c * 11 // 10 FROM o
+  WHERE o_orderdate < TIMESTAMP '{_RETRACT_SPLIT}'
+    AND h2 >= '{_RETRACT_DEL_HI}' AND h2 < '{_RETRACT_UPD_HI}'
+  UNION ALL
+  SELECT prio, c FROM o WHERE o_orderdate >= TIMESTAMP '{_RETRACT_SPLIT}'
+)
+SELECT prio AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM final GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8195,6 +8284,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_concurrency": q_events_concurrency,
     "supplier_top_revenue": q_supplier_top_revenue,
     "events_residual_outliers": q_events_residual_outliers,
+    "orders_retract_aggs": q_orders_retract_aggs,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8347,6 +8437,7 @@ ORACLES: Dict[str, str] = {
     "events_concurrency": _concurrency_sql(),
     "supplier_top_revenue": SQL_SUPPLIER_TOP_REVENUE,
     "events_residual_outliers": SQL_EVENTS_RESIDUAL_OUTLIERS,
+    "orders_retract_aggs": SQL_ORDERS_RETRACT_AGGS,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

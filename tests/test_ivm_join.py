@@ -101,3 +101,37 @@ def test_state_durations_segments_ties_and_horizon(spark):
     assert (None, "A") not in got and (3, None) not in got
     with pytest.raises(ValueError, match="unknown column"):
         state_durations(df, "user_id", "ts", "nope")
+
+
+def test_apply_changelog_retracts_updates_and_guards(spark):
+    """Full retract-stream semantics: insert, delete, update (D+I),
+    full retraction drops the key, negative count raises in plan,
+    unknown op raises in plan."""
+    from pynomaly_spark.cdc import apply_changelog
+    import pytest as _pytest
+
+    base = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "k string, n long, s long"
+    )
+    log = spark.createDataFrame(
+        [("a", "I", 7),            # insert
+         ("a", "D", 10),           # delete one of a's rows
+         ("b", "D", 5),            # fully retract b
+         ("c", "I", 1), ("c", "I", 2)],   # brand-new key
+        "k string, op string, s long",
+    )
+    got = {r["k"]: (r["n"], r["s"])
+           for r in apply_changelog(base, log, ["k"], count_col="n",
+                                    sum_cols=["s"]).collect()}
+    assert got == {"a": (2, 27), "c": (2, 3)}   # b dropped
+    bad = spark.createDataFrame([("a", "D", 1)] * 3, "k string, op string, s long")
+    with _pytest.raises(Exception, match="negative count"):
+        apply_changelog(base, bad, ["k"], count_col="n",
+                        sum_cols=["s"]).collect()
+    weird = spark.createDataFrame([("a", "X", 1)], "k string, op string, s long")
+    with _pytest.raises(Exception, match="unknown op"):
+        apply_changelog(base, weird, ["k"], count_col="n",
+                        sum_cols=["s"]).collect()
+    with _pytest.raises(ValueError, match="base missing"):
+        apply_changelog(base.drop("n"), log, ["k"], count_col="n",
+                        sum_cols=["s"])
