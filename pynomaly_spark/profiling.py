@@ -70,6 +70,7 @@ __all__ = [
     "chisq_uniformity",
     "weighted_quantiles",
     "seasonal_outliers",
+    "winsorized_stats",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1323,4 +1324,72 @@ def seasonal_outliers(
         F.round(
             F.max(F.col("_s").cast("double") / F.col("_n")), 6
         ).alias("mean_value"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: int = 5,
+    hi: int = 95,
+) -> DataFrame:
+    """Winsorized group means: clamp each group's values at its own
+    exact p_lo/p_hi order statistics (lower-quantile convention,
+    integer-exact — :func:`weighted_quantiles` with unit weights),
+    then aggregate — the outlier-robust mean that keeps row count,
+    unlike trimming.
+
+    Returns per group: ``n``, the clamp thresholds ``t_lo``/``t_hi``,
+    ``n_clipped_lo``/``n_clipped_hi``, the exact winsorized integer
+    sum and its 6-dp mean.
+
+    Scale (100 TB): thresholds come from the one value-ordered window
+    pass of ``weighted_quantiles`` (hot-key caveat documented there);
+    the clamp-and-aggregate pass is a broadcast threshold join + one
+    map-side-combined aggregate — the base data is scanned twice,
+    never shuffled row-wise on value again.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (robust profiling family).
+    """
+    if not 0 < lo < hi < 100:
+        raise ValueError(
+            f"winsorized_stats: need 0 < lo < hi < 100, got {lo}, {hi}"
+        )
+    group_cols = list(group_cols)
+    missing = [c for c in (*group_cols, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"winsorized_stats: unknown columns {missing}")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).alias("_v"), F.lit(1).alias("_w1")
+    )
+    qs = weighted_quantiles(base, group_cols, "_v", "_w1", ps=(lo, hi))
+    thr = F.broadcast(
+        qs.select(
+            *[F.col(c).alias(f"_q_{c}") for c in group_cols],
+            F.col(f"wq{lo}").alias("_tlo"),
+            F.col(f"wq{hi}").alias("_thi"),
+        )
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c) == F.col(f"_q_{c}") for c in group_cols],
+    )
+    j = base.join(thr, cond)
+    clamped = F.greatest(F.col("_tlo"), F.least(F.col("_thi"), F.col("_v")))
+    return j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("_tlo").cast("long").alias("t_lo"),
+        F.max("_thi").cast("long").alias("t_hi"),
+        F.sum((F.col("_v") < F.col("_tlo")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum((F.col("_v") > F.col("_thi")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.sum(clamped).cast("long").alias("winsor_sum"),
+        F.round(
+            F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsor_mean"),
     )

@@ -8144,6 +8144,67 @@ FROM final GROUP BY 1
 """
 
 
+def q_lineitem_winsor(spark, sf_dir):
+    """Winsorized price means per (returnflag × ship-year)
+    (``profiling.winsorized_stats``): each cell's prices clamped at
+    its own EXACT p5/p95 order statistics (integer-exact lower
+    quantiles — no float fraction ever decides a threshold), then one
+    clamp-and-aggregate pass with the tiny threshold table broadcast.
+    The robust mean that survives fat-tailed price outliers without
+    changing n."""
+    from pynomaly_spark.profiling import winsorized_stats
+
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").isNotNull())
+        .select(
+            "l_returnflag",
+            F.year(F.col("l_shipdate")).cast("long").alias("ship_year"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_c"),
+        )
+    )
+    return winsorized_stats(
+        li, ["l_returnflag", "ship_year"], "price_c", lo=5, hi=95
+    )
+
+
+SQL_LINEITEM_WINSOR = """
+WITH base AS (
+  SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+), cum AS (
+  SELECT l_returnflag, ship_year, v,
+         sum(1) OVER (PARTITION BY l_returnflag, ship_year ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(1) OVER (PARTITION BY l_returnflag, ship_year) AS t
+  FROM base
+), thr AS (
+  SELECT l_returnflag, ship_year,
+         min(CASE WHEN 100 * c >= 5 * t THEN v END) AS tlo,
+         min(CASE WHEN 100 * c >= 95 * t THEN v END) AS thi
+  FROM cum GROUP BY 1, 2
+)
+SELECT b.l_returnflag, b.ship_year,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(th.tlo) AS BIGINT) AS t_lo,
+       CAST(max(th.thi) AS BIGINT) AS t_hi,
+       CAST(sum(CASE WHEN b.v < th.tlo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN b.v > th.thi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       CAST(sum(greatest(th.tlo, least(th.thi, b.v))) AS BIGINT)
+         AS winsor_sum,
+       round(CAST(sum(greatest(th.tlo, least(th.thi, b.v))) AS DOUBLE)
+             / count(*), 6) AS winsor_mean
+FROM base b JOIN thr th
+  ON b.l_returnflag = th.l_returnflag AND b.ship_year = th.ship_year
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8285,6 +8346,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_top_revenue": q_supplier_top_revenue,
     "events_residual_outliers": q_events_residual_outliers,
     "orders_retract_aggs": q_orders_retract_aggs,
+    "lineitem_winsor": q_lineitem_winsor,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8438,6 +8500,7 @@ ORACLES: Dict[str, str] = {
     "supplier_top_revenue": SQL_SUPPLIER_TOP_REVENUE,
     "events_residual_outliers": SQL_EVENTS_RESIDUAL_OUTLIERS,
     "orders_retract_aggs": SQL_ORDERS_RETRACT_AGGS,
+    "lineitem_winsor": SQL_LINEITEM_WINSOR,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

@@ -561,3 +561,24 @@ def test_seasonal_outliers_integer_exact_boundary(spark):
         seasonal_outliers(df, ["nope"], "y")
     with _pytest.raises(ValueError, match="ratio"):
         seasonal_outliers(df, ["k"], "y", 1, 0)
+
+
+def test_winsorized_stats_exact_thresholds_and_clipping(spark):
+    """10 values 1..9 + one 1000: p5 clamps the 1 up?  lower-quantile
+    convention hand-check: thresholds are order statistics, clip
+    counts and the winsorized sum are exact."""
+    from pynomaly_spark.profiling import winsorized_stats
+    import pytest as _pytest
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    r = winsorized_stats(df, ["k"], "v", lo=10, hi=90).collect()[0]
+    # n=10: t_lo = first v with cum>=1 -> 1; t_hi = first v with cum>=9 -> 9
+    assert (r["t_lo"], r["t_hi"]) == (1, 9)
+    assert (r["n_clipped_lo"], r["n_clipped_hi"]) == (0, 1)
+    assert r["winsor_sum"] == sum(vals[:-1]) + 9
+    assert r["n"] == 10
+    with _pytest.raises(ValueError, match="lo < hi"):
+        winsorized_stats(df, ["k"], "v", lo=90, hi=10)
+    with _pytest.raises(ValueError, match="unknown columns"):
+        winsorized_stats(df, ["k"], "nope")
