@@ -8205,6 +8205,82 @@ GROUP BY 1, 2
 """
 
 
+_PCA_ROUNDS, _PCA_BITS, _PCA_DIM = 6, 20, 64
+
+
+def q_emb_pca_top(spark, sf_dir):
+    """Top principal component by fixed-point power iteration
+    (``similarity.pca_power_top``): matrix-free — two passes per round
+    (per-row dot in JVM zip_with/aggregate, then 64 flat per-dim
+    sums), centering folded into one round-constant scalar, integer
+    renormalization, ALL divisions truncating — so the iterate is
+    bit-identical across engines and partitionings.  The oracle twin
+    replays the identical integer recursion as 6 unrolled CTE rounds
+    (the pagerank_fixed_point discipline)."""
+    from pynomaly_spark.similarity import pca_power_top
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return pca_power_top(
+        emb, "embedding", dim=_PCA_DIM, scale_bits=_PCA_BITS,
+        rounds=_PCA_ROUNDS,
+    )
+
+
+def _pca_sql(rounds: int = _PCA_ROUNDS) -> str:
+    S = 1 << _PCA_BITS
+    d = _PCA_DIM
+    # AS MATERIALIZED: every round references q three times — DuckDB
+    # inlines plain CTEs, so 6 rounds would re-open the parquet ~18
+    # times concurrently (EMFILE) and re-quantize per reference.
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i.i AS dim0,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {S} + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, (SELECT unnest(generate_series(1, {d})) AS i) i
+  WHERE embedding IS NOT NULL AND len(embedding) = {d}
+), nn AS (
+  SELECT count(DISTINCT vec_id) AS n FROM q
+), mu AS (
+  SELECT dim0, sum(q) // (SELECT n FROM nn) AS mu FROM q GROUP BY 1
+), v0 AS (
+  SELECT unnest(generate_series(1, {d})) AS dim0, CAST({S} AS BIGINT) AS v
+)"""]
+    # every round CTE is MATERIALIZED: v{r} is referenced twice by
+    # round r+1, so inlined CTEs re-expand the whole chain 2^rounds
+    # times — the DuckDB analogue of the self-join plan-doubling trap
+    # (dup_clusters lesson); materialization pins each round to one
+    # evaluation.
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        parts.append(f""", m{r} AS MATERIALIZED (
+  SELECT sum(mu.mu * {prev}.v) AS m FROM mu JOIN {prev} USING (dim0)
+), s{r} AS MATERIALIZED (
+  SELECT q.vec_id,
+         (sum(q.q * {prev}.v) - (SELECT m FROM m{r})) // {S} AS s
+  FROM q JOIN {prev} USING (dim0) GROUP BY 1
+), t{r} AS MATERIALIZED (
+  SELECT sum(s) AS t FROM s{r}
+), u{r} AS MATERIALIZED (
+  SELECT q.dim0,
+         sum(q.q * s{r}.s) - max(mu.mu) * (SELECT t FROM t{r}) AS u
+  FROM q JOIN s{r} USING (vec_id) JOIN mu ON mu.dim0 = q.dim0
+  GROUP BY q.dim0
+), sc{r} AS MATERIALIZED (
+  SELECT greatest(1, max(abs(u)) // {S}) AS sc FROM u{r}
+), v{r} AS MATERIALIZED (
+  SELECT dim0, u // (SELECT sc FROM sc{r}) AS v FROM u{r}
+)""")
+        prev = f"v{r}"
+    parts.append(f"""
+SELECT CAST(mu.dim0 - 1 AS BIGINT) AS dim,
+       CAST(mu.mu AS BIGINT) AS mu_q,
+       CAST({prev}.v AS BIGINT) AS v_fixed
+FROM mu JOIN {prev} USING (dim0)
+""")
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8347,6 +8423,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_residual_outliers": q_events_residual_outliers,
     "orders_retract_aggs": q_orders_retract_aggs,
     "lineitem_winsor": q_lineitem_winsor,
+    "emb_pca_top": q_emb_pca_top,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8501,6 +8578,7 @@ ORACLES: Dict[str, str] = {
     "events_residual_outliers": SQL_EVENTS_RESIDUAL_OUTLIERS,
     "orders_retract_aggs": SQL_ORDERS_RETRACT_AGGS,
     "lineitem_winsor": SQL_LINEITEM_WINSOR,
+    "emb_pca_top": _pca_sql(),
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

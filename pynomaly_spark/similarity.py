@@ -40,6 +40,7 @@ __all__ = [
     "pq_adc_topk",
     "centroid_drift",
     "kmeans_fit",
+    "pca_power_top",
 ]
 
 
@@ -814,3 +815,106 @@ def kmeans_fit(
             }
             cents = [new.get(i, cents[i]) for i in range(k)]
     return assigned.drop("_v"), cents
+
+
+def pca_power_top(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+    rounds: int = 6,
+) -> DataFrame:
+    """Top principal component by MATRIX-FREE power iteration in
+    fixed-point integer arithmetic — bit-identical across engines,
+    partitionings and row orders (the ``graph.pagerank_fixed_point``
+    discipline applied to linear algebra).
+
+    Each round is two data passes, never a materialized Gram matrix:
+    ``s_i = (q_i·v − μ·v) div 2^B`` per row (JVM zip_with/aggregate —
+    centering folds into ONE scalar because Σ_j μ_j v_j is
+    round-constant), then 64 flat per-dim sums ``A_j = Σ_i q_ij s_i``
+    and ``T = Σ_i s_i`` give ``u_j = A_j − μ_j T``.  The iterate
+    renormalizes by the INTEGER scale ``max(1, max|u| div 2^B)`` so
+    every quantity stays in int64; all divisions TRUNCATE toward zero
+    (Spark ``div``, DuckDB ``//``, and explicit trunc in the driver
+    loop agree on negatives).  Vectors quantize as
+    ``floor(x·2^B + 0.5)`` — the scalar_quantize halfway convention.
+
+    The per-round driver collect is 65 integers (the new iterate) — a
+    control-plane scalar exchange, not row data; the row-dimension
+    passes are all executors.  At 10^9+ rows promote the ``A_j`` sums
+    to decimal(38,0) (ANSI mode raises on int64 overflow rather than
+    corrupting — the checksum-phase lesson).
+
+    Returns one row per dimension: ``dim``, ``mu_q`` (the quantized
+    column mean), ``v_fixed`` (the eigenvector direction, max-norm
+    ≈ 2^B).  Direction sign follows the iterate — fixed by the
+    deterministic all-ones start.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (embedding analytics; pairs with centroid_drift /
+    scalar_quantize).
+    """
+    if vec_col not in df.columns:
+        raise ValueError(f"pca_power_top: unknown column {vec_col!r}")
+    if rounds < 1 or dim < 1 or not 1 <= scale_bits <= 30:
+        raise ValueError("pca_power_top: bad rounds/dim/scale_bits")
+    S = 1 << scale_bits
+    q = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * S + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("_q")
+    )
+    n_mu = q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.element_at("_q", j + 1)).alias(f"_m{j}")
+            for j in range(dim)
+        ],
+    ).collect()[0]
+    n = n_mu["_n"]
+    if n == 0:
+        raise ValueError("pca_power_top: no valid vectors")
+
+    def _trunc_div(a: int, b: int) -> int:
+        qd = abs(a) // b
+        return qd if a >= 0 else -qd
+
+    mu = [_trunc_div(int(n_mu[f"_m{j}"]), n) for j in range(dim)]
+    v = [S] * dim
+    for _ in range(rounds):
+        M = sum(m_j * v_j for m_j, v_j in zip(mu, v))
+        v_lit = F.array(*[F.lit(int(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), v_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        s_col = F.expr(f"(_dot - {M}L) div {S}L")
+        stage = q.select("_q", dot.alias("_dot")).select(
+            "_q", s_col.alias("_s")
+        )
+        row = stage.agg(
+            F.sum("_s").alias("_t"),
+            *[
+                F.sum(F.element_at("_q", j + 1) * F.col("_s")).alias(
+                    f"_a{j}"
+                )
+                for j in range(dim)
+            ],
+        ).collect()[0]
+        t = int(row["_t"])
+        u = [int(row[f"_a{j}"]) - mu[j] * t for j in range(dim)]
+        m_abs = max(abs(x) for x in u)
+        sc = max(1, m_abs // S)
+        v = [_trunc_div(x, sc) for x in u]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, mu[j], v[j]) for j in range(dim)],
+        "dim long, mu_q long, v_fixed long",
+    )

@@ -1742,3 +1742,43 @@ def test_corpus_overlap_sketch_only_and_validation(spark):
     assert len(got) == 1  # null source/text rows dropped entirely
     with _pytest.raises(ValueError, match="unknown column"):
         corpus_overlap(df, "nope", "text")
+
+
+def test_pca_power_top_finds_planted_component_and_is_partition_proof(spark):
+    """Synthetic data with one dominant direction: the fixed-point
+    iterate aligns with the planted component (|cos| > 0.98), and the
+    output is BIT-identical under a different partitioning (the
+    fixed-point contract)."""
+    import math
+    import random
+
+    from pynomaly_spark.similarity import pca_power_top
+    import pytest as _pytest
+
+    rng = random.Random(7)
+    d = 8
+    w = [math.sin(j + 1) for j in range(d)]
+    nw = math.sqrt(sum(x * x for x in w))
+    w = [x / nw for x in w]
+    rows = []
+    for i in range(200):
+        a = rng.gauss(0, 0.5)
+        rows.append(
+            (i, [a * w[j] + rng.gauss(0, 0.02) for j in range(d)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_power_top(df, "embedding", dim=d, rounds=8)
+    got = {r["dim"]: r["v_fixed"] for r in out.collect()}
+    v = [got[j] for j in range(d)]
+    nv = math.sqrt(sum(x * x for x in v))
+    cos = abs(sum(a * b for a, b in zip(v, w))) / nv
+    assert cos > 0.98, cos
+    again = pca_power_top(df.repartition(7), "embedding", dim=d, rounds=8)
+    got2 = {r["dim"]: r["v_fixed"] for r in again.collect()}
+    assert got2 == got            # bit-identical, not merely close
+    with _pytest.raises(ValueError, match="unknown column"):
+        pca_power_top(df, "nope", dim=d)
+    with _pytest.raises(ValueError, match="bad rounds"):
+        pca_power_top(df, "embedding", dim=d, rounds=0)
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        pca_power_top(df.where("vec_id < 0"), "embedding", dim=d)
