@@ -44,6 +44,7 @@ __all__ = [
     "prefix_jaccard_join",
     "linkage_scores",
     "corpus_overlap",
+    "golden_records",
 ]
 
 
@@ -1350,4 +1351,66 @@ def corpus_overlap(
         ).alias("jaccard_exact_6"),
         "mh_matches",
         "jaccard_mh_6",
+    )
+
+
+def golden_records(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Survivorship — the step after entity resolution: collapse each
+    duplicate cluster to ONE golden record, chosen by a business rule
+    (highest ``score_col``; ties broken by smallest id so the pick is
+    total and engine-independent).  Records absent from ``clusters``
+    are singletons and survive as their own cluster.
+
+    Returns per cluster: ``cluster_id``, ``survivor_id``,
+    ``survivor_score`` (the cluster max), ``n_members``.
+
+    NULL scores rank BELOW every real score (a record with no quality
+    signal never beats one with a signal; an all-NULL cluster falls
+    back to smallest id).
+
+    Scale (100 TB): one left join (records × cluster labels — the
+    labels frame is |clustered nodes| rows, typically a small fraction
+    of the corpus) + one map-side-combined aggregate via ``min_by``
+    over a (−score, id) struct — no per-cluster window, so a
+    pathological million-member cluster costs one combiner cell, not a
+    single-task sort.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (completes the dedup family: pairs → clusters →
+    golden records).
+    """
+    for c, frame, side in (
+        (id_col, records, "records"),
+        (score_col, records, "records"),
+        (node_col, clusters, "clusters"),
+        (cluster_col, clusters, "clusters"),
+    ):
+        if c not in frame.columns:
+            raise ValueError(f"golden_records: {side} missing column {c!r}")
+    lab = clusters.select(
+        F.col(node_col).alias("_gn"), F.col(cluster_col).alias("_gc")
+    )
+    j = (
+        records.where(F.col(id_col).isNotNull())
+        .select(id_col, score_col)
+        .join(lab, F.col(id_col) == F.col("_gn"), "left")
+        .select(
+            F.coalesce(F.col("_gc"), F.col(id_col)).alias("cluster_id"),
+            F.col(id_col).alias("_id"),
+            F.coalesce(
+                F.col(score_col).cast("long"), F.lit(-(1 << 62))
+            ).alias("_sc"),
+        )
+    )
+    return j.groupBy("cluster_id").agg(
+        F.expr("min_by(_id, struct(-_sc, _id))").alias("survivor_id"),
+        F.max("_sc").cast("long").alias("survivor_score"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
     )

@@ -8281,6 +8281,59 @@ FROM mu JOIN {prev} USING (dim0)
     return "".join(parts)
 
 
+def q_doc_golden(spark, sf_dir):
+    """End-to-end ER survivorship: MinHash-LSH near-dup pairs →
+    connected-component clusters → ONE golden record per cluster
+    (longest text wins, smallest doc_id on ties; singletons survive as
+    themselves) — ``dedup.golden_records`` closing the pairs →
+    clusters → survivors pipeline.  The pick is a map-side ``min_by``
+    over a (−score, id) struct: no per-cluster window, so a
+    million-member cluster costs one combiner cell."""
+    from pynomaly_spark.dedup import dup_clusters, golden_records
+
+    pairs = q_doc_near_dups(spark, sf_dir)
+    clusters = dup_clusters(pairs, "id_a", "id_b")
+    recs = _doc(spark, sf_dir).select("doc_id", "n_chars")
+    return golden_records(recs, clusters, "doc_id", "n_chars")
+
+
+def _golden_sql() -> str:
+    return f"""
+WITH RECURSIVE nd AS ({_near_dups_sql()}
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM nd
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM nd
+), n AS (
+  SELECT DISTINCT src AS node FROM e
+), reach AS (
+  SELECT node, node AS lab FROM n
+  UNION
+  SELECT e.dst AS node, r.lab FROM reach r JOIN e ON e.src = r.node
+), cc AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+), joined AS (
+  SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         d.doc_id AS id,
+         coalesce(CAST(d.n_chars AS BIGINT), {-(1 << 62)}) AS sc
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+  WHERE d.doc_id IS NOT NULL
+), ranked AS (
+  SELECT cluster_id, id, sc,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY sc DESC, id ASC) AS rn
+  FROM joined
+)
+SELECT j.cluster_id,
+       max(r.id) AS survivor_id,
+       CAST(max(j.sc) AS BIGINT) AS survivor_score,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM joined j
+JOIN ranked r ON r.cluster_id = j.cluster_id AND r.rn = 1
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8424,6 +8477,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_retract_aggs": q_orders_retract_aggs,
     "lineitem_winsor": q_lineitem_winsor,
     "emb_pca_top": q_emb_pca_top,
+    "doc_golden": q_doc_golden,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8579,6 +8633,7 @@ ORACLES: Dict[str, str] = {
     "orders_retract_aggs": SQL_ORDERS_RETRACT_AGGS,
     "lineitem_winsor": SQL_LINEITEM_WINSOR,
     "emb_pca_top": _pca_sql(),
+    "doc_golden": _golden_sql(),
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

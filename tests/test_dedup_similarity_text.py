@@ -1782,3 +1782,29 @@ def test_pca_power_top_finds_planted_component_and_is_partition_proof(spark):
         pca_power_top(df, "embedding", dim=d, rounds=0)
     with _pytest.raises(ValueError, match="no valid vectors"):
         pca_power_top(df.where("vec_id < 0"), "embedding", dim=d)
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Highest score wins, ties break to smallest id, NULL scores lose
+    to any real score, singletons survive as their own cluster."""
+    from pynomaly_spark.dedup import golden_records
+    import pytest as _pytest
+
+    recs = spark.createDataFrame(
+        [("a", 10), ("b", 99), ("c", 99), ("d", None), ("e", 5)],
+        "doc_id string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d2"), ("x_gone", "d2")],
+        "node string, cluster_id string",
+    )
+    got = {r["cluster_id"]: (r["survivor_id"], r["survivor_score"],
+                             r["n_members"])
+           for r in golden_records(recs, clusters, "doc_id",
+                                   "n_chars").collect()}
+    assert got["a"] == ("b", 99, 3)      # tie b/c -> smallest id
+    assert got["d2"][0] == "d"           # null score still survives alone
+    assert got["d2"][2] == 1             # x_gone has no record row
+    assert got["e"] == ("e", 5, 1)       # singleton
+    with _pytest.raises(ValueError, match="records missing"):
+        golden_records(recs, clusters, "nope", "n_chars")
