@@ -71,6 +71,9 @@ __all__ = [
     "weighted_quantiles",
     "seasonal_outliers",
     "winsorized_stats",
+    "qhist_build",
+    "qhist_merge",
+    "qhist_estimate",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1392,4 +1395,94 @@ def winsorized_stats(
         F.round(
             F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
         ).alias("winsor_mean"),
+    )
+
+
+def qhist_build(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Mergeable quantile-histogram sketch, build stage: bin a
+    NON-NEGATIVE integer column into power-of-two bins (bin ``b``
+    holds ``2^b ≤ v < 2^(b+1)``; bin 0 holds {0, 1}) — at most 63 bins
+    per group, mergeable by addition, the missing member of the
+    hll/cms/kmv/bloom mergeable-sketch family for QUANTILES.  The bin
+    is ``length(bin(v)) − 1`` — a binary-string length, never a float
+    ``log2`` (the key_frequency_histogram device), so edges cannot
+    ulp-drift cross-engine.  Negative values raise IN PLAN.
+
+    One map-side-combined aggregate; output ``*group_cols, qbin,
+    cnt``.  Daily sketches union + :func:`qhist_merge` into weekly /
+    monthly rollups without rescanning history — the IVM shape for
+    percentile dashboards (log-scale bins give ≤2× relative value
+    error, the standard trade for mergeability at 100 TB).
+    """
+    group_cols = list(group_cols)
+    missing = [c for c in (*group_cols, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"qhist_build: unknown columns {missing}")
+    v = F.when(
+        F.col(value_col) < 0,
+        F.raise_error("qhist_build: negative value"),
+    ).otherwise(F.col(value_col))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            (F.length(F.bin(v)) - 1).cast("long").alias("qbin"),
+        )
+        .groupBy(*group_cols, "qbin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def qhist_merge(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge quantile-histogram sketches (a union of
+    :func:`qhist_build` outputs) by per-bin addition — associative and
+    commutative, so any rollup tree gives the identical histogram."""
+    group_cols = list(group_cols)
+    return sketches.groupBy(*group_cols, "qbin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def qhist_estimate(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    ps: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Quantile estimates from a quantile-histogram sketch: per group,
+    the LOWER BOUND of the first bin whose cumulative count reaches
+    p% (integer-exact crossing ``100·cum ≥ p·total``, the
+    weighted_quantiles convention) — the true p-quantile lies in
+    [q{p}_lo, 2·q{p}_lo + 1].  The cumulative window runs over ≤63
+    bin rows per group — control-plane size, not data."""
+    ps = list(ps)
+    if not ps or any(not 0 < p < 100 for p in ps):
+        raise ValueError(f"qhist_estimate: ps must be in (0, 100), got {ps}")
+    group_cols = list(group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("qbin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w_cum)).withColumn(
+        "_tot", F.sum("cnt").over(w_tot)
+    )
+    lb = F.when(F.col("qbin") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(qbin AS INT))")
+    )
+    return cum.groupBy(*group_cols).agg(
+        F.max("_tot").cast("long").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cum") >= F.lit(p) * F.col("_tot"),
+                    lb,
+                )
+            ).cast("long").alias(f"q{p}_lo")
+            for p in ps
+        ],
     )

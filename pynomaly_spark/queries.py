@@ -8334,6 +8334,133 @@ GROUP BY 1
 """
 
 
+def q_orders_trend(spark, sf_dir):
+    """Revenue-trend fitting (``features.ols_fit`` over a time rollup):
+    per order priority, the OLS slope of MONTHLY revenue against the
+    month index — aggregate first (exact cents per month, divided to
+    whole dollars AFTER the sum so y² sums stay inside double's 2^53
+    exact-integer range), then the moment-based closed-form fit whose
+    shuffle is one row per group.  Detects revenue drift per segment
+    in two map-side-combined aggregates."""
+    from pynomaly_spark.features import ols_fit
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderpriority",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("month_idx"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        )
+    )
+    monthly = o.groupBy("o_orderpriority", "month_idx").agg(
+        F.expr("sum(_c) div 100").alias("rev_d")
+    )
+    return ols_fit(monthly, ["month_idx"], "rev_d", by=["o_orderpriority"])
+
+
+SQL_ORDERS_TREND = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS month_idx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS rev_d
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+), src AS (
+  SELECT o_orderpriority, CAST(month_idx AS DOUBLE) AS x,
+         CAST(rev_d AS DOUBLE) AS y
+  FROM monthly
+), m AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS s1, sum(x * x) AS s11,
+         sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS s1y
+  FROM src GROUP BY 1
+), solved AS (
+  SELECT o_orderpriority, n, sy, s1y, syy, s1,
+         n * s11 - s1 * s1 AS det,
+         (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS beta
+  FROM m
+)
+SELECT o_orderpriority, n,
+       round(CASE WHEN det <> 0
+             THEN (sy - beta * s1) / n END, 6) AS intercept,
+       round(CASE WHEN det <> 0 THEN beta END, 6) AS beta_month_idx,
+       round(CASE WHEN det <> 0 AND (syy - sy * sy / n) <> 0
+             THEN 1 - (syy - ((sy - beta * s1) / n) * sy - beta * s1y)
+                      / (syy - sy * sy / n) END, 6) AS r2
+FROM solved
+"""
+
+
+_QH_SPLIT = "1998-01-01"
+
+
+def q_lineitem_qhist(spark, sf_dir):
+    """Mergeable quantile sketches (``profiling.qhist_build/merge/
+    estimate``): per returnflag price-cents quantiles from TWO
+    independently-built power-of-two histograms (pre/post-1998 — the
+    daily-rollup shape) merged by per-bin addition, never rescanning
+    the base — the missing quantile member of the mergeable-sketch
+    family (hll/cms/kmv/bloom).  Bins come from ``length(bin(v))−1``
+    so edges cannot ulp-drift; the p-crossing is the integer-exact
+    ``100·cum ≥ p·total``."""
+    from pynomaly_spark.profiling import (
+        qhist_build,
+        qhist_estimate,
+        qhist_merge,
+    )
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_c"),
+    )
+    split = F.lit(_QH_SPLIT).cast("timestamp")
+    early = qhist_build(
+        li.where(F.col("l_shipdate") < split), ["l_returnflag"], "_c"
+    )
+    late = qhist_build(
+        li.where(F.col("l_shipdate") >= split), ["l_returnflag"], "_c"
+    )
+    merged = qhist_merge(early.unionByName(late), ["l_returnflag"])
+    return qhist_estimate(merged, ["l_returnflag"], ps=(50, 95, 99))
+
+
+SQL_LINEITEM_QHIST = """
+WITH base AS (
+  SELECT l_returnflag,
+         length(bin(CAST(round(l_extendedprice * 100) AS BIGINT))) - 1
+           AS qbin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), hist AS (
+  SELECT l_returnflag, qbin, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, qbin, cnt,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qbin
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS t,
+         CASE WHEN qbin = 0 THEN 0
+              ELSE CAST(1 AS BIGINT) << qbin END AS lb
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(max(t) AS BIGINT) AS n,
+       CAST(min(CASE WHEN 100 * c >= 50 * t THEN lb END) AS BIGINT)
+         AS q50_lo,
+       CAST(min(CASE WHEN 100 * c >= 95 * t THEN lb END) AS BIGINT)
+         AS q95_lo,
+       CAST(min(CASE WHEN 100 * c >= 99 * t THEN lb END) AS BIGINT)
+         AS q99_lo
+FROM cum GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8478,6 +8605,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_winsor": q_lineitem_winsor,
     "emb_pca_top": q_emb_pca_top,
     "doc_golden": q_doc_golden,
+    "orders_trend": q_orders_trend,
+    "lineitem_qhist": q_lineitem_qhist,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8634,6 +8763,8 @@ ORACLES: Dict[str, str] = {
     "lineitem_winsor": SQL_LINEITEM_WINSOR,
     "emb_pca_top": _pca_sql(),
     "doc_golden": _golden_sql(),
+    "orders_trend": SQL_ORDERS_TREND,
+    "lineitem_qhist": SQL_LINEITEM_QHIST,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

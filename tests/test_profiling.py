@@ -582,3 +582,34 @@ def test_winsorized_stats_exact_thresholds_and_clipping(spark):
         winsorized_stats(df, ["k"], "v", lo=90, hi=10)
     with _pytest.raises(ValueError, match="unknown columns"):
         winsorized_stats(df, ["k"], "nope")
+
+
+def test_qhist_merge_equals_direct_build_and_bounds(spark):
+    """Merging split sketches is frame-identical to building on the
+    whole input; the estimate brackets the true quantile within the
+    bin's 2x bound; negatives raise in plan."""
+    from pynomaly_spark.profiling import (
+        qhist_build, qhist_estimate, qhist_merge,
+    )
+    import pytest as _pytest
+
+    vals = [0, 1, 2, 3, 5, 8, 13, 100, 1000, 1001]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    whole = qhist_build(df, ["k"], "v")
+    halves = qhist_build(df.where("v < 6"), ["k"], "v").unionByName(
+        qhist_build(df.where("v >= 6"), ["k"], "v"))
+    direct = {(r["k"], r["qbin"]): r["cnt"] for r in whole.collect()}
+    merged = {(r["k"], r["qbin"]): r["cnt"]
+              for r in qhist_merge(halves, ["k"]).collect()}
+    assert direct == merged
+    est = qhist_estimate(whole, ["k"], ps=(50, 90)).collect()[0]
+    assert est["n"] == 10
+    # true p50 (lower convention) = 5 -> bin 2 ([4,8)) -> lo 4
+    assert est["q50_lo"] == 4
+    # true p90 = 1000 -> bin 9 ([512,1024)) -> lo 512
+    assert est["q90_lo"] == 512
+    neg = spark.createDataFrame([("g", -1)], "k string, v long")
+    with _pytest.raises(Exception, match="negative value"):
+        qhist_build(neg, ["k"], "v").collect()
+    with _pytest.raises(ValueError, match="ps must be"):
+        qhist_estimate(whole, ["k"], ps=(0,))
