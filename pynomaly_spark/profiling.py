@@ -74,6 +74,7 @@ __all__ = [
     "qhist_build",
     "qhist_merge",
     "qhist_estimate",
+    "fd_check",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1486,3 +1487,69 @@ def qhist_estimate(
             for p in ps
         ],
     )
+
+
+def fd_check(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_cols: Sequence[str],
+    max_violators: int = 1000,
+) -> DataFrame:
+    """Functional-dependency audit (the deequ-style DQ check): does
+    ``lhs → rhs`` hold?  Returns one row per VIOLATING lhs key — a key
+    mapping to more than one distinct rhs combination — with the
+    distinct-rhs count, the key's row count, and two example rhs
+    values (the LEXICOGRAPHIC min/max of the rendered rhs tuple —
+    stable example picks, not numeric extremes), so a violation report
+    shows WHAT disagreed, not just how many.
+
+    Scale (100 TB): one (lhs, rhs)-collapsed aggregate (map-side
+    combine eats duplicate pairs — the dominant mass when the FD
+    nearly holds) + one lhs aggregate on the collapsed frame.  The
+    output is capped at ``max_violators`` via the salted two-phase
+    top-k (worst offenders first) — an FD that is 90% broken would
+    otherwise emit |keys| rows.
+
+    Reference parity: extends the reference's input-validation stance
+    (loop.py's matrix conformance checks) to relational dependencies —
+    engine addition (constraint family with checks.Uniqueness /
+    ReferentialIntegrity).
+    """
+    lhs, rhs = list(lhs_cols), list(rhs_cols)
+    missing = [c for c in lhs + rhs if c not in df.columns]
+    if missing:
+        raise ValueError(f"fd_check: unknown columns {missing}")
+    if not lhs or not rhs:
+        raise ValueError("fd_check: lhs and rhs must be non-empty")
+    base = df
+    for c in lhs:
+        base = base.where(F.col(c).isNotNull())
+    pairs = base.groupBy(*lhs, *rhs).agg(
+        F.count(F.lit(1)).alias("_pair_n")
+    )
+    rhs_str = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in rhs]
+    )
+    per_key = (
+        pairs.withColumn("_rhs_s", rhs_str)
+        .groupBy(*lhs)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_rhs"),
+            F.sum("_pair_n").cast("long").alias("n_rows"),
+            F.min("_rhs_s").alias("rhs_min"),
+            F.max("_rhs_s").alias("rhs_max"),
+        )
+        .where(F.col("n_distinct_rhs") > 1)
+    )
+    from .similarity import two_phase_topk
+
+    return two_phase_topk(
+        per_key,
+        [],
+        [
+            F.col("n_distinct_rhs").desc(),
+            *[F.col(c).asc() for c in lhs],
+        ],
+        max_violators,
+        rank_col="_fd_rn",
+    ).drop("_fd_rn")

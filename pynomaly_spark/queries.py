@@ -8461,6 +8461,116 @@ FROM cum GROUP BY 1
 """
 
 
+_FD_CAP = 1000
+
+
+def q_lineitem_fd(spark, sf_dir):
+    """Functional-dependency audit (``profiling.fd_check``): does
+    ``l_partkey → l_suppkey`` hold?  (It shouldn't — TPC-H parts ship
+    from several suppliers; the report quantifies by how much.)  One
+    (lhs, rhs)-collapsed aggregate + one per-key rollup; the violator
+    report is capped at the worst 1000 keys via the salted two-phase
+    top-k, ordered (n_distinct_rhs DESC, key ASC) so the cap is
+    deterministic."""
+    from pynomaly_spark.profiling import fd_check
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return fd_check(li, ["l_partkey"], ["l_suppkey"], max_violators=_FD_CAP)
+
+
+SQL_LINEITEM_FD = f"""
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey, count(*) AS pn
+  FROM lineitem WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2
+), per_key AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_distinct_rhs,
+         CAST(sum(pn) AS BIGINT) AS n_rows,
+         min(CAST(l_suppkey AS VARCHAR)) AS rhs_min,
+         max(CAST(l_suppkey AS VARCHAR)) AS rhs_max
+  FROM pairs GROUP BY 1
+  HAVING count(*) > 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_distinct_rhs DESC,
+                               l_partkey ASC) AS rn
+  FROM per_key
+)
+SELECT l_partkey, n_distinct_rhs, n_rows, rhs_min, rhs_max
+FROM ranked WHERE rn <= {_FD_CAP}
+"""
+
+
+def q_customer_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers cohorted by FIRST-order
+    month, revenue tracked per months-since-cohort offset — the LTV
+    curve marketing reads row-wise.  Shape: one per-customer min
+    aggregate (never a window over order history), a join back on the
+    customer key, a (customer, cohort, offset) collapse, then the
+    cohort×offset rollup — so "active customers" is a plain count of
+    the collapsed frame, no count-distinct Expand.  Revenue is exact
+    cents."""
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("_m"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        )
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_m").alias("_cohort"))
+    per_cust = (
+        o.join(
+            first.withColumnRenamed("o_custkey", "_ck"),
+            F.col("o_custkey") == F.col("_ck"),
+        )
+        .groupBy(
+            "o_custkey",
+            "_cohort",
+            (F.col("_m") - F.col("_cohort")).alias("k"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n_ord"),
+            F.sum("_c").alias("_rev"),
+        )
+    )
+    return per_cust.groupBy(
+        F.col("_cohort").alias("cohort_month"), "k"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("_n_ord").cast("long").alias("n_orders"),
+        F.sum("_rev").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_CUSTOMER_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderdate IS NOT NULL
+), first AS (
+  SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1
+), per_cust AS (
+  SELECT o.o_custkey, f.cohort, o.m - f.cohort AS k,
+         count(*) AS n_ord, sum(o.c) AS rev
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT cohort AS cohort_month, k,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(n_ord) AS BIGINT) AS n_orders,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents
+FROM per_cust GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8607,6 +8717,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_golden": q_doc_golden,
     "orders_trend": q_orders_trend,
     "lineitem_qhist": q_lineitem_qhist,
+    "lineitem_fd": q_lineitem_fd,
+    "customer_ltv": q_customer_ltv,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8765,6 +8877,8 @@ ORACLES: Dict[str, str] = {
     "doc_golden": _golden_sql(),
     "orders_trend": SQL_ORDERS_TREND,
     "lineitem_qhist": SQL_LINEITEM_QHIST,
+    "lineitem_fd": SQL_LINEITEM_FD,
+    "customer_ltv": SQL_CUSTOMER_LTV,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

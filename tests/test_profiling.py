@@ -613,3 +613,28 @@ def test_qhist_merge_equals_direct_build_and_bounds(spark):
         qhist_build(neg, ["k"], "v").collect()
     with _pytest.raises(ValueError, match="ps must be"):
         qhist_estimate(whole, ["k"], ps=(0,))
+
+
+def test_fd_check_reports_violators_only(spark):
+    """k1 maps to one rhs (holds), k2 to two (violates); report rows,
+    counts and example values are exact; cap keeps the worst keys."""
+    from pynomaly_spark.profiling import fd_check
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("k1", "x", 1), ("k1", "x", 2),
+         ("k2", "x", 1), ("k2", "y", 1), ("k2", "y", 2),
+         ("k3", "a", 1), ("k3", "b", 1), ("k3", "c", 1),
+         (None, "z", 1)],
+        "lhs string, rhs string, extra long",
+    )
+    got = {r["lhs"]: (r["n_distinct_rhs"], r["n_rows"],
+                      r["rhs_min"], r["rhs_max"])
+           for r in fd_check(df, ["lhs"], ["rhs"]).collect()}
+    assert got == {"k2": (2, 3, "x", "y"), "k3": (3, 3, "a", "c")}
+    capped = fd_check(df, ["lhs"], ["rhs"], max_violators=1).collect()
+    assert [r["lhs"] for r in capped] == ["k3"]   # worst first
+    with _pytest.raises(ValueError, match="unknown columns"):
+        fd_check(df, ["nope"], ["rhs"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        fd_check(df, [], ["rhs"])
