@@ -8571,6 +8571,144 @@ FROM per_cust GROUP BY 1, 2
 """
 
 
+_KANON_K = 5
+
+
+def q_customer_kanon(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (privacy DQ): group
+    customers by the QI tuple (mktsegment, nationkey), histogram the
+    equivalence-class sizes into power-of-two bands, and count the
+    classes/rows below k=5 — the re-identification risk readout a
+    release gate needs.  One QI aggregate (map-side combined) + one
+    ≤64-row band rollup; nothing row-level leaves the executors."""
+    c = _tbl(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isNotNull() & F.col("c_nationkey").isNotNull()
+    )
+    classes = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    return (
+        classes.select(
+            (F.length(F.bin(F.col("_sz"))) - 1)
+            .cast("long")
+            .alias("size_band"),
+            "_sz",
+        )
+        .groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("_sz").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_sz") < _KANON_K, F.lit(1)).otherwise(0)
+            ).cast("long").alias("n_classes_below_k"),
+            F.sum(
+                F.when(F.col("_sz") < _KANON_K, F.col("_sz")).otherwise(0)
+            ).cast("long").alias("n_rows_at_risk"),
+        )
+    )
+
+
+SQL_CUSTOMER_KANON = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS sz
+  FROM customer
+  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM classes GROUP BY 1
+"""
+
+
+_RAPID_GAP_US = 3_600_000_000  # same user+type within 1 hour
+
+
+def q_events_rapid_repeat(spark, sf_dir):
+    """Rapid-repeat screen (bot / double-fire DQ): event pairs from
+    the SAME user and type within one hour.  The self-join is
+    time-blocked — each side emits its hour bucket AND the next, so
+    any pair ≤1h apart shares a bucket (lossless, the banded-LSH
+    completeness argument; the brute-force all-pairs twin proves it on
+    data) — and joins on (user, type, bucket), never on the bare user
+    key, so a chatty user costs O(events-per-hour²), not O(history²).
+    Duplicate meetings (both buckets) collapse via a distinct on the
+    pair ids.  Per-user rollup with the exact minimum gap."""
+    e = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("t"),
+            F.col("event_id").alias("id"),
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    bucketed = e.select(
+        "u",
+        "t",
+        "id",
+        "us",
+        F.explode(
+            F.array(
+                F.expr(f"us div {_RAPID_GAP_US}"),
+                F.expr(f"us div {_RAPID_GAP_US} + 1"),
+            )
+        ).alias("bk"),
+    )
+    right = bucketed.select(
+        F.col("u").alias("_u2"),
+        F.col("t").alias("_t2"),
+        F.col("id").alias("id_b"),
+        F.col("us").alias("_us2"),
+        F.col("bk").alias("_bk2"),
+    )
+    pairs = (
+        bucketed.join(
+            right,
+            (F.col("u") == F.col("_u2"))
+            & F.col("t").eqNullSafe(F.col("_t2"))
+            & (F.col("bk") == F.col("_bk2"))
+            & (F.col("id") < F.col("id_b"))
+            & (
+                F.abs(F.col("us") - F.col("_us2"))
+                <= F.lit(_RAPID_GAP_US)
+            ),
+        )
+        .select(
+            "u", "t", "id", "id_b",
+            F.abs(F.col("us") - F.col("_us2")).alias("gap_us"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rapid_pairs"),
+        F.countDistinct("t").cast("long").alias("n_types"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+    ).withColumnRenamed("u", "user_id")
+
+
+SQL_EVENTS_RAPID_REPEAT = f"""
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, event_id AS id, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT a.u AS user_id,
+       CAST(count(*) AS BIGINT) AS n_rapid_pairs,
+       CAST(count(DISTINCT a.t) AS BIGINT) AS n_types,
+       CAST(min(abs(a.us - b.us)) AS BIGINT) AS min_gap_us
+FROM e a JOIN e b
+  ON a.u = b.u AND a.t IS NOT DISTINCT FROM b.t AND a.id < b.id
+  AND abs(a.us - b.us) <= {_RAPID_GAP_US}
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8719,6 +8857,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_qhist": q_lineitem_qhist,
     "lineitem_fd": q_lineitem_fd,
     "customer_ltv": q_customer_ltv,
+    "customer_kanon": q_customer_kanon,
+    "events_rapid_repeat": q_events_rapid_repeat,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -8879,6 +9019,8 @@ ORACLES: Dict[str, str] = {
     "lineitem_qhist": SQL_LINEITEM_QHIST,
     "lineitem_fd": SQL_LINEITEM_FD,
     "customer_ltv": SQL_CUSTOMER_LTV,
+    "customer_kanon": SQL_CUSTOMER_KANON,
+    "events_rapid_repeat": SQL_EVENTS_RAPID_REPEAT,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,
