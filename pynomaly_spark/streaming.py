@@ -57,6 +57,7 @@ __all__ = [
     "streaming_cms",
     "streaming_ols_moments",
     "streaming_hll",
+    "streaming_qhist",
 ]
 
 
@@ -715,4 +716,46 @@ def streaming_hll(
         .select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("_rho").cast("long").alias("register"))
+    )
+
+
+def streaming_qhist(
+    stream_df: DataFrame,
+    group_cols,
+    value_col: str,
+) -> DataFrame:
+    """Continuously-maintained quantile-histogram sketch — the
+    streaming analog of :func:`pynomaly_spark.profiling.qhist_build`
+    (identical output columns; the batch operator over the landed
+    history is the parity oracle).
+
+    Like the CMS/HLL registers, the power-of-two histogram is a pure
+    additive aggregate: each micro-batch's bin increments merge into
+    the state by addition, the state is bounded at ``groups × 63``
+    rows regardless of stream length, and no watermark is needed — a
+    histogram is a total-history aggregate (no "too late" increment).
+    Run in update/complete mode; serve percentiles by applying
+    ``profiling.qhist_estimate`` to the latest sink snapshot — the
+    p99-latency dashboard shape with O(bins) state.
+
+    Negative values raise in plan (the batch builder's contract).
+    """
+    group_cols = list(group_cols)
+    missing = [
+        c for c in (*group_cols, value_col) if c not in stream_df.columns
+    ]
+    if missing:
+        raise ValueError(f"streaming_qhist: unknown columns {missing}")
+    v = F.when(
+        F.col(value_col) < 0,
+        F.raise_error("streaming_qhist: negative value"),
+    ).otherwise(F.col(value_col))
+    return (
+        stream_df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            (F.length(F.bin(v)) - 1).cast("long").alias("qbin"),
+        )
+        .groupBy(*group_cols, "qbin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

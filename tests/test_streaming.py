@@ -756,3 +756,52 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert all(r["est6"] > 0 for r in est)
     with pytest.raises(ValueError, match="p must be"):
         streaming_hll(ev, "user_id", p=13)
+
+
+def test_streaming_qhist_matches_batch(spark, tmp_path):
+    """Streaming quantile-histogram sketch: the complete-mode bin table
+    over the replayed stream equals profiling.qhist_build over the
+    landed history, bin for bin — and qhist_estimate over the sink
+    snapshot equals the batch estimate."""
+    from pynomaly_spark.profiling import qhist_build, qhist_estimate
+    from pynomaly_spark.streaming import streaming_qhist
+    from pyspark.sql import functions as SF
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where("value IS NOT NULL")
+        .select(
+            "event_type",
+            SF.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    in_dir = str(tmp_path / "qh_in")
+    ev.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_qhist(stream, ["event_type"], "cents")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qh_bins")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.sql("SELECT * FROM qh_bins")
+    got = sorted(map(tuple, snap.collect()))
+    want = sorted(
+        map(tuple, qhist_build(ev, ["event_type"], "cents").collect())
+    )
+    assert len(got) > 0 and got == want
+    est_s = sorted(map(tuple, qhist_estimate(
+        snap, ["event_type"], ps=(50, 95)).collect()))
+    est_b = sorted(map(tuple, qhist_estimate(
+        qhist_build(ev, ["event_type"], "cents"),
+        ["event_type"], ps=(50, 95)).collect()))
+    assert est_s == est_b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown columns"):
+        streaming_qhist(ev, ["nope"], "cents")
