@@ -8709,6 +8709,105 @@ GROUP BY 1
 """
 
 
+def q_lineitem_qhist_audit(spark, sf_dir):
+    """Sketch-accuracy audit, shipped as a query (the zone-map
+    soundness discipline): per returnflag, the EXACT p50/p95 price
+    quantiles (``profiling.weighted_quantiles``, unit weights) joined
+    against the mergeable-histogram bounds (``qhist_build/estimate``)
+    with the containment flags ``q{p}_lo ≤ exact ≤ 2·q{p}_lo + 1`` —
+    which must be ALL 1 (the log-bin guarantee), so the cheap sketch
+    is trusted wherever the exact pass is too expensive.  Both sides
+    integer-exact; the broadcast join is 3 rows."""
+    from pynomaly_spark.profiling import (
+        qhist_build,
+        qhist_estimate,
+        weighted_quantiles,
+    )
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_c"),
+        F.lit(1).alias("_w"),
+    )
+    exact = weighted_quantiles(li, ["l_returnflag"], "_c", "_w", ps=(50, 95))
+    sk = qhist_estimate(
+        qhist_build(li, ["l_returnflag"], "_c"), ["l_returnflag"], ps=(50, 95)
+    )
+    j = exact.join(
+        F.broadcast(
+            sk.select(
+                F.col("l_returnflag").alias("_rf"),
+                F.col("q50_lo").alias("sk50_lo"),
+                F.col("q95_lo").alias("sk95_lo"),
+            )
+        ),
+        F.col("l_returnflag") == F.col("_rf"),
+    )
+    in50 = (F.col("sk50_lo") <= F.col("wq50")) & (
+        F.col("wq50") <= 2 * F.col("sk50_lo") + 1
+    )
+    in95 = (F.col("sk95_lo") <= F.col("wq95")) & (
+        F.col("wq95") <= 2 * F.col("sk95_lo") + 1
+    )
+    return j.select(
+        "l_returnflag",
+        F.col("wq50").alias("exact_p50"),
+        "sk50_lo",
+        in50.cast("long").alias("p50_bounded"),
+        F.col("wq95").alias("exact_p95"),
+        "sk95_lo",
+        in95.cast("long").alias("p95_bounded"),
+    )
+
+
+SQL_LINEITEM_QHIST_AUDIT = """
+WITH base AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), cum AS (
+  SELECT l_returnflag, v,
+         sum(1) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(1) OVER (PARTITION BY l_returnflag) AS t
+  FROM base
+), exact AS (
+  SELECT l_returnflag,
+         min(CASE WHEN 100 * c >= 50 * t THEN v END) AS exact_p50,
+         min(CASE WHEN 100 * c >= 95 * t THEN v END) AS exact_p95
+  FROM cum GROUP BY 1
+), hist AS (
+  SELECT l_returnflag, length(bin(v)) - 1 AS qbin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+), hcum AS (
+  SELECT l_returnflag, qbin, cnt,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qbin
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS t,
+         CASE WHEN qbin = 0 THEN 0
+              ELSE CAST(1 AS BIGINT) << qbin END AS lb
+  FROM hist
+), sk AS (
+  SELECT l_returnflag,
+         CAST(min(CASE WHEN 100 * c >= 50 * t THEN lb END) AS BIGINT)
+           AS sk50_lo,
+         CAST(min(CASE WHEN 100 * c >= 95 * t THEN lb END) AS BIGINT)
+           AS sk95_lo
+  FROM hcum GROUP BY 1
+)
+SELECT e.l_returnflag,
+       e.exact_p50, s.sk50_lo,
+       CAST(CASE WHEN s.sk50_lo <= e.exact_p50
+                  AND e.exact_p50 <= 2 * s.sk50_lo + 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS p50_bounded,
+       e.exact_p95, s.sk95_lo,
+       CAST(CASE WHEN s.sk95_lo <= e.exact_p95
+                  AND e.exact_p95 <= 2 * s.sk95_lo + 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS p95_bounded
+FROM exact e JOIN sk s USING (l_returnflag)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8859,6 +8958,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_ltv": q_customer_ltv,
     "customer_kanon": q_customer_kanon,
     "events_rapid_repeat": q_events_rapid_repeat,
+    "lineitem_qhist_audit": q_lineitem_qhist_audit,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -9021,6 +9121,7 @@ ORACLES: Dict[str, str] = {
     "customer_ltv": SQL_CUSTOMER_LTV,
     "customer_kanon": SQL_CUSTOMER_KANON,
     "events_rapid_repeat": SQL_EVENTS_RAPID_REPEAT,
+    "lineitem_qhist_audit": SQL_LINEITEM_QHIST_AUDIT,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,
