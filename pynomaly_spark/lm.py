@@ -47,6 +47,8 @@ __all__ = [
     "build_vocab",
     "feature_hash",
     "linear_score",
+    "bigram_model",
+    "score_bigram_logprob",
 ]
 
 
@@ -555,4 +557,158 @@ def linear_score(
     return joined.groupBy(id_col).agg(
         (F.sum("_term") + F.lit(bias)).cast("long").alias("score"),
         ((F.sum("_term") + F.lit(bias)) > 0).alias("positive"),
+    )
+
+
+def _bigram_tf(df: DataFrame, text_col: str, cols: list) -> DataFrame:
+    """Per-row (w1, w2) bigram term frequencies over the FILTERED
+    token array (empty tokens removed BEFORE pairing — adjacency is
+    defined on real tokens; the oracle twin must filter first too)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT),
+        lambda x: x != "",
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(*cols, toks.alias("_l"))
+        .where(F.size("_l") >= 2)
+        .select(
+            *cols,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_l", i).alias("w1"),
+                        F.element_at("_l", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(*cols, "_p.w1", "_p.w2")
+        .groupBy(*cols, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus bigram counts ``(w1, w2, c)`` — the order-2 extension of
+    :func:`unigram_model` (same tokenizer; adjacency over the filtered
+    token array).  ``min_count`` prunes the long tail; pruned bigrams
+    score as OOV."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    return (
+        _bigram_tf(df, text_col, [])
+        .groupBy("w1", "w2")
+        .agg(F.sum("_tf").alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+
+
+def score_bigram_logprob(
+    df: DataFrame,
+    model: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    hot_min: int = 1000,
+) -> DataFrame:
+    """Per-document mean BIGRAM conditional log-probability — the
+    order-2 CCNet-style fluency gate: ``P(w2|w1) = (c(w1,w2) + α) /
+    (c(w1,·) + α·(V2+1))`` with Laplace smoothing over the model's
+    right-vocabulary V2; an unseen left context falls to the
+    ``1/(V2+1)`` floor.  Catches scrambled-word salad that unigram
+    likelihood (bag-of-words by construction) cannot.
+
+    Returns ``(id_col, n_bigrams, logprob)``, logprob rounded 6 dp;
+    docs with < 2 tokens produce no row.
+
+    ``model=None`` self-trains: the model AND the left marginals both
+    derive from the per-doc bigram tf relation, so the corpus is
+    exploded and shuffled once (the unigram ReusedExchange
+    discipline).  Both the pair join and the marginal join are
+    SKEW-SPLIT on ``hot_min`` — frequent bigrams ("of the") and
+    frequent left tokens ("the") broadcast map-side; the rare tail
+    shuffles over rare-by-construction keys.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (LM family order-2; pairs with
+    score_unigram_logprob / collocation_pmi).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    tf = _bigram_tf(df, text_col, [id_col])
+    if model is None:
+        model = tf.groupBy("w1", "w2").agg(F.sum("_tf").alias("c"))
+    m1 = model.groupBy("w1").agg(F.sum("c").alias("c1"))
+    stats = model.agg(
+        F.count_distinct(F.col("w2")).cast("double").alias("_V2")
+    )
+    # pair join, skew-split on the (w1, w2) key
+    hot = model.where(F.col("c") >= hot_min).select(
+        F.col("w1").alias("_h1"),
+        F.col("w2").alias("_h2"),
+        F.col("c").cast("double").alias("_hc"),
+    )
+    tail = model.where(F.col("c") < hot_min).select(
+        F.col("w1").alias("_t1"),
+        F.col("w2").alias("_t2"),
+        F.col("c").cast("double").alias("_tc"),
+    )
+    j1 = tf.join(
+        F.broadcast(hot),
+        (F.col("w1") == F.col("_h1")) & (F.col("w2") == F.col("_h2")),
+        "left",
+    ).drop("_h1", "_h2")
+    matched = j1.where(F.col("_hc").isNotNull()).select(
+        id_col, "w1", "w2", "_tf", F.col("_hc").alias("_c12")
+    )
+    missed = (
+        j1.where(F.col("_hc").isNull())
+        .join(
+            tail,
+            (F.col("w1") == F.col("_t1")) & (F.col("w2") == F.col("_t2")),
+            "left",
+        )
+        .select(
+            id_col, "w1", "w2", "_tf",
+            F.coalesce(F.col("_tc"), F.lit(0.0)).alias("_c12"),
+        )
+    )
+    paired = matched.unionByName(missed)
+    # marginal join, skew-split on w1
+    m_hot = m1.where(F.col("c1") >= hot_min).select(
+        F.col("w1").alias("_mh"), F.col("c1").cast("double").alias("_mhc")
+    )
+    m_tail = m1.where(F.col("c1") < hot_min).select(
+        F.col("w1").alias("_mt"), F.col("c1").cast("double").alias("_mtc")
+    )
+    j2 = paired.join(
+        F.broadcast(m_hot), F.col("w1") == F.col("_mh"), "left"
+    ).drop("_mh")
+    m_matched = j2.where(F.col("_mhc").isNotNull()).select(
+        id_col, "_tf", "_c12", F.col("_mhc").alias("_c1")
+    )
+    m_missed = (
+        j2.where(F.col("_mhc").isNull())
+        .join(m_tail, F.col("w1") == F.col("_mt"), "left")
+        .select(
+            id_col, "_tf", "_c12",
+            F.coalesce(F.col("_mtc"), F.lit(0.0)).alias("_c1"),
+        )
+    )
+    denom = F.col("_c1") + F.lit(alpha) * (F.col("_V2") + F.lit(1.0))
+    lp = F.log((F.col("_c12") + F.lit(alpha)) / denom)
+    return (
+        m_matched.unionByName(m_missed)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_tf") * lp) / F.sum(F.col("_tf")), 6
+            ).alias("logprob"),
+        )
     )

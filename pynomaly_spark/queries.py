@@ -8808,6 +8808,54 @@ FROM exact e JOIN sk s USING (l_returnflag)
 """
 
 
+def q_doc_lm_bigram(spark, sf_dir):
+    """Order-2 LM fluency gate (``lm.score_bigram_logprob``,
+    self-trained): per-doc mean conditional bigram log-probability
+    with Laplace smoothing over the right vocabulary — catches
+    scrambled-word salad the bag-of-words unigram gate cannot.  The
+    corpus explodes and shuffles ONCE (model and left marginals both
+    derive from the per-doc bigram tf relation); both the pair and
+    marginal joins are skew-split hot/tail."""
+    from pynomaly_spark.lm import score_bigram_logprob
+
+    doc = _doc(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    return score_bigram_logprob(doc, None, "text", "doc_id", alpha=0.5)
+
+
+def _lm_bigram_sql() -> str:
+    from pynomaly_spark.textops import _TOKEN_SPLIT
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'),
+                     x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), prs AS (
+  SELECT doc_id, l[u.i] AS w1, l[u.i + 1] AS w2
+  FROM docs, unnest(generate_series(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 2
+), tf AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM prs GROUP BY 1, 2, 3
+), model AS (
+  SELECT w1, w2, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY 1, 2
+), m1 AS (
+  SELECT w1, CAST(sum(c) AS DOUBLE) AS c1 FROM model GROUP BY 1
+), v2 AS (
+  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM model
+)
+SELECT t.doc_id,
+       CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+       round(sum(t.tf * ln((m.c + 0.5) / (m1.c1 + 0.5 * (v2.v + 1.0))))
+             / sum(t.tf), 6) AS logprob
+FROM tf t
+JOIN model m ON t.w1 = m.w1 AND t.w2 = m.w2
+JOIN m1 ON t.w1 = m1.w1
+CROSS JOIN v2
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8959,6 +9007,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_kanon": q_customer_kanon,
     "events_rapid_repeat": q_events_rapid_repeat,
     "lineitem_qhist_audit": q_lineitem_qhist_audit,
+    "doc_lm_bigram": q_doc_lm_bigram,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -9122,6 +9171,7 @@ ORACLES: Dict[str, str] = {
     "customer_kanon": SQL_CUSTOMER_KANON,
     "events_rapid_repeat": SQL_EVENTS_RAPID_REPEAT,
     "lineitem_qhist_audit": SQL_LINEITEM_QHIST_AUDIT,
+    "doc_lm_bigram": _lm_bigram_sql(),
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

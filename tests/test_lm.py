@@ -353,3 +353,44 @@ def test_linear_score_exact_margin_and_pruned_slots(spark):
         linear_score(feats, weights, id_col="nope")
     with pytest.raises(ValueError, match="unknown weight column"):
         linear_score(feats, weights.withColumnRenamed("w", "v"))
+
+
+def test_bigram_logprob_handchecked_and_oov_floor(spark):
+    """Self-trained bigram scores match a literal python recursion;
+    a frozen model sends unseen contexts to the 1/(V2+1) floor;
+    word-salad scores below fluent text under a frozen fluent model."""
+    import math
+
+    from pynomaly_spark.lm import bigram_model, score_bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "zz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["logprob"])
+           for r in score_bigram_logprob(docs, None, alpha=0.5).collect()}
+    # corpus bigrams: (the,cat) x2, (cat,sat), (cat,ran); V2 = 3
+    # c1: the=2, cat=2
+    def lp(c12, c1, v2=3.0, a=0.5):
+        return math.log((c12 + a) / (c1 + a * (v2 + 1)))
+    exp1 = (lp(2, 2) + lp(1, 2)) / 2
+    assert got[1] == (2, round(exp1, 6))
+    assert 3 not in got                      # <2 tokens -> no row
+    # frozen model + unseen context
+    model = bigram_model(docs)
+    new = spark.createDataFrame([(9, "qq ww")], "doc_id long, text string")
+    r = score_bigram_logprob(new, model, alpha=0.5).collect()[0]
+    assert r["logprob"] == round(math.log(0.5 / (0.0 + 0.5 * 4)), 6)
+    # discrimination: scrambled text scores lower under the fluent model
+    fluent = spark.createDataFrame(
+        [(1, "the cat sat the cat ran the cat sat")],
+        "doc_id long, text string",
+    )
+    m2 = bigram_model(fluent)
+    pair = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "sat the ran cat")],
+        "doc_id long, text string",
+    )
+    sc = {r["doc_id"]: r["logprob"]
+          for r in score_bigram_logprob(pair, m2).collect()}
+    assert sc[1] > sc[2]
