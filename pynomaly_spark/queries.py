@@ -8856,6 +8856,243 @@ GROUP BY 1
 """
 
 
+def q_events_funnel_latency(spark, sf_dir):
+    """Funnel conversion-latency percentiles: for each consecutive
+    step pair of the view→click→purchase funnel, the exact p50/p90
+    time-to-convert — ``sessions.funnel_steps`` (one user-keyed
+    exchange for the whole chain) feeding ``profiling.
+    weighted_quantiles`` (integer-exact crossing) over the integer-µs
+    gaps.  The product question behind every funnel count: not just
+    HOW MANY converted, but how long conversion takes."""
+    from pynomaly_spark.profiling import weighted_quantiles
+    from pynomaly_spark.sessions import funnel_steps
+
+    ev = _tbl(spark, sf_dir, "events")
+    f = funnel_steps(ev, _FUNNEL_STEPS)
+    lats = None
+    for k in range(2, len(_FUNNEL_STEPS) + 1):
+        part = f.where(F.col(f"step{k}_us").isNotNull()).select(
+            F.lit(k).cast("long").alias("step"),
+            (F.col(f"step{k}_us") - F.col(f"step{k - 1}_us")).alias("lat"),
+            F.lit(1).alias("_w"),
+        )
+        lats = part if lats is None else lats.unionByName(part)
+    return weighted_quantiles(lats, ["step"], "lat", "_w", ps=(50, 90))
+
+
+def _funnel_latency_sql(steps=None) -> str:
+    steps = steps or _FUNNEL_STEPS
+    ctes = [
+        "e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events)",
+        f"""s1 AS (
+  SELECT user_id,
+         min(us) FILTER (WHERE event_type = '{steps[0]}') AS t1
+  FROM e GROUP BY user_id
+)""",
+    ]
+    for i in range(2, len(steps) + 1):
+        prev_cte, prev_t = f"s{i - 1}", f"t{i - 1}"
+        prev_cols = ", ".join(
+            f"any_value({prev_cte}.t{j}) AS t{j}" for j in range(1, i)
+        )
+        ctes.append(f"""s{i} AS (
+  SELECT e.user_id, {prev_cols},
+         min(us) FILTER (WHERE event_type = '{steps[i - 1]}'
+                         AND {prev_t} IS NOT NULL AND us > {prev_t}) AS t{i}
+  FROM e JOIN {prev_cte} USING (user_id) GROUP BY e.user_id
+)""")
+    last = f"s{len(steps)}"
+    lat_selects = [
+        f"SELECT CAST({k} AS BIGINT) AS step, t{k} - t{k - 1} AS lat"
+        f" FROM {last} WHERE t{k} IS NOT NULL"
+        for k in range(2, len(steps) + 1)
+    ]
+    ctes.append(
+        "lat AS (\n" + "\nUNION ALL\n".join(lat_selects) + "\n)"
+    )
+    ctes.append("""cum AS (
+  SELECT step, lat,
+         sum(1) OVER (PARTITION BY step ORDER BY lat
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(1) OVER (PARTITION BY step) AS t
+  FROM lat
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT step,
+       CAST(max(t) AS BIGINT) AS total_w,
+       CAST(min(CASE WHEN 100 * c >= 50 * t THEN lat END) AS BIGINT)
+         AS wq50,
+       CAST(min(CASE WHEN 100 * c >= 90 * t THEN lat END) AS BIGINT)
+         AS wq90
+FROM cum GROUP BY 1
+"""
+    )
+
+
+def q_customer_repeat_gaps(spark, sf_dir):
+    """Repeat-purchase cadence: per market segment, the exact p50/p90
+    days between a customer's consecutive orders — one customer-keyed
+    lag window ((µs, orderkey) tiebreak so equal-date orders cannot
+    reorder cross-engine), integer-µs gaps floored to whole days, then
+    ``profiling.weighted_quantiles`` per segment.  The re-engagement
+    metric behind retention campaigns."""
+    from pynomaly_spark.profiling import weighted_quantiles
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias(
+                "_us"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("_us", "o_orderkey")
+    gaps = (
+        o.withColumn("_prev", F.lag("_us").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.expr(f"(_us - _prev) div {_DAY_US}").alias("gap_days"),
+            F.lit(1).alias("_w"),
+        )
+    )
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = gaps.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    return weighted_quantiles(
+        j, ["c_mktsegment"], "gap_days", "_w", ps=(50, 90)
+    )
+
+
+SQL_CUSTOMER_REPEAT_GAPS = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS us
+  FROM orders WHERE o_orderdate IS NOT NULL
+), gaps AS (
+  SELECT o_custkey,
+         (us - lag(us) OVER (PARTITION BY o_custkey
+                             ORDER BY us, o_orderkey)) // {_DAY_US}
+           AS gap_days
+  FROM o
+), g AS (
+  SELECT c.c_mktsegment, gaps.gap_days
+  FROM gaps JOIN customer c ON gaps.o_custkey = c.c_custkey
+  WHERE gaps.gap_days IS NOT NULL
+), cum AS (
+  SELECT c_mktsegment, gap_days,
+         sum(1) OVER (PARTITION BY c_mktsegment ORDER BY gap_days
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(1) OVER (PARTITION BY c_mktsegment) AS t
+  FROM g
+)
+SELECT c_mktsegment,
+       CAST(max(t) AS BIGINT) AS total_w,
+       CAST(min(CASE WHEN 100 * c >= 50 * t THEN gap_days END) AS BIGINT)
+         AS wq50,
+       CAST(min(CASE WHEN 100 * c >= 90 * t THEN gap_days END) AS BIGINT)
+         AS wq90
+FROM cum GROUP BY 1
+"""
+
+
+_DP_THR, _DP_BITS = "20", 10  # 1/8 md5 sample; 2^10 quantization
+
+
+def q_emb_dist_profile(spark, sf_dir):
+    """Pairwise-distance profile for threshold calibration: a
+    DETERMINISTIC md5 sample of vectors (fixed expected size — the
+    all-pairs stage is bounded by the SAMPLE, never the corpus, so the
+    quadratic cost is a constant at any scale), exact integer squared
+    distances over 2^10-quantized coordinates, rolled into the
+    power-of-two histogram (``profiling.qhist_build``).  This is how a
+    user picks LSH/near-dup radii: read the distance histogram before
+    committing a threshold."""
+    from pynomaly_spark.profiling import qhist_build
+
+    S = 1 << _DP_BITS
+    emb = (
+        _tbl(spark, sf_dir, "embeddings")
+        .where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == 64)
+            & (
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+                < _DP_THR
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("label").alias("_lab"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * S + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("_q"),
+        )
+    )
+    right = emb.select(
+        F.col("vec_id").alias("_id2"),
+        F.col("_lab").alias("_lab2"),
+        F.col("_q").alias("_q2"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_q"), F.col("_q2"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.join(
+        F.broadcast(right), F.col("vec_id") < F.col("_id2")
+    ).select(
+        F.col("_lab").eqNullSafe(F.col("_lab2")).cast("long").alias(
+            "same_label"
+        ),
+        d2.alias("d2"),
+    )
+    return qhist_build(pairs, ["same_label"], "d2")
+
+
+SQL_EMB_DIST_PROFILE = f"""
+WITH s AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{_DP_THR}'
+), q AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {1 << _DP_BITS} + 0.5)
+              AS BIGINT) AS qv
+  FROM s, (SELECT unnest(generate_series(1, 64)) AS i) i
+), lab AS (
+  SELECT vec_id, label FROM s
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), tagged AS (
+  SELECT CAST(la.label IS NOT DISTINCT FROM lb.label AS BIGINT)
+           AS same_label,
+         p.d2
+  FROM pairs p
+  JOIN lab la ON p.ia = la.vec_id
+  JOIN lab lb ON p.ib = lb.vec_id
+)
+SELECT same_label,
+       CAST(length(bin(d2)) - 1 AS BIGINT) AS qbin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tagged GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9008,6 +9245,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rapid_repeat": q_events_rapid_repeat,
     "lineitem_qhist_audit": q_lineitem_qhist_audit,
     "doc_lm_bigram": q_doc_lm_bigram,
+    "events_funnel_latency": q_events_funnel_latency,
+    "customer_repeat_gaps": q_customer_repeat_gaps,
+    "emb_dist_profile": q_emb_dist_profile,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -9172,6 +9412,9 @@ ORACLES: Dict[str, str] = {
     "events_rapid_repeat": SQL_EVENTS_RAPID_REPEAT,
     "lineitem_qhist_audit": SQL_LINEITEM_QHIST_AUDIT,
     "doc_lm_bigram": _lm_bigram_sql(),
+    "events_funnel_latency": _funnel_latency_sql(),
+    "customer_repeat_gaps": SQL_CUSTOMER_REPEAT_GAPS,
+    "emb_dist_profile": SQL_EMB_DIST_PROFILE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,
