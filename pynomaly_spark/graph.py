@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "triangle_count"]
+__all__ = ["pagerank_fixed_point", "triangle_count", "kcore_peel"]
 
 
 def pagerank_fixed_point(
@@ -213,3 +213,83 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """k-core decomposition by synchronous peeling — the third
+    iterative graph operator (after connected components and
+    PageRank): repeatedly remove nodes whose CURRENT degree is below
+    ``k`` until stable (or ``max_rounds``).  The k-core is the standard
+    density filter before community/influence analysis; the PEEL
+    PROFILE (how much dissolves per round) is itself the graph-health
+    readout.
+
+    Returns ``(survivors, peel_log)``:
+
+    * ``survivors`` — DataFrame ``(node, core_degree)``: nodes of the
+      remaining k-core with their degree inside it (empty when the
+      whole graph dissolves);
+    * ``peel_log`` — list of ``(round, n_peeled, n_remaining)`` ints,
+      one entry per round that removed nodes.  ``n_remaining`` counts
+      nodes still meeting the degree bar; a node whose last neighbor
+      was peeled vanishes from the next round's degree relation (for
+      k ≥ 1 a zero-degree node is below the bar by definition).
+
+    Determinism: peeling is a synchronous fixpoint over integer degree
+    counts — no tie-breaking, no floats; the trajectory is identical
+    on any engine or partitioning, so the oracle twin unrolls the SAME
+    rounds as MATERIALIZED CTEs.
+
+    Scale (100 TB): each round is one degree aggregate (map-side
+    combined) + two semi-joins, all keyed on node ids; the adjacency
+    frame is eagerly ``localCheckpoint``ed per round (the iterative
+    lineage rule — see dup_clusters) and the driver reads only two
+    COUNTS per round, never graph data.  Rounds needed in practice is
+    tiny (each round peels a whole degeneracy layer).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (graph family).
+    """
+    if k < 1:
+        raise ValueError(f"kcore_peel: k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"kcore_peel: max_rounds must be >= 1")
+    e = edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    )
+    adj = (
+        e.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            e.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    peel_log = []
+    for r in range(1, max_rounds + 1):
+        deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("a")
+        n_nodes = deg.count()
+        n_keep = keep.count()
+        peeled = n_nodes - n_keep
+        if peeled == 0:
+            break
+        peel_log.append((r, peeled, n_keep))
+        adj = (
+            adj.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    survivors = (
+        adj.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+        .select(F.col("a").alias("node"), "core_degree")
+    )
+    return survivors, peel_log

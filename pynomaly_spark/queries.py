@@ -9093,6 +9093,71 @@ FROM tagged GROUP BY 1, 2
 """
 
 
+_KCORE_K, _KCORE_ROUNDS, _KCORE_MINSUP = 3, 8, 3
+
+
+def q_part_kcore(spark, sf_dir):
+    """k-core peel profile (``graph.kcore_peel``) over the part
+    co-purchase graph (basket pairs, support ≥ 3): per peel round, how
+    many nodes fell below degree 3 and how many remain — the
+    graph-density readout before any community analysis.  Synchronous
+    integer peeling: no ties, no floats, the trajectory is identical
+    on any engine, so the twin unrolls the SAME rounds as MATERIALIZED
+    CTEs.  Driver sees two counts per round; graph data never leaves
+    the executors."""
+    from pynomaly_spark.graph import kcore_peel
+    from pynomaly_spark.sequences import cooccurrence_pairs
+
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=_KCORE_MINSUP,
+        max_basket=64,
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    _, log = kcore_peel(pairs, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return spark.createDataFrame(
+        [(int(r), int(p), int(n)) for r, p, n in log],
+        "round long, n_peeled long, n_remaining long",
+    )
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), keptb AS (
+  SELECT bk FROM items GROUP BY 1 HAVING count(*) <= 64
+), eligible AS MATERIALIZED (
+  SELECT i.* FROM items i JOIN keptb USING (bk)
+), pairs AS MATERIALIZED (
+  SELECT a.item AS pa, b.item AS pb
+  FROM eligible a JOIN eligible b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MINSUP}
+), adj0 AS MATERIALIZED (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION SELECT pb AS a, pa AS b FROM pairs
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", deg{r} AS MATERIALIZED (
+  SELECT a, count(*) AS d FROM adj{r - 1} GROUP BY 1
+), keep{r} AS MATERIALIZED (
+  SELECT a FROM deg{r} WHERE d >= {k}
+), adj{r} AS MATERIALIZED (
+  SELECT x.a, x.b FROM adj{r - 1} x
+  JOIN keep{r} ka ON x.a = ka.a
+  JOIN keep{r} kb ON x.b = kb.a
+)""")
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST((SELECT count(*) FROM deg{r})
+            - (SELECT count(*) FROM keep{r}) AS BIGINT) AS n_peeled,
+       CAST((SELECT count(*) FROM keep{r}) AS BIGINT) AS n_remaining
+WHERE (SELECT count(*) FROM deg{r}) > (SELECT count(*) FROM keep{r})"""
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9248,6 +9313,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_latency": q_events_funnel_latency,
     "customer_repeat_gaps": q_customer_repeat_gaps,
     "emb_dist_profile": q_emb_dist_profile,
+    "part_kcore": q_part_kcore,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -9415,6 +9481,7 @@ ORACLES: Dict[str, str] = {
     "events_funnel_latency": _funnel_latency_sql(),
     "customer_repeat_gaps": SQL_CUSTOMER_REPEAT_GAPS,
     "emb_dist_profile": SQL_EMB_DIST_PROFILE,
+    "part_kcore": _kcore_sql(),
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

@@ -91,3 +91,27 @@ def test_pagerank_validates(spark):
         pagerank_fixed_point(df, n_iter=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank_fixed_point(df, d_num=100, d_den=100)
+
+
+def test_kcore_peel_handchecked_layers(spark):
+    """A 4-clique with a pendant chain: k=2 peels the chain layer by
+    layer (2 rounds), the clique survives with degree 3; k=4 dissolves
+    everything; the log records each peel round."""
+    from pynomaly_spark.graph import kcore_peel
+    import pytest as _pytest
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f")]       # f deg1, then e deg1
+    df = spark.createDataFrame(clique + chain, "src string, dst string")
+    surv, log = kcore_peel(df, k=2)
+    got = {r["node"]: r["core_degree"] for r in surv.collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert log == [(1, 1, 5), (2, 1, 4)]   # f peels, then e
+    surv4, log4 = kcore_peel(df, k=4)
+    assert surv4.count() == 0
+    # round 1 peels everything except d (degree 4 incl. the pendant);
+    # d then vanishes as the documented zero-degree drop — one logged
+    # round, empty core
+    assert log4 == [(1, 5, 1)]
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore_peel(df, k=0)
