@@ -43,6 +43,7 @@ __all__ = [
     "ols_fit",
     "ols_moments",
     "ols_solve",
+    "ols_loco",
 ]
 
 
@@ -712,3 +713,41 @@ def target_encode_loo(
         (F.col("_te_n") - 1).cast("long").alias("n_peers"),
         enc.alias(out_col),
     )
+
+
+_M1_COLS = ("n", "s1", "s11", "sy", "syy", "s1y")
+_M2_COLS = _M1_COLS + ("s2", "s12", "s22", "s2y")
+
+
+def ols_loco(
+    df: DataFrame,
+    x_cols,
+    y_col: str,
+    by_col: str,
+    r: int = 6,
+) -> DataFrame:
+    """Leave-one-category-out OLS: per group, the model fit on ALL
+    OTHER groups — the ablation/cross-validation primitive.  Because
+    the normal-equation moments are MERGEABLE sums, each held-out fit
+    is ``total_moments − group_moments``: one grouped moment pass +
+    one 1-row broadcast, never a re-scan per group (k-fold CV at
+    100 TB costs ONE scan, not k).
+
+    Returns per group: the group key, ``n`` (the TRAINING row count,
+    i.e. everything outside the group) and the usual
+    :func:`ols_solve` outputs.  Integer-valued inputs keep the
+    subtracted moments exact (double sums of integers are exact to
+    2^53, and the difference of exact sums is exact).
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (ML-evaluation family with ols_fit).
+    """
+    x_cols = list(x_cols)
+    mcols = list(_M1_COLS if len(x_cols) == 1 else _M2_COLS)
+    m = ols_moments(df, x_cols, y_col, by=[by_col])
+    tot = m.agg(*[F.sum(c).alias(f"_t_{c}") for c in mcols])
+    loo = m.crossJoin(F.broadcast(tot)).select(
+        by_col,
+        *[(F.col(f"_t_{c}") - F.col(c)).alias(c) for c in mcols],
+    )
+    return ols_solve(loo, x_cols, r, by=[by_col])

@@ -9158,6 +9158,119 @@ WHERE (SELECT count(*) FROM deg{r}) > (SELECT count(*) FROM keep{r})"""
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+_CV_FOLDS = 5
+
+
+def q_doc_ols_cv(spark, sf_dir):
+    """Exact k-fold cross-validation in ONE scan (``features.
+    ols_loco``): 5 md5-assigned folds; each fold's model is fit on the
+    OTHER folds by SUBTRACTING the fold's moment row from the total
+    (moments are mergeable sums — CV costs one pass, not k), then the
+    held-out SSE is evaluated EXACTLY: coefficients are frozen at 6 dp
+    and scaled to integers, so every residual is a BIGINT and the SSE
+    sums in DECIMAL(38,0) — the model-evaluation metric that
+    hash-matches across engines, the fixed-point-PCA discipline
+    applied to ML eval."""
+    from pynomaly_spark.features import ols_loco
+
+    src = (
+        _doc(spark, sf_dir)
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cv:"), F.col("doc_id"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_CV_FOLDS),
+            ).alias("fold"),
+            F.col("n_chars").alias("chars"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("tokens"),
+        )
+    )
+    fits = ols_loco(src, ["chars"], "tokens", "fold")
+    coef = fits.select(
+        F.col("fold").alias("_f"),
+        F.col("n").alias("_n_train"),
+        F.round(F.col("intercept") * 1_000_000).cast("long").alias("_a6"),
+        F.round(F.col("beta_chars") * 1_000_000).cast("long").alias("_b6"),
+    )
+    j = src.join(F.broadcast(coef), F.col("fold") == F.col("_f"))
+    resid = (
+        F.lit(1_000_000) * F.col("tokens")
+        - F.col("_a6")
+        - F.col("_b6") * F.col("chars")
+    )
+    dec = "decimal(38,0)"
+    return (
+        j.select("fold", "_n_train", "_a6", "_b6", resid.alias("_r"))
+        .groupBy("fold")
+        .agg(
+            F.max("_n_train").cast("long").alias("n_train"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("_a6").alias("a6"),
+            F.max("_b6").alias("b6"),
+            F.expr(
+                f"CAST(sum(CAST(_r AS {dec}) * CAST(_r AS {dec}))"
+                f" div 1000000000000 AS BIGINT)"
+            ).alias("sse_unit"),
+        )
+    )
+
+
+SQL_DOC_OLS_CV = f"""
+WITH src AS (
+  SELECT CAST('0x' || substr(md5('cv:' || doc_id), 1, 4) AS BIGINT)
+           % {_CV_FOLDS} AS fold,
+         n_chars AS xi,
+         len(string_split_regex(text, '\\s+')) AS yi,
+         CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS y
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), m AS (
+  SELECT fold, count(*) AS n, sum(x) AS s1, sum(x * x) AS s11,
+         sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS s1y
+  FROM src GROUP BY 1
+), t AS (
+  SELECT sum(n) AS tn, sum(s1) AS t1, sum(s11) AS t11,
+         sum(sy) AS ty, sum(syy) AS tyy, sum(s1y) AS t1y
+  FROM m
+), loo AS (
+  SELECT fold, tn - n AS n, t1 - s1 AS s1, t11 - s11 AS s11,
+         ty - sy AS sy, tyy - syy AS syy, t1y - s1y AS s1y
+  FROM m CROSS JOIN t
+), solved AS (
+  SELECT fold, n, sy, s1,
+         n * s11 - s1 * s1 AS det,
+         (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS beta
+  FROM loo
+), coef AS (
+  SELECT fold, CAST(n AS BIGINT) AS n_train,
+         CAST(round(round((sy - beta * s1) / n, 6) * 1000000) AS BIGINT)
+           AS a6,
+         CAST(round(round(beta, 6) * 1000000) AS BIGINT) AS b6
+  FROM solved WHERE det <> 0
+), ev AS (
+  SELECT s.fold, c.n_train, c.a6, c.b6,
+         1000000 * s.yi - c.a6 - c.b6 * s.xi AS r
+  FROM src s JOIN coef c USING (fold)
+)
+SELECT fold,
+       CAST(max(n_train) AS BIGINT) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(max(a6) AS BIGINT) AS a6,
+       CAST(max(b6) AS BIGINT) AS b6,
+       CAST(sum(CAST(r AS HUGEINT) * r) // 1000000000000 AS BIGINT)
+         AS sse_unit
+FROM ev GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9314,6 +9427,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_repeat_gaps": q_customer_repeat_gaps,
     "emb_dist_profile": q_emb_dist_profile,
     "part_kcore": q_part_kcore,
+    "doc_ols_cv": q_doc_ols_cv,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -9482,6 +9596,7 @@ ORACLES: Dict[str, str] = {
     "customer_repeat_gaps": SQL_CUSTOMER_REPEAT_GAPS,
     "emb_dist_profile": SQL_EMB_DIST_PROFILE,
     "part_kcore": _kcore_sql(),
+    "doc_ols_cv": SQL_DOC_OLS_CV,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,

@@ -108,3 +108,20 @@ def test_ols_grouped_matches_per_slice(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_ols_loco_equals_refit_without_group(spark):
+    """Leave-one-category-out by moment subtraction must equal an
+    actual re-fit on the complement — integer inputs make both exact."""
+    from pynomaly_spark.features import ols_fit, ols_loco
+
+    rows = [("a", x, 3 * x + 7 + (x % 3)) for x in range(1, 20)] + [
+        ("b", x, 2 * x + 50) for x in range(1, 15)
+    ] + [("c", x, 5 * x) for x in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    loco = {r["g"]: (r["n"], r["intercept"], r["beta_x"], r["r2"])
+            for r in ols_loco(df, ["x"], "y", "g").collect()}
+    for g in ("a", "b", "c"):
+        refit = ols_fit(df.where(f"g <> '{g}'"), ["x"], "y").collect()[0]
+        assert loco[g] == (refit["n"], refit["intercept"],
+                           refit["beta_x"], refit["r2"]), g
