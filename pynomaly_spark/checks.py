@@ -45,6 +45,7 @@ __all__ = [
     "RowInvariant",
     "Drift",
     "PsiDrift",
+    "FunctionalDependency",
     "CheckSuite",
     "SuiteResult",
     "run_suite",
@@ -175,6 +176,31 @@ class PsiDrift:
     @property
     def name(self) -> str:
         return f"psi_drift(len({self.column}))"
+
+
+@dataclass(frozen=True)
+class FunctionalDependency:
+    """Per-partition functional-dependency gate: within every
+    partition, ``lhs → rhs`` must hold (no lhs key maps to two
+    distinct rhs tuples) — the deequ-style dependency audit
+    (:func:`pynomaly_spark.profiling.fd_check` is the standalone
+    violator REPORT; this is the pass/fail verdict wired into the
+    suite).  Opt-in, metrics-only: the metric is the count of
+    violating lhs keys, 0 passes.  Cost: one (partition, lhs, rhs)
+    collapse with map-side combine + two tiny rollups — duplicate
+    pairs (the dominant mass when the FD nearly holds) never shuffle.
+
+    ``lhs``/``rhs`` must name columns of the staged relation (the key
+    columns ``repo``/``path``/``commit``); unknown columns raise.
+    """
+
+    lhs: tuple = ("path",)
+    rhs: tuple = ("repo",)
+    max_violating_keys: int = 0
+
+    @property
+    def name(self) -> str:
+        return f"fd({','.join(self.lhs)}->{','.join(self.rhs)})"
 
 
 @dataclass
@@ -624,6 +650,54 @@ def run_suite(
                 )
 
             metric_frames.append(_psi_metric_frame)
+
+    # ---- 1c. per-partition functional dependency (opt-in) ----------------
+    for chk in suite.checks:
+        if isinstance(chk, FunctionalDependency):
+            fd_cols = [*chk.lhs, *chk.rhs]
+            fd_missing = [c for c in fd_cols if c not in enriched.columns]
+            if fd_missing:
+                raise ValueError(
+                    f"FunctionalDependency: columns {fd_missing} not in "
+                    f"the staged relation (use key columns repo/path/"
+                    f"commit)"
+                )
+            fd_pairs = enriched.groupBy(
+                "partition_id", *chk.lhs, *chk.rhs
+            ).agg(F.count(F.lit(1)).alias("_fd_pn"))
+            fd_keys = fd_pairs.groupBy("partition_id", *chk.lhs).agg(
+                F.count(F.lit(1)).alias("_fd_nrhs")
+            )
+            fd_viol = fd_keys.groupBy("partition_id").agg(
+                F.sum(
+                    (F.col("_fd_nrhs") > 1).cast("long")
+                ).alias("_fd_nviol")
+            )
+
+            # absent partition row = no keys at all = vacuously holds;
+            # coalesce to 0 keeps the explicit-verdict discipline
+            def _fd_metric_frame(v=fd_viol, chk=chk) -> DataFrame:
+                return (
+                    _universe()
+                    .join(F.broadcast(v), on="partition_id", how="left")
+                    .select(
+                        "partition_id",
+                        F.lit(chk.name).alias("check_name"),
+                        F.lit("violating_keys").alias("metric"),
+                        F.coalesce(F.col("_fd_nviol"), F.lit(0))
+                        .cast("double")
+                        .alias("value"),
+                        F.lit(float(chk.max_violating_keys))
+                        .cast("double")
+                        .alias("threshold"),
+                        (
+                            F.coalesce(F.col("_fd_nviol"), F.lit(0))
+                            <= F.lit(chk.max_violating_keys)
+                        ).alias("passed"),
+                    )
+                )
+
+            metric_frames.append(_fd_metric_frame)
 
     # Partition universe for violation-count checks: aggregating only
     # violating rows leaves clean partitions with NO metric row —

@@ -473,3 +473,46 @@ def test_psi_drift_all_null_partition_emits_failed_row(spark):
     assert not ghost.passed
     assert ghost.value is None or math.isnan(ghost.value)
     assert m.loc["real_a"].passed and m.loc["real_b"].passed
+
+
+def test_functional_dependency_check_flags_violating_partition(spark):
+    """Opt-in FD suite check (path -> repo): a partition where one path
+    appears under two repos fails with the exact violating-key count;
+    clean partitions emit an explicit 0/pass row; unknown columns
+    raise."""
+    import pytest as _pytest
+
+    from pynomaly_spark.checks import (
+        CheckSuite,
+        FunctionalDependency,
+        run_suite,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((f"repo_a", f"src/f{i}.py", f"c{i}", "clean", "x" * 50))
+    for i in range(40):
+        rows.append((f"repo_b", f"lib/g{i}.py", f"d{i}", "dirty", "y" * 50))
+    # plant: two paths in 'dirty' appear under a SECOND repo
+    rows.append(("repo_c", "lib/g0.py", "e0", "dirty", "z"))
+    rows.append(("repo_c", "lib/g1.py", "e1", "dirty", "z"))
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    res = run_suite(
+        files,
+        CheckSuite(checks=[FunctionalDependency(("path",), ("repo",))]),
+        partition_expr=F.col("lang"),
+    )
+    m = res.metrics.toPandas().set_index("partition_id")
+    res.unpersist()
+    assert set(m.index) == {"clean", "dirty"}
+    assert (m.check_name == "fd(path->repo)").all()
+    assert m.loc["clean"].value == 0.0 and m.loc["clean"].passed
+    assert m.loc["dirty"].value == 2.0 and not m.loc["dirty"].passed
+    with _pytest.raises(ValueError, match="not in the staged relation"):
+        run_suite(
+            files,
+            CheckSuite(checks=[FunctionalDependency(("nope",), ("repo",))]),
+            partition_expr=F.col("lang"),
+        )
