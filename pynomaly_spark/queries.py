@@ -9271,6 +9271,185 @@ FROM ev GROUP BY 1
 """
 
 
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 flavor: each customer nation's share of yearly revenue
+    — the two-level aggregate (nation×year revenue, then the year
+    total) with the share division as the ONLY float, rounded 6 dp.
+    The year total comes from a second rollup of the ALREADY-COLLAPSED
+    nation×year frame (25×7 rows) joined back broadcast — never a
+    window over the fact table and never a second scan."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+    )
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ny = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("_rev").cast("long").alias("rev_c4"))
+    )
+    tot = ny.groupBy(F.col("yr").alias("_yr")).agg(
+        F.sum("rev_c4").alias("_tot")
+    )
+    return (
+        ny.join(F.broadcast(tot), F.col("yr") == F.col("_yr"))
+        .select(
+            "n_name",
+            F.col("yr").cast("long").alias("yr"),
+            "rev_c4",
+            F.round(
+                F.col("rev_c4").cast("double") / F.col("_tot"), 6
+            ).alias("share"),
+        )
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH ny AS (
+  SELECT n.n_name, year(o.o_orderdate) AS yr,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_c4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT yr, sum(rev_c4) AS t FROM ny GROUP BY 1
+)
+SELECT ny.n_name, CAST(ny.yr AS BIGINT) AS yr, ny.rev_c4,
+       round(CAST(ny.rev_c4 AS DOUBLE) / tot.t, 6) AS share
+FROM ny JOIN tot ON ny.yr = tot.yr
+"""
+
+
+_Q10_LO, _Q10_HI, _Q10_K = "1997-01-01", "1997-07-01", 20
+
+
+def q_customer_returns(spark, sf_dir):
+    """TPC-H Q10 flavor: the 20 customers losing the most revenue to
+    RETURNED items in one half-year — pushed date + returnflag
+    filters, exact-cents revenue, and the global top-20 as
+    orderBy+limit with a custkey tiebreak (Spark plans
+    TakeOrderedAndProject: per-partition local top-k, 20 rows per
+    partition to the driver — small-k global top-k needs no salted
+    two-phase)."""
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("_rev"),
+        )
+    )
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned_items"),
+            F.sum("_rev").cast("long").alias("lost_rev_c4"),
+        )
+        .orderBy(F.col("lost_rev_c4").desc(), F.col("c_custkey").asc())
+        .limit(_Q10_K)
+    )
+
+
+SQL_CUSTOMER_RETURNS = f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_returned_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS lost_rev_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+GROUP BY 1, 2, 3
+ORDER BY lost_rev_c4 DESC, c_custkey ASC
+LIMIT {_Q10_K}
+"""
+
+
+def q_part_promo_share(spark, sf_dir):
+    """TPC-H Q14 flavor: the monthly share of revenue from PROMO-type
+    parts — a conditional aggregate over the lineitem⋈part join (the
+    part dim broadcasts), shares as the single rounded division of two
+    exact BIGINTs.  The conditional-sum form needs ONE pass; the naive
+    two-query form scans twice."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+    )
+    p = _tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", F.col("_rev")).otherwise(
+        F.lit(0)
+    )
+    return j.groupBy("month").agg(
+        F.sum(promo).cast("long").alias("promo_rev_c4"),
+        F.sum("_rev").cast("long").alias("total_rev_c4"),
+        F.round(
+            F.sum(promo).cast("double") / F.sum("_rev"), 6
+        ).alias("promo_share"),
+    )
+
+
+SQL_PART_PROMO_SHARE = """
+SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS promo_rev_c4,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_rev_c4,
+       round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100)
+                              AS BIGINT))
+                      ELSE 0 END) AS DOUBLE)
+             / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+             6) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9428,6 +9607,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_dist_profile": q_emb_dist_profile,
     "part_kcore": q_part_kcore,
     "doc_ols_cv": q_doc_ols_cv,
+    "nation_market_share": q_nation_market_share,
+    "customer_returns": q_customer_returns,
+    "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
     "customer_idle_rich": q_customer_idle_rich,
     "doc_vocab": q_doc_vocab,
@@ -9597,6 +9779,9 @@ ORACLES: Dict[str, str] = {
     "emb_dist_profile": SQL_EMB_DIST_PROFILE,
     "part_kcore": _kcore_sql(),
     "doc_ols_cv": SQL_DOC_OLS_CV,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "customer_returns": SQL_CUSTOMER_RETURNS,
+    "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
     "customer_idle_rich": SQL_CUSTOMER_IDLE_RICH,
     "doc_vocab": SQL_DOC_VOCAB,
