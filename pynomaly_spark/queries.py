@@ -9450,6 +9450,97 @@ GROUP BY 1
 """
 
 
+def q_emb_pca_top2(spark, sf_dir):
+    """Top-two principal components (``similarity.pca_power_two``):
+    the fixed-point power iteration extended with per-round integer
+    DEFLATION against the converged PC1 — executor passes identical to
+    the single-component op, orthogonalization is 64-int driver
+    arithmetic.  Bit-identical cross-engine; the twin replays both
+    chains plus the deflation as MATERIALIZED CTEs."""
+    from pynomaly_spark.similarity import pca_power_two
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return pca_power_two(
+        emb, "embedding", dim=_PCA_DIM, scale_bits=_PCA_BITS,
+        rounds=_PCA_ROUNDS,
+    )
+
+
+def _pca2_sql(rounds: int = _PCA_ROUNDS) -> str:
+    S = 1 << _PCA_BITS
+    d = _PCA_DIM
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i.i AS dim0,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {S} + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, (SELECT unnest(generate_series(1, {d})) AS i) i
+  WHERE embedding IS NOT NULL AND len(embedding) = {d}
+), nn AS (
+  SELECT count(DISTINCT vec_id) AS n FROM q
+), mu AS MATERIALIZED (
+  SELECT dim0, sum(q) // (SELECT n FROM nn) AS mu FROM q GROUP BY 1
+), v0 AS (
+  SELECT unnest(generate_series(1, {d})) AS dim0, CAST({S} AS BIGINT) AS v
+)"""]
+
+    def chain(tag: str, prev0: str, deflate: bool) -> str:
+        out, prev = [], prev0
+        for r in range(1, rounds + 1):
+            u_cte = f"w{tag}{r}" if deflate else f"u{tag}{r}"
+            out.append(f""", m{tag}{r} AS MATERIALIZED (
+  SELECT sum(mu.mu * {prev}.v) AS m FROM mu JOIN {prev} USING (dim0)
+), s{tag}{r} AS MATERIALIZED (
+  SELECT q.vec_id,
+         (sum(q.q * {prev}.v) - (SELECT m FROM m{tag}{r})) // {S} AS s
+  FROM q JOIN {prev} USING (dim0) GROUP BY 1
+), t{tag}{r} AS MATERIALIZED (
+  SELECT sum(s) AS t FROM s{tag}{r}
+), {u_cte} AS MATERIALIZED (
+  SELECT q.dim0,
+         sum(q.q * s{tag}{r}.s)
+           - max(mu.mu) * (SELECT t FROM t{tag}{r}) AS u
+  FROM q JOIN s{tag}{r} USING (vec_id) JOIN mu ON mu.dim0 = q.dim0
+  GROUP BY q.dim0
+)""")
+            if deflate:
+                out.append(f""", pr{tag}{r} AS MATERIALIZED (
+  SELECT sum(CAST(w.u AS HUGEINT) * f.v) AS proj
+  FROM w{tag}{r} w JOIN v1f f USING (dim0)
+), u{tag}{r} AS MATERIALIZED (
+  SELECT w.dim0,
+         CAST(w.u AS HUGEINT)
+           - ((SELECT proj FROM pr{tag}{r}) * f.v)
+             // (SELECT nrm FROM nrm1) AS u
+  FROM w{tag}{r} w JOIN v1f f USING (dim0)
+)""")
+            out.append(f""", sc{tag}{r} AS MATERIALIZED (
+  SELECT greatest(1, max(abs(u)) // {S}) AS sc FROM u{tag}{r}
+), v{tag}{r} AS MATERIALIZED (
+  SELECT dim0, u // (SELECT sc FROM sc{tag}{r}) AS v FROM u{tag}{r}
+)""")
+            prev = f"v{tag}{r}"
+        return "".join(out)
+
+    parts.append(chain("a", "v0", False))
+    parts.append(f""", v1f AS MATERIALIZED (
+  SELECT dim0, v FROM va{rounds}
+), nrm1 AS MATERIALIZED (
+  SELECT greatest(1, sum(v * v)) AS nrm FROM v1f
+)""")
+    parts.append(chain("b", "v0", True))
+    parts.append(f"""
+SELECT CAST(1 AS BIGINT) AS component, CAST(mu.dim0 - 1 AS BIGINT) AS dim,
+       CAST(mu.mu AS BIGINT) AS mu_q, CAST(v1f.v AS BIGINT) AS v_fixed
+FROM mu JOIN v1f USING (dim0)
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(mu.dim0 - 1 AS BIGINT),
+       CAST(mu.mu AS BIGINT), CAST(vb{rounds}.v AS BIGINT)
+FROM mu JOIN vb{rounds} USING (dim0)
+""")
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9608,6 +9699,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_kcore": q_part_kcore,
     "doc_ols_cv": q_doc_ols_cv,
     "nation_market_share": q_nation_market_share,
+    "emb_pca_top2": q_emb_pca_top2,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -9780,6 +9872,7 @@ ORACLES: Dict[str, str] = {
     "part_kcore": _kcore_sql(),
     "doc_ols_cv": SQL_DOC_OLS_CV,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "emb_pca_top2": _pca2_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

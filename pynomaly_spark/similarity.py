@@ -41,6 +41,7 @@ __all__ = [
     "centroid_drift",
     "kmeans_fit",
     "pca_power_top",
+    "pca_power_two",
 ]
 
 
@@ -917,4 +918,116 @@ def pca_power_top(
     return spark.createDataFrame(
         [(j, mu[j], v[j]) for j in range(dim)],
         "dim long, mu_q long, v_fixed long",
+    )
+
+
+def pca_power_two(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+    rounds: int = 6,
+) -> DataFrame:
+    """TOP-TWO principal components by fixed-point power iteration
+    with per-round DEFLATION — extends :func:`pca_power_top`: after
+    the first iterate converges, the second runs the same matrix-free
+    rounds but subtracts its projection onto PC1 each round
+    (``u' = u − (u·v1)·v1 div (v1·v1)``, all integer, truncating), so
+    rounding drift can never slide the iterate back toward PC1.  The
+    executor passes are IDENTICAL to the single-component case (two
+    per round); orthogonalization is 64-integer driver arithmetic on
+    the already-collected iterate — control plane, not data.
+
+    Returns long format: ``component`` (1 or 2), ``dim``, ``mu_q``,
+    ``v_fixed`` — bit-identical across engines/partitionings; the
+    oracle twin replays both chains (and the deflation) as
+    MATERIALIZED CTEs.
+
+    Residual non-orthogonality is bounded by the truncation ulp per
+    round (|v1·v2| ≤ dim·scale after the final deflation) — exact
+    orthogonality is a float-world concept; the fixed-point contract
+    trades it for cross-engine determinism.
+    """
+    if vec_col not in df.columns:
+        raise ValueError(f"pca_power_two: unknown column {vec_col!r}")
+    if rounds < 1 or dim < 1 or not 1 <= scale_bits <= 30:
+        raise ValueError("pca_power_two: bad rounds/dim/scale_bits")
+    S = 1 << scale_bits
+    q = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * S + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("_q")
+    )
+    n_mu = q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.element_at("_q", j + 1)).alias(f"_m{j}")
+            for j in range(dim)
+        ],
+    ).collect()[0]
+    n = n_mu["_n"]
+    if n == 0:
+        raise ValueError("pca_power_two: no valid vectors")
+
+    def _trunc_div(a: int, b: int) -> int:
+        qd = abs(a) // b
+        return qd if a >= 0 else -qd
+
+    mu = [_trunc_div(int(n_mu[f"_m{j}"]), n) for j in range(dim)]
+
+    def _one_pass(v):
+        M = sum(m_j * v_j for m_j, v_j in zip(mu, v))
+        v_lit = F.array(*[F.lit(int(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), v_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        stage = q.select("_q", dot.alias("_dot")).select(
+            "_q", F.expr(f"(_dot - {M}L) div {S}L").alias("_s")
+        )
+        row = stage.agg(
+            F.sum("_s").alias("_t"),
+            *[
+                F.sum(F.element_at("_q", j + 1) * F.col("_s")).alias(
+                    f"_a{j}"
+                )
+                for j in range(dim)
+            ],
+        ).collect()[0]
+        t = int(row["_t"])
+        return [int(row[f"_a{j}"]) - mu[j] * t for j in range(dim)]
+
+    def _normalize(u):
+        m_abs = max(abs(x) for x in u)
+        sc = max(1, m_abs // S)
+        return [_trunc_div(x, sc) for x in u]
+
+    def _run(rounds_n, deflate):
+        v = [S] * dim
+        for _ in range(rounds_n):
+            u = _one_pass(v)
+            if deflate is not None:
+                v1, norm1 = deflate
+                proj = sum(a * b for a, b in zip(u, v1))
+                u = [
+                    x - _trunc_div(proj * w, norm1)
+                    for x, w in zip(u, v1)
+                ]
+            v = _normalize(u)
+        return v
+
+    v1 = _run(rounds, None)
+    norm1 = sum(x * x for x in v1)
+    v2 = _run(rounds, (v1, max(1, norm1)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(1, j, mu[j], v1[j]) for j in range(dim)]
+        + [(2, j, mu[j], v2[j]) for j in range(dim)],
+        "component long, dim long, mu_q long, v_fixed long",
     )

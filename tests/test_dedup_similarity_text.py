@@ -1808,3 +1808,44 @@ def test_golden_records_survivorship_rules(spark):
     assert got["e"] == ("e", 5, 1)       # singleton
     with _pytest.raises(ValueError, match="records missing"):
         golden_records(recs, clusters, "nope", "n_chars")
+
+
+def test_pca_power_two_recovers_two_planted_directions(spark):
+    """Two orthogonal planted directions with distinct variances: PC1
+    aligns with the strong one, PC2 with the weak one, and the fixed
+    iterates are near-orthogonal (within the documented truncation
+    bound)."""
+    import math
+    import random
+
+    from pynomaly_spark.similarity import pca_power_two
+
+    rng = random.Random(11)
+    d = 8
+    w1 = [1.0 if j < 4 else 0.0 for j in range(d)]
+    w2 = [0.0 if j < 4 else 1.0 for j in range(d)]
+    w1 = [x / 2.0 for x in w1]
+    w2 = [x / 2.0 for x in w2]
+    rows = []
+    for i in range(300):
+        a, b = rng.gauss(0, 0.6), rng.gauss(0, 0.2)
+        rows.append(
+            (i, [a * w1[j] + b * w2[j] + rng.gauss(0, 0.01)
+                 for j in range(d)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_power_two(df, "embedding", dim=d, rounds=8)
+    vs = {1: {}, 2: {}}
+    for r in out.collect():
+        vs[r["component"]][r["dim"]] = r["v_fixed"]
+    v1 = [vs[1][j] for j in range(d)]
+    v2 = [vs[2][j] for j in range(d)]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    assert abs(cos(v1, w1)) > 0.98
+    assert abs(cos(v2, w2)) > 0.98
+    assert abs(cos(v1, v2)) < 0.02
