@@ -9541,6 +9541,91 @@ FROM mu JOIN vb{rounds} USING (dim0)
     return "".join(parts)
 
 
+def q_events_session_funnel(spark, sf_dir):
+    """SESSION-scoped funnel: view→click→purchase must complete within
+    ONE gap-session (the stricter product metric — a purchase in a
+    later visit does not convert this one).  Composes the gap
+    sessionizer with ``sessions.funnel_steps`` keyed by (user,
+    session): both window families share the user-prefixed
+    partitioning, and funnel mins run per session key in one exchange.
+    Output: per step, sessions reaching it."""
+    from pynomaly_spark.sessions import funnel_steps, sessionize
+
+    ev = _tbl(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=_SESSION_GAP_MIN)
+    keyed = s.select(
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("sess_idx")
+        ).alias("skey"),
+        "ts",
+        "event_type",
+        "event_id",
+    )
+    f = funnel_steps(keyed, _FUNNEL_STEPS, user_col="skey")
+    aggs = [
+        F.count(F.col(f"step{i}_us")).cast("long").alias(f"n_step{i}")
+        for i in range(1, len(_FUNNEL_STEPS) + 1)
+    ]
+    row = f.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("step"),
+                        F.lit(_FUNNEL_STEPS[i - 1]).alias("step_type"),
+                        F.col(f"n_step{i}").alias("sessions_reached"),
+                    )
+                    for i in range(1, len(_FUNNEL_STEPS) + 1)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.*")
+
+
+def _session_funnel_sql(gap_min: int = _SESSION_GAP_MIN) -> str:
+    gap_us = gap_min * 60 * 1_000_000
+    steps = _FUNNEL_STEPS
+    ctes = [f"""e0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+), marked AS (
+  SELECT user_id, event_id, us, event_type,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), e AS (
+  SELECT user_id || ':' ||
+         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+           AS skey,
+         us, event_type
+  FROM marked
+), s1 AS (
+  SELECT skey,
+         min(us) FILTER (WHERE event_type = '{steps[0]}') AS t1
+  FROM e GROUP BY skey
+)"""]
+    for i in range(2, len(steps) + 1):
+        prev_cte, prev_t = f"s{i - 1}", f"t{i - 1}"
+        prev_cols = ", ".join(
+            f"any_value({prev_cte}.t{j}) AS t{j}" for j in range(1, i)
+        )
+        ctes.append(f"""s{i} AS (
+  SELECT e.skey, {prev_cols},
+         min(us) FILTER (WHERE event_type = '{steps[i - 1]}'
+                         AND {prev_t} IS NOT NULL AND us > {prev_t}) AS t{i}
+  FROM e JOIN {prev_cte} USING (skey) GROUP BY e.skey
+)""")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS step_type,"
+        f" CAST(count(t{i}) AS BIGINT) AS sessions_reached FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9700,6 +9785,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ols_cv": q_doc_ols_cv,
     "nation_market_share": q_nation_market_share,
     "emb_pca_top2": q_emb_pca_top2,
+    "events_session_funnel": q_events_session_funnel,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -9873,6 +9959,7 @@ ORACLES: Dict[str, str] = {
     "doc_ols_cv": SQL_DOC_OLS_CV,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "emb_pca_top2": _pca2_sql(),
+    "events_session_funnel": _session_funnel_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
