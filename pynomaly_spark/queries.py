@@ -9626,6 +9626,83 @@ def _session_funnel_sql(gap_min: int = _SESSION_GAP_MIN) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+_STL_HALF_H = 84  # centered trend window: ±84h (one week total)
+
+
+def q_events_stl(spark, sf_dir):
+    """ALL-INTEGER STL-lite decomposition of the hourly revenue
+    series: trend = centered ±84h moving sum div count (truncating
+    integer division — no float ever enters), seasonal = per
+    hour-of-week mean of the detrended series (integer div), residual
+    = exact BIGINT remainder.  Trend/seasonal windows run on the
+    COLLAPSED hourly frame — bounded by the time span, not the data —
+    so the unpartitioned RANGE window is control-plane sized by
+    construction.  The decomposition the residual-outlier gate
+    (events_residual_outliers) assumes, made explicit and exact."""
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+    )
+    hourly = ev.groupBy("h").agg(F.sum("_c").alias("y_c"))
+    trended = hourly.select(
+        "h",
+        "y_c",
+        F.expr(
+            f"sum(y_c) OVER (ORDER BY h RANGE BETWEEN {_STL_HALF_H} "
+            f"PRECEDING AND {_STL_HALF_H} FOLLOWING) div "
+            f"count(y_c) OVER (ORDER BY h RANGE BETWEEN {_STL_HALF_H} "
+            f"PRECEDING AND {_STL_HALF_H} FOLLOWING)"
+        ).alias("trend_c"),
+    ).withColumn("_det", F.col("y_c") - F.col("trend_c"))
+    seasonal = trended.groupBy(F.pmod(F.col("h"), F.lit(168)).alias("how")).agg(
+        F.expr("sum(_det) div count(_det)").alias("seasonal_c")
+    )
+    return (
+        trended.join(
+            F.broadcast(seasonal),
+            F.pmod(F.col("h"), F.lit(168)) == F.col("how"),
+        )
+        .select(
+            "h",
+            "y_c",
+            "trend_c",
+            "seasonal_c",
+            (F.col("_det") - F.col("seasonal_c")).alias("resid_c"),
+        )
+    )
+
+
+SQL_EVENTS_STL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS y_c
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), trended AS (
+  SELECT h, y_c,
+         sum(y_c) OVER w // count(y_c) OVER w AS trend_c
+  FROM hourly
+  WINDOW w AS (ORDER BY h RANGE BETWEEN {_STL_HALF_H} PRECEDING
+               AND {_STL_HALF_H} FOLLOWING)
+), det AS (
+  SELECT h, y_c, trend_c, y_c - trend_c AS d FROM trended
+), seasonal AS (
+  SELECT h % 168 AS how, sum(d) // count(d) AS seasonal_c
+  FROM det GROUP BY 1
+)
+SELECT d.h, CAST(d.y_c AS BIGINT) AS y_c,
+       CAST(d.trend_c AS BIGINT) AS trend_c,
+       CAST(s.seasonal_c AS BIGINT) AS seasonal_c,
+       CAST(d.d - s.seasonal_c AS BIGINT) AS resid_c
+FROM det d JOIN seasonal s ON d.h % 168 = s.how
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9786,6 +9863,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": q_nation_market_share,
     "emb_pca_top2": q_emb_pca_top2,
     "events_session_funnel": q_events_session_funnel,
+    "events_stl": q_events_stl,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -9960,6 +10038,7 @@ ORACLES: Dict[str, str] = {
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "emb_pca_top2": _pca2_sql(),
     "events_session_funnel": _session_funnel_sql(),
+    "events_stl": SQL_EVENTS_STL,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
