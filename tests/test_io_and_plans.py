@@ -436,3 +436,60 @@ def test_zone_bloom_no_false_negatives_and_saturation(spark):
     assert sat[(0, 5)] == 1 and sat[(2, 25)] == 1
     with pytest.raises(ValueError, match="m_bits"):
         zone_bloom(df, "zone", "k", m_bits=33)
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Scale evidence for the skew story: a join keyed on a planted
+    hot key must come out of AQE with the skewed partition SPLIT
+    (``skew=true`` in the final SortMergeJoin) once broadcast is off
+    and the skew thresholds are in reach — the runtime mitigation the
+    module docs point to (profiling.key_frequency_histogram decides
+    WHEN, AQE executes HOW)."""
+    from pyspark.sql import functions as SF
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(200_000).select(
+            SF.when(SF.col("id") % 10 < 9, SF.lit("hot"))
+            .otherwise(SF.col("id").cast("string"))
+            .alias("k"),
+            SF.lpad(SF.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            SF.when(SF.col("id") == 0, SF.lit("hot"))
+            .otherwise(SF.col("id").cast("string"))
+            .alias("k"),
+            SF.col("id").alias("v"),
+        )
+        j = left.join(right, "k")
+        # execute THIS dataframe's own query execution: count() plans a
+        # separate aggregate QE whose adaptive plan never finalizes here
+        rows = j.collect()
+        assert len(rows) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
