@@ -9703,6 +9703,79 @@ FROM det d JOIN seasonal s ON d.h % 168 = s.how
 """
 
 
+_HN_THR = 0.30
+
+
+def q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: pairs
+    that are CLOSE in embedding space (same hyperplane-LSH bucket,
+    cosine ≥ 0.30) but carry DIFFERENT labels — exactly the pairs a
+    contrastive loss learns most from.  Reuses the near-dup pipeline
+    (``dedup.embedding_near_dups``: banded blocking, never all-pairs)
+    with two broadcast label joins and the mismatch filter; the twin
+    injects the same plane literals."""
+    from pynomaly_spark.dedup import embedding_near_dups
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(
+        emb, threshold=_HN_THR, n_planes=6, seed=42
+    )
+    lab = emb.where(F.col("label").isNotNull()).select(
+        "vec_id", "label"
+    )
+    la = lab.select(
+        F.col("vec_id").alias("_ia"), F.col("label").alias("label_a")
+    )
+    lb = lab.select(
+        F.col("vec_id").alias("_ib"), F.col("label").alias("label_b")
+    )
+    return (
+        pairs.join(F.broadcast(la), F.col("id_a") == F.col("_ia"))
+        .join(F.broadcast(lb), F.col("id_b") == F.col("_ib"))
+        .where(F.col("label_a") != F.col("label_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _emb_hard_negatives_sql(threshold: float = _HN_THR) -> str:
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, 6, 42)
+    bucket_terms = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_double_array(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label IS NOT NULL
+), it AS (
+  SELECT vec_id, label, v,
+         {bucket_terms} AS bucket
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM it a JOIN it b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE a.label <> b.label
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9864,6 +9937,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca_top2": q_emb_pca_top2,
     "events_session_funnel": q_events_session_funnel,
     "events_stl": q_events_stl,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10039,6 +10113,7 @@ ORACLES: Dict[str, str] = {
     "emb_pca_top2": _pca2_sql(),
     "events_session_funnel": _session_funnel_sql(),
     "events_stl": SQL_EVENTS_STL,
+    "emb_hard_negatives": _emb_hard_negatives_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
