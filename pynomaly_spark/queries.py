@@ -9776,6 +9776,127 @@ WHERE a.label <> b.label
 """
 
 
+_KNNC_K = 5
+
+
+def q_emb_knn_classifier(spark, sf_dir):
+    """k-NN label classification accuracy (leave-one-out, k=5): every
+    vector is classified by the majority label of its 5 nearest
+    neighbors (cosine), and the per-label confusion rolls up — the
+    weak-label-propagation / embedding-quality eval.  EXACT brute
+    force is the eval baseline (the ann_cosine_topk stance; the scale
+    path is LSH/IVF candidates into the same vote).  Every boundary is
+    tie-broken: neighbor rank by (cosine@6dp DESC, id ASC) — the
+    rank_round device — and the vote by (count DESC, label ASC), so
+    the prediction is a total function cross-engine."""
+    from pynomaly_spark.similarity import two_phase_topk
+
+    emb = (
+        _tbl(spark, sf_dir, "embeddings")
+        .where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == _EMB_DIM)
+            & F.col("label").isNotNull()
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("_v"),
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("_v").alias("_vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "label_a",
+            "id_b",
+            "label_b",
+            F.round(dot / (nrm("_va") * nrm("_vb")), 6).alias("_cos6"),
+        )
+    )
+    topk = two_phase_topk(
+        pairs,
+        ["id_a"],
+        [F.col("_cos6").desc(), F.col("id_b").asc()],
+        _KNNC_K,
+        rank_col="_rn",
+    )
+    votes = topk.groupBy("id_a", "label_a", "label_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    pred = votes.groupBy("id_a", "label_a").agg(
+        F.expr("min_by(label_b, struct(-_n, label_b))").alias("_pred")
+    )
+    return pred.groupBy(F.col("label_a").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("_pred") == F.col("label_a")).cast("long")
+        ).cast("long").alias("n_correct"),
+    )
+
+
+SQL_EMB_KNN_CLASSIFIER = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+    AND label IS NOT NULL
+), pairs AS (
+  SELECT a.vec_id AS id_a, a.label AS label_a,
+         b.vec_id AS id_b, b.label AS label_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY c6 DESC, id_b ASC) AS rn
+  FROM pairs
+), votes AS (
+  SELECT id_a, label_a, label_b, count(*) AS n
+  FROM topk WHERE rn <= {_KNNC_K}
+  GROUP BY 1, 2, 3
+), ranked_votes AS (
+  SELECT id_a, label_a, label_b,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY n DESC, label_b ASC) AS vr
+  FROM votes
+), pred AS (
+  SELECT id_a, label_a, label_b AS p FROM ranked_votes WHERE vr = 1
+)
+SELECT CAST(label_a AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN p = label_a THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9938,6 +10059,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_funnel": q_events_session_funnel,
     "events_stl": q_events_stl,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_knn_classifier": q_emb_knn_classifier,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10114,6 +10236,7 @@ ORACLES: Dict[str, str] = {
     "events_session_funnel": _session_funnel_sql(),
     "events_stl": SQL_EVENTS_STL,
     "emb_hard_negatives": _emb_hard_negatives_sql(),
+    "emb_knn_classifier": SQL_EMB_KNN_CLASSIFIER,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
