@@ -9897,6 +9897,74 @@ FROM pred GROUP BY 1
 """
 
 
+def q_customer_lorenz(spark, sf_dir):
+    """Revenue-concentration (Lorenz-by-decile): customers ranked into
+    10 equal-frequency bins by lifetime revenue (``features.
+    quantile_bins`` — the TWO-LEVEL exact global rank, never one
+    reducer), then per decile the exact cents revenue, its share, and
+    the cumulative share — the "top 10% carry X%" readout.  The
+    cumulative window runs over 10 decile rows (control plane).
+    Shares are the only floats, rounded 6 dp."""
+    from pyspark.sql import Window
+
+    from pynomaly_spark.features import quantile_bins
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.sum("_c").alias("rev_c"))
+    qb = quantile_bins(
+        per_cust, "rev_c", "o_custkey", k=10, coarse_width=1e8
+    )
+    deciles = qb.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("value").cast("long").alias("rev_cents"),
+    )
+    tot = deciles.agg(F.sum("rev_cents").alias("_tot"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("rev_cents").over(w))
+        .select(
+            "bin",
+            "n_customers",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("_tot"), 6
+            ).alias("share"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("_tot"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+SQL_CUSTOMER_LORENZ = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+), r AS (
+  SELECT rev_c, row_number() OVER (ORDER BY rev_c, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM per_cust
+), deciles AS (
+  SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev_c) AS BIGINT) AS rev_cents
+  FROM r GROUP BY 1
+), t AS (SELECT sum(rev_cents) AS tot FROM deciles)
+SELECT d.bin, d.n_customers, d.rev_cents,
+       round(CAST(d.rev_cents AS DOUBLE) / t.tot, 6) AS share,
+       round(CAST(sum(d.rev_cents)
+                  OVER (ORDER BY d.bin ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / t.tot, 6) AS cum_share
+FROM deciles d CROSS JOIN t
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10060,6 +10128,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stl": q_events_stl,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_knn_classifier": q_emb_knn_classifier,
+    "customer_lorenz": q_customer_lorenz,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10237,6 +10306,7 @@ ORACLES: Dict[str, str] = {
     "events_stl": SQL_EVENTS_STL,
     "emb_hard_negatives": _emb_hard_negatives_sql(),
     "emb_knn_classifier": SQL_EMB_KNN_CLASSIFIER,
+    "customer_lorenz": SQL_CUSTOMER_LORENZ,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
