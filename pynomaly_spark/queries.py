@@ -9965,6 +9965,157 @@ FROM deciles d CROSS JOIN t
 """
 
 
+def q_lineitem_q6(spark, sf_dir):
+    """TPC-H Q6 flavor — THE predicate-pushdown scan benchmark: 1997
+    revenue delta from lightly-discounted small-quantity items, one
+    aggregate over one scan with every filter pushed (the plan must
+    show them in PushedFilters; no join, no shuffle beyond the 1-row
+    partial-agg merge).  Revenue = price_cents × disc_pct exactly."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.round(F.col("l_discount") * 100).cast("long") >= 5)
+        & (F.round(F.col("l_discount") * 100).cast("long") <= 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long")
+        ).cast("long").alias("revenue_c4"),
+    )
+
+
+SQL_LINEITEM_Q6 = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 flavor: profit per SUPPLIER nation per year, with cost
+    proxied at 80% of the part's retail price (this datagen carries no
+    partsupp cost table) — ``profit_c4 = price_c·(100−disc) −
+    80·retail_c·qty`` stays exact integer because 80 = 0.8·100 keeps
+    both terms on the cents×100 scale.  Plan: two broadcast dims
+    (part, supplier→nation), one big-table scan, one rollup."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+        F.round(F.col("l_quantity")).cast("long").alias("_qty"),
+    )
+    p = _tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("_ret_c"),
+    )
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit = F.col("_rev") - F.lit(80) * F.col("_ret_c") * F.col("_qty")
+    return j.groupBy("n_name", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(profit).cast("long").alias("profit_c4"),
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - 80 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                  * CAST(round(l.l_quantity) AS BIGINT))
+            AS BIGINT) AS profit_c4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_part_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 flavor: disjunctive bracket predicates — three
+    (brand, quantity-range, size-range) OR-arms over the lineitem⋈part
+    join, the shape that tests an optimizer's disjunction handling
+    (each arm's part-side conjuncts still push into the broadcast
+    dimension scan; the OR evaluates post-join).  Revenue exact."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("_qty"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+    )
+    p = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("_qty").between(1, 11)
+        & F.col("p_size").between(1, 5)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("_qty").between(10, 20)
+        & F.col("p_size").between(1, 10)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("_qty").between(20, 30)
+        & F.col("p_size").between(1, 15)
+    )
+    return (
+        j.where(arm1 | arm2 | arm3)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_rev").cast("long").alias("revenue_c4"),
+        )
+    )
+
+
+SQL_PART_BRACKET_REVENUE = """
+WITH j AS (
+  SELECT p.p_brand, p.p_size,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev) AS BIGINT) AS revenue_c4
+FROM j
+WHERE (p_brand = 'Brand#1' AND qty BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND qty BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND qty BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10129,6 +10280,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_knn_classifier": q_emb_knn_classifier,
     "customer_lorenz": q_customer_lorenz,
+    "lineitem_q6": q_lineitem_q6,
+    "nation_profit": q_nation_profit,
+    "part_bracket_revenue": q_part_bracket_revenue,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10307,6 +10461,9 @@ ORACLES: Dict[str, str] = {
     "emb_hard_negatives": _emb_hard_negatives_sql(),
     "emb_knn_classifier": SQL_EMB_KNN_CLASSIFIER,
     "customer_lorenz": SQL_CUSTOMER_LORENZ,
+    "lineitem_q6": SQL_LINEITEM_Q6,
+    "nation_profit": SQL_NATION_PROFIT,
+    "part_bracket_revenue": SQL_PART_BRACKET_REVENUE,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
