@@ -10116,6 +10116,68 @@ GROUP BY 1
 """
 
 
+def q_nation_trade(spark, sf_dir):
+    """TPC-H Q7 flavor: trade volume between DIFFERENT customer and
+    supplier nations per year — the 5-table star with TWO independent
+    broadcast dimension arms (customer→nation and supplier→nation)
+    hanging off one fact scan; the inequality filter runs post-join on
+    the two broadcast-resolved names.  With Q1/Q3/Q4/Q5/Q6/Q8/Q9/Q10/
+    Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q21/Q22 flavors this completes every
+    TPC-H query expressible over this datagen's schema (Q2/Q11/Q20
+    need partsupp, Q12 needs shipmode — columns the tables don't
+    carry)."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+    )
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk1"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    n2 = _tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk2"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_nk2"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy("cust_nation", "supp_nation", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("_rev").cast("long").alias("volume_c4"),
+    )
+
+
+SQL_NATION_TRADE = """
+SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS volume_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE nc.n_name <> ns.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10283,6 +10345,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_q6": q_lineitem_q6,
     "nation_profit": q_nation_profit,
     "part_bracket_revenue": q_part_bracket_revenue,
+    "nation_trade": q_nation_trade,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10464,6 +10527,7 @@ ORACLES: Dict[str, str] = {
     "lineitem_q6": SQL_LINEITEM_Q6,
     "nation_profit": SQL_NATION_PROFIT,
     "part_bracket_revenue": SQL_PART_BRACKET_REVENUE,
+    "nation_trade": SQL_NATION_TRADE,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
