@@ -10178,6 +10178,177 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_asof_staleness(spark, sf_dir):
+    """As-of join QUALITY audit: match rate and staleness quantiles of
+    the purchase→latest-click alignment — the telemetry every as-of
+    pipeline needs before trusting attribution (a high p90 staleness
+    means the matched click is ancient, not causal).  Composes the
+    as-of join with ``weighted_quantiles`` over the integer-µs gaps;
+    unmatched purchases count in the rate but carry no gap mass."""
+    from pynomaly_spark.asof import asof_join
+    from pynomaly_spark.profiling import weighted_quantiles
+
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id"],
+        right_tiebreak="event_id",
+        suffix="_click",
+    )
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = j.select(
+        (p_us - F.col("matched_us")).alias("gap_us"),
+        F.lit(1).alias("_w"),
+    )
+    counts = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("gap_us").cast("long").alias("n_matched"),
+    )
+    q = weighted_quantiles(
+        gaps.where(F.col("gap_us").isNotNull()),
+        [],
+        "gap_us",
+        "_w",
+        ps=(50, 90),
+    )
+    return counts.crossJoin(F.broadcast(q)).select(
+        "n_purchases",
+        "n_matched",
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_purchases"), 6
+        ).alias("match_rate"),
+        F.col("wq50").cast("long").alias("stale_p50_us"),
+        F.col("wq90").cast("long").alias("stale_p90_us"),
+    )
+
+
+SQL_EVENTS_ASOF_STALENESS = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), best AS (
+  SELECT event_id, click_us FROM (
+    SELECT p.event_id, epoch_us(c.ts) AS click_us,
+           row_number() OVER (
+             PARTITION BY p.event_id
+             ORDER BY epoch_us(c.ts) DESC NULLS LAST, c.event_id DESC
+           ) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+  ) WHERE rn = 1
+), gaps AS (
+  SELECT b.event_id, epoch_us(p.ts) - b.click_us AS gap_us
+  FROM best b JOIN p ON b.event_id = p.event_id
+), cum AS (
+  SELECT gap_us,
+         sum(1) OVER (ORDER BY gap_us ROWS UNBOUNDED PRECEDING) AS cm,
+         sum(1) OVER () AS t
+  FROM gaps WHERE gap_us IS NOT NULL
+), q AS (
+  SELECT CAST(max(t) AS BIGINT) AS total_w,
+         CAST(min(CASE WHEN 100 * cm >= 50 * t THEN gap_us END)
+              AS BIGINT) AS p50,
+         CAST(min(CASE WHEN 100 * cm >= 90 * t THEN gap_us END)
+              AS BIGINT) AS p90
+  FROM cum
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(count(gap_us) AS BIGINT) AS n_matched
+  FROM gaps
+)
+SELECT n.n_purchases, n.n_matched,
+       round(CAST(n.n_matched AS DOUBLE) / n.n_purchases, 6)
+         AS match_rate,
+       q.p50 AS stale_p50_us,
+       q.p90 AS stale_p90_us
+FROM n CROSS JOIN q
+"""
+
+
+def q_events_active_users(spark, sf_dir):
+    """Product-analytics activity rollup: per epoch WEEK, WAU (exact
+    distinct users), the average DAU across the week's active days,
+    and the DAU/WAU stickiness ratio — all from ONE per-(day, user)
+    collapse (map-side combined), so neither distinct count ever
+    re-scans events.  Weeks are integer epoch-day div 7 — calendar
+    week-year conventions differ between engines; the integer bucket
+    cannot.  Ratios are the only floats, 6 dp."""
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            "user_id",
+        )
+        .withColumn("wk", F.expr("day div 7"))
+    )
+    day_user = ev.groupBy("wk", "day", "user_id").agg(
+        F.lit(1).alias("_one")
+    )
+    dau = day_user.groupBy("wk", "day").agg(
+        F.count(F.lit(1)).alias("_dau")
+    )
+    wau = day_user.groupBy("wk", "user_id").agg(
+        F.lit(1).alias("_o")
+    ).groupBy("wk").agg(F.count(F.lit(1)).alias("_wau"))
+    per_wk = dau.groupBy(F.col("wk").alias("_w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.sum("_dau").alias("_dau_sum"),
+    )
+    return (
+        per_wk.join(F.broadcast(wau), F.col("_w") == F.col("wk"))
+        .select(
+            "wk",
+            "n_active_days",
+            F.col("_wau").cast("long").alias("wau"),
+            F.round(
+                F.col("_dau_sum").cast("double") / F.col("n_active_days"),
+                6,
+            ).alias("avg_dau"),
+            F.round(
+                F.col("_dau_sum").cast("double")
+                / (F.col("n_active_days") * F.col("_wau")),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+SQL_EVENTS_ACTIVE_USERS = """
+WITH du AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (epoch_us(ts) // 86400000000) // 7 AS wk,
+         user_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2, 3
+), dau AS (
+  SELECT wk, day, count(*) AS d FROM du GROUP BY 1, 2
+), wau AS (
+  SELECT wk, count(DISTINCT user_id) AS w FROM du GROUP BY 1
+), pw AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_active_days,
+         sum(d) AS dau_sum
+  FROM dau GROUP BY 1
+)
+SELECT CAST(pw.wk AS BIGINT) AS wk, pw.n_active_days,
+       CAST(wau.w AS BIGINT) AS wau,
+       round(CAST(pw.dau_sum AS DOUBLE) / pw.n_active_days, 6) AS avg_dau,
+       round(CAST(pw.dau_sum AS DOUBLE) / (pw.n_active_days * wau.w), 6)
+         AS stickiness
+FROM pw JOIN wau ON pw.wk = wau.wk
+"""
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10346,6 +10517,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_profit": q_nation_profit,
     "part_bracket_revenue": q_part_bracket_revenue,
     "nation_trade": q_nation_trade,
+    "events_asof_staleness": q_events_asof_staleness,
+    "events_active_users": q_events_active_users,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10528,6 +10701,8 @@ ORACLES: Dict[str, str] = {
     "nation_profit": SQL_NATION_PROFIT,
     "part_bracket_revenue": SQL_PART_BRACKET_REVENUE,
     "nation_trade": SQL_NATION_TRADE,
+    "events_asof_staleness": SQL_EVENTS_ASOF_STALENESS,
+    "events_active_users": SQL_EVENTS_ACTIVE_USERS,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
