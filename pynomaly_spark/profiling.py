@@ -75,6 +75,7 @@ __all__ = [
     "qhist_merge",
     "qhist_estimate",
     "fd_check",
+    "ks_exact",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1553,3 +1554,104 @@ def fd_check(
         max_violators,
         rank_col="_fd_rn",
     ).drop("_fd_rn")
+
+
+def ks_exact(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    coarse_width: int = 4096,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic over integer
+    values — the exact complement to ``psi.histogram_ks``'s grid
+    approximation: ``D = sup |F_a − F_b|`` evaluated at every distinct
+    value (the sup of two step functions is attained at a jump), as
+    the INTEGER ``d_num = max |n_b·cum_a(v) − n_a·cum_b(v)|`` with
+    ``D = d_num / (n_a·n_b)`` — the statistic is decided by integer
+    comparisons, so it cannot ulp-flip cross-engine; only the final
+    reported ratio rounds (6 dp).
+
+    Returns one row: ``n_a, n_b, d_num, d``.
+
+    Scale (100 TB): both samples collapse to per-distinct-value counts
+    first (map-side combine), then the cumulative counts run as the
+    TWO-LEVEL scan (quantile_bins/pack_chunks shape): a local window
+    inside monotone value buckets (``value div coarse_width``) plus a
+    broadcast exclusive prefix over the per-bucket totals — never a
+    global single-reducer window over the value order.  ``d_num`` is
+    BIGINT — promote the cross-products to decimal(38,0) beyond ~3·10⁹
+    rows per side.
+
+    Reference parity: extends the reference's distribution-drift stance
+    (LoOP scores; psi.histogram_ks) with an exact test — engine
+    addition.
+    """
+    from pyspark.sql import Window
+
+    if coarse_width < 1:
+        raise ValueError("ks_exact: coarse_width must be >= 1")
+    for side, frame in (("a", df_a), ("b", df_b)):
+        if value_col not in frame.columns:
+            raise ValueError(
+                f"ks_exact: column {value_col!r} missing from df_{side}"
+            )
+    tagged = df_a.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"),
+        F.lit(1).alias("_c1"),
+        F.lit(0).alias("_c2"),
+    ).unionAll(
+        df_b.where(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("_v"),
+            F.lit(0).alias("_c1"),
+            F.lit(1).alias("_c2"),
+        )
+    )
+    per_v = tagged.groupBy("_v").agg(
+        F.sum("_c1").alias("_c1"), F.sum("_c2").alias("_c2")
+    ).withColumn("_bkt", F.expr(f"_v div {int(coarse_width)}"))
+    w_loc = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = per_v.withColumn("_l1", F.sum("_c1").over(w_loc)).withColumn(
+        "_l2", F.sum("_c2").over(w_loc)
+    )
+    totals = per_v.groupBy("_bkt").agg(
+        F.sum("_c1").alias("_t1"), F.sum("_c2").alias("_t2")
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        F.col("_bkt").alias("_ob"),
+        F.coalesce(F.sum("_t1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_t2").over(w_off), F.lit(0)).alias("_o2"),
+    )
+    cum = local.join(F.broadcast(offsets), F.col("_bkt") == F.col("_ob"))
+    n = tagged.agg(
+        F.sum("_c1").cast("long").alias("_n1"),
+        F.sum("_c2").cast("long").alias("_n2"),
+    )
+    gap = F.abs(
+        F.col("_n2") * (F.col("_o1") + F.col("_l1"))
+        - F.col("_n1") * (F.col("_o2") + F.col("_l2"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("_n1").alias("n_a"),
+            F.max("_n2").alias("n_b"),
+            F.max(gap).cast("long").alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("d"),
+        )
+    )

@@ -10349,6 +10349,58 @@ SELECT CAST(pw.wk AS BIGINT) AS wk, pw.n_active_days,
 FROM pw JOIN wau ON pw.wk = wau.wk
 """
 
+def q_lineitem_ks_exact(spark, sf_dir):
+    """Exact two-sample KS (``profiling.ks_exact``): are pre- and
+    post-1998 price distributions the same?  The statistic is decided
+    entirely in integers (``max |n_b·cum_a − n_a·cum_b|`` over every
+    distinct cents value — the sup of step CDFs is attained at a
+    jump), so unlike the binned ``histogram_ks`` there is no grid
+    approximation and no float boundary; the cumulative counts run as
+    the two-level scan, never one reducer."""
+    from pynomaly_spark.profiling import ks_exact
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    split = F.lit("1998-01-01").cast("timestamp")
+    return ks_exact(
+        li.where(F.col("l_shipdate") < split),
+        li.where(F.col("l_shipdate") >= split),
+        "c",
+        coarse_width=1 << 20,
+    )
+
+
+SQL_LINEITEM_KS_EXACT = """
+WITH tagged AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+           AS c1,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS c2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), per_v AS (
+  SELECT v, sum(c1) AS c1, sum(c2) AS c2 FROM tagged GROUP BY 1
+), cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM per_v
+), n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM tagged
+)
+SELECT n.n1 AS n_a, n.n2 AS n_b,
+       CAST(max(abs(n.n2 * cum.cum1 - n.n1 * cum.cum2)) AS BIGINT)
+         AS d_num,
+       round(CAST(max(abs(n.n2 * cum.cum1 - n.n1 * cum.cum2)) AS DOUBLE)
+             / (n.n1 * n.n2), 6) AS d
+FROM cum CROSS JOIN n
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10519,6 +10571,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade": q_nation_trade,
     "events_asof_staleness": q_events_asof_staleness,
     "events_active_users": q_events_active_users,
+    "lineitem_ks_exact": q_lineitem_ks_exact,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10703,6 +10756,7 @@ ORACLES: Dict[str, str] = {
     "nation_trade": SQL_NATION_TRADE,
     "events_asof_staleness": SQL_EVENTS_ASOF_STALENESS,
     "events_active_users": SQL_EVENTS_ACTIVE_USERS,
+    "lineitem_ks_exact": SQL_LINEITEM_KS_EXACT,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

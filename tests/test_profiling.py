@@ -638,3 +638,37 @@ def test_fd_check_reports_violators_only(spark):
         fd_check(df, ["nope"], ["rhs"])
     with _pytest.raises(ValueError, match="non-empty"):
         fd_check(df, [], ["rhs"])
+
+
+def test_ks_exact_matches_literal_python(spark):
+    """The integer KS statistic equals a literal python computation of
+    sup|F_a - F_b| on hand data, including the tie-heavy case; the
+    two-level scan equals the naive definition."""
+    from fractions import Fraction
+
+    from pynomaly_spark.profiling import ks_exact
+    import pytest as _pytest
+
+    a_vals = [1, 2, 2, 3, 10, 10, 11]
+    b_vals = [2, 3, 3, 4, 4, 10, 20, 21]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    r = ks_exact(a, b, "v", coarse_width=4).collect()[0]
+
+    def cdf(vals, x):
+        return sum(1 for t in vals if t <= x)
+
+    pooled = sorted(set(a_vals + b_vals))
+    d_num = max(
+        abs(len(b_vals) * cdf(a_vals, x) - len(a_vals) * cdf(b_vals, x))
+        for x in pooled
+    )
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (7, 8, d_num)
+    assert r["d"] == round(
+        float(Fraction(d_num, len(a_vals) * len(b_vals))), 6
+    )
+    # identical samples -> D = 0
+    z = ks_exact(a, a, "v").collect()[0]
+    assert z["d_num"] == 0 and z["d"] == 0.0
+    with _pytest.raises(ValueError, match="missing from df_b"):
+        ks_exact(a, b.withColumnRenamed("v", "w"), "v")
