@@ -76,6 +76,7 @@ __all__ = [
     "qhist_estimate",
     "fd_check",
     "ks_exact",
+    "rank_sum_u",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1653,5 +1654,96 @@ def ks_exact(
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("d"),
+        )
+    )
+
+
+def rank_sum_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    coarse_width: int = 4096,
+) -> DataFrame:
+    """EXACT Mann–Whitney U (rank-sum) statistic over integer values —
+    the nonparametric location test beside :func:`ks_exact`'s shape
+    test.  Ties are handled by the midrank convention, kept integer by
+    doubling: ``u2 = Σ_v cA(v)·(2·cumB(v⁻) + cB(v)) = 2U``, so the
+    statistic and the common-language effect size ``U/(nA·nB)`` are
+    decided without a single float (the ratio rounds at 6 dp for
+    display only).
+
+    Returns one row: ``n_a, n_b, u2, effect`` (effect = U/(nA·nB);
+    0.5 = stochastically equal, 1.0 = A always above B).
+
+    Scale: identical shape to ``ks_exact`` — per-distinct-value counts
+    (map-side combined), cumulative B-counts via the two-level scan,
+    one final aggregate.  ``u2 ≤ 2·nA·nB``: promote to decimal(38,0)
+    beyond ~2·10⁹ rows per side.
+    """
+    from pyspark.sql import Window
+
+    if coarse_width < 1:
+        raise ValueError("rank_sum_u: coarse_width must be >= 1")
+    for side, frame in (("a", df_a), ("b", df_b)):
+        if value_col not in frame.columns:
+            raise ValueError(
+                f"rank_sum_u: column {value_col!r} missing from df_{side}"
+            )
+    tagged = df_a.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"),
+        F.lit(1).alias("_c1"),
+        F.lit(0).alias("_c2"),
+    ).unionAll(
+        df_b.where(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("_v"),
+            F.lit(0).alias("_c1"),
+            F.lit(1).alias("_c2"),
+        )
+    )
+    per_v = tagged.groupBy("_v").agg(
+        F.sum("_c1").alias("_c1"), F.sum("_c2").alias("_c2")
+    ).withColumn("_bkt", F.expr(f"_v div {int(coarse_width)}"))
+    w_loc = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_v.withColumn(
+        "_lb", F.coalesce(F.sum("_c2").over(w_loc), F.lit(0))
+    )
+    totals = per_v.groupBy("_bkt").agg(F.sum("_c2").alias("_t2"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        F.col("_bkt").alias("_ob"),
+        F.coalesce(F.sum("_t2").over(w_off), F.lit(0)).alias("_o2"),
+    )
+    cum = per_v.join(
+        local.select("_v", "_lb"), "_v"
+    ).join(F.broadcast(offsets), F.col("_bkt") == F.col("_ob"))
+    n = tagged.agg(
+        F.sum("_c1").cast("long").alias("_n1"),
+        F.sum("_c2").cast("long").alias("_n2"),
+    )
+    term = F.col("_c1") * (
+        F.lit(2) * (F.col("_o2") + F.col("_lb")) + F.col("_c2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("_n1").alias("n_a"),
+            F.max("_n2").alias("n_b"),
+            F.sum(term).cast("long").alias("u2"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "u2",
+            F.round(
+                F.col("u2").cast("double")
+                / (F.lit(2) * F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("effect"),
         )
     )

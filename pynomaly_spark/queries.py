@@ -10401,6 +10401,56 @@ GROUP BY 1, 2
 """
 
 
+def q_lineitem_mwu(spark, sf_dir):
+    """Exact Mann–Whitney U (``profiling.rank_sum_u``): is the
+    post-1998 price distribution stochastically ABOVE the pre-1998
+    one?  Midrank tie handling kept integer by doubling (u2 = 2U) —
+    the location test beside lineitem_ks_exact's shape test, same
+    per-value two-level machinery, zero float decisions."""
+    from pynomaly_spark.profiling import rank_sum_u
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    split = F.lit("1998-01-01").cast("timestamp")
+    return rank_sum_u(
+        li.where(F.col("l_shipdate") >= split),
+        li.where(F.col("l_shipdate") < split),
+        "c",
+        coarse_width=1 << 20,
+    )
+
+
+SQL_LINEITEM_MWU = """
+WITH tagged AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+           AS c1,
+         CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS c2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), per_v AS (
+  SELECT v, sum(c1) AS c1, sum(c2) AS c2 FROM tagged GROUP BY 1
+), cum AS (
+  SELECT v, c1, c2,
+         coalesce(sum(c2) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb
+  FROM per_v
+), n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM tagged
+)
+SELECT n.n1 AS n_a, n.n2 AS n_b,
+       CAST(sum(c1 * (2 * cumb + c2)) AS BIGINT) AS u2,
+       round(CAST(sum(c1 * (2 * cumb + c2)) AS DOUBLE)
+             / (2 * n.n1 * n.n2), 6) AS effect
+FROM cum CROSS JOIN n
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10572,6 +10622,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_staleness": q_events_asof_staleness,
     "events_active_users": q_events_active_users,
     "lineitem_ks_exact": q_lineitem_ks_exact,
+    "lineitem_mwu": q_lineitem_mwu,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10757,6 +10808,7 @@ ORACLES: Dict[str, str] = {
     "events_asof_staleness": SQL_EVENTS_ASOF_STALENESS,
     "events_active_users": SQL_EVENTS_ACTIVE_USERS,
     "lineitem_ks_exact": SQL_LINEITEM_KS_EXACT,
+    "lineitem_mwu": SQL_LINEITEM_MWU,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

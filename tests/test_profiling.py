@@ -672,3 +672,24 @@ def test_ks_exact_matches_literal_python(spark):
     assert z["d_num"] == 0 and z["d"] == 0.0
     with _pytest.raises(ValueError, match="missing from df_b"):
         ks_exact(a, b.withColumnRenamed("v", "w"), "v")
+
+
+def test_rank_sum_u_matches_literal_python_with_ties(spark):
+    """u2 equals twice the literal Mann-Whitney U with midrank ties;
+    disjoint higher sample gives effect 1.0; identical samples 0.5."""
+    from pynomaly_spark.profiling import rank_sum_u
+
+    a_vals = [3, 5, 5, 9]
+    b_vals = [1, 5, 7]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    r = rank_sum_u(a, b, "v", coarse_width=4).collect()[0]
+    u2 = 0
+    for x in a_vals:
+        for y in b_vals:
+            u2 += 2 if x > y else (1 if x == y else 0)
+    assert (r["n_a"], r["n_b"], r["u2"]) == (4, 3, u2)
+    assert r["effect"] == round(u2 / (2 * 4 * 3), 6)
+    hi = spark.createDataFrame([(100,), (101,)], "v long")
+    assert rank_sum_u(hi, b, "v").collect()[0]["effect"] == 1.0
+    assert rank_sum_u(a, a, "v").collect()[0]["effect"] == 0.5
