@@ -10451,6 +10451,70 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_simhash_profile(spark, sf_dir):
+    """SimHash Hamming-distance profile for threshold calibration (the
+    text-modality twin of emb_dist_profile): pairwise Hamming
+    distances over a DETERMINISTIC md5 sample of documents — the
+    all-pairs stage is bounded by the fixed sample, never the corpus —
+    as an exact 0..64 histogram.  Read this before picking the banded
+    near-dup cut: the gap between the duplicate mode and the random
+    mode (≈32) IS the threshold.  Hamming = 64 flat per-position
+    compares over the shared bit-string fingerprints (both engines
+    build the identical string)."""
+    from pynomaly_spark.dedup import simhash_md5_bits
+
+    doc = (
+        _doc(spark, sf_dir)
+        .where(
+            F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                < "20"
+            )
+        )
+        .select(
+            F.col("doc_id").alias("row_id"), F.col("text").alias("content")
+        )
+    )
+    sh = simhash_md5_bits(doc).select("row_id", "simhash_bits")
+    right = sh.select(
+        F.col("row_id").alias("_r2"), F.col("simhash_bits").alias("_b2")
+    )
+    ham = sum(
+        (
+            F.substring(F.col("simhash_bits"), i + 1, 1)
+            != F.substring(F.col("_b2"), i + 1, 1)
+        ).cast("long")
+        for i in range(64)
+    )
+    pairs = sh.join(
+        F.broadcast(right), F.col("row_id") < F.col("_r2")
+    ).select(ham.alias("hamming"))
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def _simhash_profile_sql() -> str:
+    terms = "\n       + ".join(
+        f"(CASE WHEN substr(a.simhash_bits, {i + 1}, 1)"
+        f" <> substr(b.simhash_bits, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(64)
+    )
+    inner = _simhash_sql().strip()
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT * FROM ({inner})
+  WHERE substr(md5(CAST(row_id AS VARCHAR)), 1, 2) < '20'
+)
+SELECT ({terms}) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM sh a JOIN sh b ON a.row_id < b.row_id
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10623,6 +10687,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_active_users": q_events_active_users,
     "lineitem_ks_exact": q_lineitem_ks_exact,
     "lineitem_mwu": q_lineitem_mwu,
+    "doc_simhash_profile": q_doc_simhash_profile,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10809,6 +10874,7 @@ ORACLES: Dict[str, str] = {
     "events_active_users": SQL_EVENTS_ACTIVE_USERS,
     "lineitem_ks_exact": SQL_LINEITEM_KS_EXACT,
     "lineitem_mwu": SQL_LINEITEM_MWU,
+    "doc_simhash_profile": _simhash_profile_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
