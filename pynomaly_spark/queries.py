@@ -10515,6 +10515,100 @@ GROUP BY 1
 """
 
 
+_TS_BITS = 20
+
+
+def q_orders_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend per priority: the MEDIAN of all pairwise
+    monthly-revenue slopes — the estimator a single outlier month
+    cannot move (the robust complement to orders_trend's OLS).  Slopes
+    quantize to integers (``(Δrev·2^20) div Δmonth``, truncating on
+    both engines), so the median is an exact order statistic
+    (integer-crossing weighted_quantiles); the pairwise stage runs on
+    the COLLAPSED monthly frame — bounded by the time span squared,
+    never by row count."""
+    from pynomaly_spark.profiling import weighted_quantiles
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderpriority",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("m"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        )
+    )
+    monthly = o.groupBy("o_orderpriority", "m").agg(
+        F.sum("_c").alias("rev")
+    )
+    right = monthly.select(
+        F.col("o_orderpriority").alias("_p2"),
+        F.col("m").alias("_m2"),
+        F.col("rev").alias("_rev2"),
+    )
+    pairs = monthly.join(
+        right,
+        (F.col("o_orderpriority") == F.col("_p2"))
+        & (F.col("m") < F.col("_m2")),
+    ).select(
+        "o_orderpriority",
+        # nullif: ANSI div raises on zero, and Catalyst may evaluate the
+        # projection speculatively before the m < _m2 join filter has
+        # pruned equal-month pairs; no surviving row is actually null
+        F.expr(
+            f"((_rev2 - rev) * {1 << _TS_BITS}L)"
+            f" div nullif(_m2 - m, 0L)"
+        ).alias("slope_q"),
+        F.lit(1).alias("_w"),
+    )
+    q = weighted_quantiles(
+        pairs, ["o_orderpriority"], "slope_q", "_w", ps=(50,)
+    )
+    return q.select(
+        "o_orderpriority",
+        F.col("total_w").alias("n_pairs"),
+        F.col("wq50").alias("slope_q50"),
+        F.round(
+            F.col("wq50").cast("double") / F.lit(1 << _TS_BITS), 6
+        ).alias("slope_cents_per_month"),
+    )
+
+
+SQL_ORDERS_THEILSEN = f"""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS m,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.o_orderpriority,
+         ((b.rev - a.rev) * {1 << _TS_BITS}) // (b.m - a.m) AS slope_q
+  FROM monthly a JOIN monthly b
+    ON a.o_orderpriority = b.o_orderpriority AND a.m < b.m
+), cum AS (
+  SELECT o_orderpriority, slope_q,
+         sum(1) OVER (PARTITION BY o_orderpriority ORDER BY slope_q
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(1) OVER (PARTITION BY o_orderpriority) AS t
+  FROM pairs
+)
+SELECT o_orderpriority,
+       CAST(max(t) AS BIGINT) AS n_pairs,
+       CAST(min(CASE WHEN 100 * c >= 50 * t THEN slope_q END) AS BIGINT)
+         AS slope_q50,
+       round(CAST(min(CASE WHEN 100 * c >= 50 * t THEN slope_q END)
+                  AS DOUBLE) / {1 << _TS_BITS}, 6)
+         AS slope_cents_per_month
+FROM cum GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10688,6 +10782,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_ks_exact": q_lineitem_ks_exact,
     "lineitem_mwu": q_lineitem_mwu,
     "doc_simhash_profile": q_doc_simhash_profile,
+    "orders_theilsen": q_orders_theilsen,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10875,6 +10970,7 @@ ORACLES: Dict[str, str] = {
     "lineitem_ks_exact": SQL_LINEITEM_KS_EXACT,
     "lineitem_mwu": SQL_LINEITEM_MWU,
     "doc_simhash_profile": _simhash_profile_sql(),
+    "orders_theilsen": SQL_ORDERS_THEILSEN,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
