@@ -10609,6 +10609,99 @@ FROM cum GROUP BY 1
 """
 
 
+def q_events_changepoint(spark, sf_dir):
+    """Single best mean-shift changepoint on the hourly revenue series
+    (binary-segmentation step 1): the split hour maximizing the
+    integer contrast ``|k·S_n − n·S_k|`` over prefix sums (the CUSUM
+    maximizer in cross-multiplied form — no division, no float, no
+    variance estimate decides the argmax; ties break to the earliest
+    hour).  Prefix sums run on the COLLAPSED hourly frame
+    (control-plane sized); segment means are reported at 6 dp.  The
+    pointwise complement to sequences.cusum_flags' threshold alarms."""
+    from pyspark.sql import Window
+
+    hourly = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("h")
+        .agg(F.sum("_c").alias("y"))
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hourly.select(
+        "h",
+        F.sum("y").over(w).alias("s_k"),
+        F.row_number().over(Window.orderBy("h")).alias("k"),
+    )
+    tot = cum.agg(
+        F.max("k").alias("_n"), F.max("s_k").alias("_sn")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).where(
+        F.col("k") < F.col("_n")
+    ).select(
+        "h",
+        "k",
+        "s_k",
+        "_n",
+        "_sn",
+        F.abs(
+            F.col("k") * F.col("_sn") - F.col("_n") * F.col("s_k")
+        ).alias("_d"),
+    )
+    best = scored.orderBy(
+        F.col("_d").desc(), F.col("h").asc()
+    ).limit(1)
+    return best.select(
+        F.col("h").alias("split_hour"),
+        F.col("k").alias("n_left"),
+        (F.col("_n") - F.col("k")).alias("n_right"),
+        F.col("_d").cast("long").alias("contrast_num"),
+        F.round(F.col("s_k").cast("double") / F.col("k"), 6).alias(
+            "mean_left"
+        ),
+        F.round(
+            (F.col("_sn") - F.col("s_k")).cast("double")
+            / (F.col("_n") - F.col("k")),
+            6,
+        ).alias("mean_right"),
+    )
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT h,
+         sum(y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS s_k,
+         row_number() OVER (ORDER BY h) AS k
+  FROM hourly
+), tot AS (
+  SELECT max(k) AS n, max(s_k) AS sn FROM cum
+), scored AS (
+  SELECT cum.h, cum.k, cum.s_k, tot.n, tot.sn,
+         abs(cum.k * tot.sn - tot.n * cum.s_k) AS d
+  FROM cum CROSS JOIN tot
+  WHERE cum.k < tot.n
+)
+SELECT h AS split_hour,
+       CAST(k AS BIGINT) AS n_left,
+       CAST(n - k AS BIGINT) AS n_right,
+       CAST(d AS BIGINT) AS contrast_num,
+       round(CAST(s_k AS DOUBLE) / k, 6) AS mean_left,
+       round(CAST(sn - s_k AS DOUBLE) / (n - k), 6) AS mean_right
+FROM scored
+ORDER BY d DESC, h ASC
+LIMIT 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10783,6 +10876,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_mwu": q_lineitem_mwu,
     "doc_simhash_profile": q_doc_simhash_profile,
     "orders_theilsen": q_orders_theilsen,
+    "events_changepoint": q_events_changepoint,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -10971,6 +11065,7 @@ ORACLES: Dict[str, str] = {
     "lineitem_mwu": SQL_LINEITEM_MWU,
     "doc_simhash_profile": _simhash_profile_sql(),
     "orders_theilsen": SQL_ORDERS_THEILSEN,
+    "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
