@@ -10702,6 +10702,70 @@ LIMIT 1
 """
 
 
+_TREND_K = 2
+
+
+def q_events_trending(spark, sf_dir):
+    """Per-day trending event types: exact top-2 types by cents
+    revenue for every day — the windowed-leaderboard shape.  The
+    (day, type) rollup collapses map-side first, so the rank windows
+    run on a |days|×|types| control-plane frame; rank order is total
+    ((revenue DESC, type ASC)) so the k-boundary is deterministic;
+    the salted two-phase top-k keeps the pattern honest at cardinality
+    (phase 1 bypasses on this collapsed input)."""
+    from pynomaly_spark.similarity import two_phase_topk
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.sum("_c").cast("long").alias("rev_cents")
+    )
+    top = two_phase_topk(
+        daily,
+        ["day"],
+        [F.col("rev_cents").desc(), F.col("event_type").asc()],
+        _TREND_K,
+        rank_col="rnk",
+        phase1=False,
+    )
+    return top.select(
+        "day", F.col("rnk").cast("long").alias("rnk"), "event_type",
+        "rev_cents",
+    )
+
+
+SQL_EVENTS_TRENDING = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT day, event_type, rev_cents,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY rev_cents DESC, event_type ASC)
+           AS rnk
+  FROM daily
+)
+SELECT day, CAST(rnk AS BIGINT) AS rnk, event_type, rev_cents
+FROM ranked WHERE rnk <= {_TREND_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10877,6 +10941,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash_profile": q_doc_simhash_profile,
     "orders_theilsen": q_orders_theilsen,
     "events_changepoint": q_events_changepoint,
+    "events_trending": q_events_trending,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11066,6 +11131,7 @@ ORACLES: Dict[str, str] = {
     "doc_simhash_profile": _simhash_profile_sql(),
     "orders_theilsen": SQL_ORDERS_THEILSEN,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "events_trending": SQL_EVENTS_TRENDING,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
