@@ -10766,6 +10766,53 @@ FROM ranked WHERE rnk <= {_TREND_K}
 """
 
 
+def q_customer_survival(spark, sf_dir):
+    """Kaplan–Meier at-risk table (``survival.km_table``) over
+    time-to-next-order spells: for every distinct spell length ``t``
+    the number still at risk, observed re-orders, and RIGHT-CENSORED
+    exits (customers whose last order is simply near the corpus
+    horizon — averaging only completed spells is the classic churn
+    bias this construction fixes).  All counts and the truncating
+    6-dp hazard are integer-decided, so the table hashes cross-engine;
+    the only windows are a per-customer lag (one entity-keyed shuffle)
+    and a suffix sum over the |distinct t|-row collapsed frame."""
+    from pynomaly_spark.survival import km_table
+
+    return km_table(
+        _tbl(spark, sf_dir, "orders"), "o_custkey", "o_orderdate"
+    ).orderBy("t")
+
+
+SQL_CUSTOMER_SURVIVAL = """
+WITH act AS (
+  SELECT DISTINCT o_custkey AS c,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+), mx AS (SELECT max(day) AS mday FROM act),
+gaps AS (
+  SELECT c, day, lead(day) OVER (PARTITION BY c ORDER BY day) AS nxt
+  FROM act
+), spells AS (
+  SELECT CASE WHEN nxt IS NULL THEN (SELECT mday FROM mx) - day
+              ELSE nxt - day END AS t,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+  FROM gaps
+), agg AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS events,
+         CAST(count(*) - sum(ev) AS BIGINT) AS censored
+  FROM spells WHERE t > 0 GROUP BY t
+), atrisk AS (
+  SELECT t, events, censored,
+         CAST(sum(events + censored) OVER (ORDER BY t DESC) AS BIGINT)
+           AS n_at_risk
+  FROM agg
+)
+SELECT CAST(t AS BIGINT) AS t, n_at_risk, events, censored,
+       CAST((events * 1000000) // n_at_risk AS BIGINT) AS hazard_6dp
+FROM atrisk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10942,6 +10989,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_theilsen": q_orders_theilsen,
     "events_changepoint": q_events_changepoint,
     "events_trending": q_events_trending,
+    "customer_survival": q_customer_survival,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11132,6 +11180,7 @@ ORACLES: Dict[str, str] = {
     "orders_theilsen": SQL_ORDERS_THEILSEN,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "events_trending": SQL_EVENTS_TRENDING,
+    "customer_survival": SQL_CUSTOMER_SURVIVAL,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
