@@ -10813,6 +10813,68 @@ FROM atrisk
 """
 
 
+def q_events_attribution(spark, sf_dir):
+    """Multi-touch linear attribution
+    (``sequences.linear_attribution``): every purchase's cents split
+    EXACTLY (``div`` + remainder-to-earliest) across the user's
+    click/view touches in the trailing 7 days, plus a reconciling
+    ``unattributed`` row — attributed + unattributed == total purchase
+    cents by construction.  The conversion×touch join is time-blocked
+    (touches emit their window block and the next), so completeness is
+    structural and a chatty user never causes an O(history²) blow-up."""
+    from pynomaly_spark.sequences import linear_attribution
+
+    return linear_attribution(
+        _tbl(spark, sf_dir, "events"),
+        user_col="user_id",
+        time_col="ts",
+        id_col="event_id",
+        type_col="event_type",
+        value_col="value",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+    ).orderBy("touch_type")
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+), t AS (
+  SELECT event_id AS tid, user_id, epoch_us(ts) AS tus,
+         event_type AS touch_type
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+), j AS (
+  SELECT pid, cents, tid, touch_type,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY tus ASC, tid ASC) AS rnk,
+         count(*) OVER (PARTITION BY pid) AS n
+  FROM p JOIN t USING (user_id)
+  WHERE tus <= pus AND tus > pus - 604800000000
+), shares AS (
+  SELECT touch_type, pid,
+         cents // n + CASE WHEN rnk = 1 THEN cents % n ELSE 0 END AS share
+  FROM j
+), agg AS (
+  SELECT touch_type, CAST(count(*) AS BIGINT) AS touches,
+         CAST(count(DISTINCT pid) AS BIGINT) AS purchases,
+         CAST(sum(share) AS BIGINT) AS attributed_cents
+  FROM shares GROUP BY 1
+), untouched AS (
+  SELECT 'unattributed' AS touch_type, CAST(0 AS BIGINT) AS touches,
+         CAST(count(*) AS BIGINT) AS purchases,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS attributed_cents
+  FROM p WHERE pid NOT IN (SELECT pid FROM j)
+)
+SELECT * FROM agg UNION ALL SELECT * FROM untouched
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10990,6 +11052,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": q_events_changepoint,
     "events_trending": q_events_trending,
     "customer_survival": q_customer_survival,
+    "events_attribution": q_events_attribution,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11181,6 +11244,7 @@ ORACLES: Dict[str, str] = {
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "events_trending": SQL_EVENTS_TRENDING,
     "customer_survival": SQL_CUSTOMER_SURVIVAL,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

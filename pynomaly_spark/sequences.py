@@ -46,6 +46,7 @@ __all__ = [
     "path_counts",
     "acf",
     "cooccurrence_pairs",
+    "linear_attribution",
 ]
 
 
@@ -404,3 +405,131 @@ def cooccurrence_pairs(
     return out.select(
         "item_a", "item_b", "support", "n_a", "n_b", lift.alias("lift")
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str,
+    time_col: str,
+    id_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    touch_types: list,
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's cents value is
+    split equally across the user's touch events inside the lookback
+    window ``(t_conv - window, t_conv]`` — the marketing/credit rollup
+    that last-touch (as-of join) throws away.  The split is EXACT
+    integer arithmetic: every touch gets ``cents div n`` and the
+    earliest touch absorbs the remainder ``cents % n`` (total attributed
+    == total converted cents, an auditable invariant; ``div``/``%`` on
+    non-negative longs are identical in Spark and DuckDB).
+
+    Returns one row per touch type — ``event_type, touches, purchases,
+    attributed_cents`` — plus an ``unattributed`` row carrying the
+    conversions with no in-window touch, so the output reconciles to
+    the conversion total exactly.
+
+    Scale (100 TB): the conversion×touch join is TIME-BLOCKED — touches
+    explode into their ``window_us`` block and the next, conversions
+    probe their own block only, so any pair within the window shares a
+    block (lossless, the banded-LSH completeness argument) and a
+    chatty user costs O(per-window activity²), never O(history²).
+    Duplicate meetings collapse on the (conversion, touch) id pair; the
+    per-conversion rank window is keyed by conversion id (fan-in
+    bounded by the window), never by user.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (event-pipeline analytics family).
+    """
+    for c in (user_col, time_col, id_col, type_col, value_col):
+        if c not in events.columns:
+            raise ValueError(f"linear_attribution: unknown column {c!r}")
+    if not touch_types:
+        raise ValueError("linear_attribution: touch_types must be non-empty")
+    w = int(window_us)
+    if w <= 0:
+        raise ValueError("linear_attribution: window_us must be positive")
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_ty"),
+        F.expr(f"unix_micros(cast({time_col} as timestamp))").alias("_us"),
+        F.col(value_col).alias("_val"),
+    )
+    conv = base.where(
+        (F.col("_ty") == conversion_type) & F.col("_val").isNotNull()
+    ).select(
+        "_u",
+        F.col("_id").alias("pid"),
+        F.col("_us").alias("_pus"),
+        F.round(F.col("_val") * 100).cast("long").alias("_cents"),
+        F.expr(f"_us div {w}").alias("_bk"),
+    )
+    touch = base.where(F.col("_ty").isin(list(touch_types))).select(
+        F.col("_u").alias("_u2"),
+        F.col("_id").alias("tid"),
+        F.col("_ty").alias("touch_type"),
+        F.col("_us").alias("_tus"),
+        F.explode(
+            F.array(F.expr(f"_us div {w}"), F.expr(f"_us div {w} + 1"))
+        ).alias("_bk2"),
+    )
+    hits = (
+        conv.join(
+            touch,
+            (F.col("_u") == F.col("_u2"))
+            & (F.col("_bk") == F.col("_bk2"))
+            & (F.col("_tus") <= F.col("_pus"))
+            & (F.col("_tus") > F.col("_pus") - F.lit(w)),
+        )
+        .select("pid", "_cents", "tid", "touch_type", "_tus")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("pid").orderBy(
+        F.col("_tus").asc(), F.col("tid").asc()
+    )
+    shared = (
+        hits.withColumn("_rnk", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("pid")))
+        .select(
+            "pid",
+            "touch_type",
+            (
+                F.expr("_cents div _n")
+                + F.when(F.col("_rnk") == 1, F.expr("_cents % _n"))
+                .otherwise(F.lit(0))
+            ).alias("_share"),
+        )
+    )
+    attributed = shared.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.countDistinct("pid").cast("long").alias("purchases"),
+        F.sum("_share").cast("long").alias("attributed_cents"),
+    )
+    untouched = (
+        conv.join(
+            hits.select("pid").distinct(), on="pid", how="left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("purchases"),
+            F.coalesce(F.sum("_cents"), F.lit(0))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .select(
+            F.lit("unattributed").alias("touch_type"),
+            F.lit(0).cast("long").alias("touches"),
+            "purchases",
+            "attributed_cents",
+        )
+    )
+    return attributed.select(
+        "touch_type", "touches", "purchases", "attributed_cents"
+    ).unionByName(untouched)
