@@ -10875,6 +10875,57 @@ SELECT * FROM agg UNION ALL SELECT * FROM untouched
 """
 
 
+_LINKPRED_K = 20
+
+
+def q_part_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction (``graph.link_prediction``):
+    the top-20 part pairs that are NOT co-ordered but share the most
+    co-order neighbours — wedges that never closed, the complement of
+    ``part_triangles``.  Wedge enumeration is apex-keyed with an
+    in-plan max-degree guard (a hub's C(d,2) candidate blow-up is
+    structural, so it fails loudly, never silently); the global top-k
+    is the salted two-phase device under a total order."""
+    from pynomaly_spark.graph import link_prediction
+
+    op = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = op.select(F.col("o"), F.col("p").alias("pa"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = x.join(
+        y, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb"))
+    ).select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return link_prediction(
+        pairs, k=_LINKPRED_K, max_degree=8192
+    ).orderBy("rnk")
+
+
+SQL_PART_LINK_PREDICTION = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+), sym AS (
+  SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e
+), cn AS (
+  SELECT a.n AS x, b.n AS y, CAST(count(*) AS BIGINT) AS common
+  FROM sym a JOIN sym b ON a.z = b.z AND a.n < b.n
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a.n AND e.v = b.n)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT x, y, common,
+         row_number() OVER (ORDER BY common DESC, x ASC, y ASC) AS rnk
+  FROM cn
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, x, y, common
+FROM ranked WHERE rnk <= {_LINKPRED_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11053,6 +11104,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trending": q_events_trending,
     "customer_survival": q_customer_survival,
     "events_attribution": q_events_attribution,
+    "part_link_prediction": q_part_link_prediction,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11245,6 +11297,7 @@ ORACLES: Dict[str, str] = {
     "events_trending": SQL_EVENTS_TRENDING,
     "customer_survival": SQL_CUSTOMER_SURVIVAL,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "part_link_prediction": SQL_PART_LINK_PREDICTION,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -115,3 +115,27 @@ def test_kcore_peel_handchecked_layers(spark):
     assert log4 == [(1, 5, 1)]
     with _pytest.raises(ValueError, match="k must be"):
         kcore_peel(df, k=0)
+
+
+def test_link_prediction_square_and_guard(spark):
+    """Square a-b-c-d-a: the two diagonals (a,c) and (b,d) are the only
+    non-edges, each with two common neighbours; ties break on (x, y)."""
+    from pynomaly_spark.graph import link_prediction
+    import pytest as _pytest
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    df = spark.createDataFrame(square, "src string, dst string")
+    out = [tuple(r) for r in link_prediction(df, k=5).collect()]
+    assert out == [(1, "a", "c", 2), (2, "b", "d", 2)]
+    # existing edges never appear even when they share neighbours
+    tri_plus = square + [("a", "c")]
+    df2 = spark.createDataFrame(tri_plus, "src string, dst string")
+    out2 = [tuple(r) for r in link_prediction(df2, k=5).collect()]
+    assert out2 == [(1, "b", "d", 2)]
+    # hub guard: 'a' has degree 3 in tri_plus -> in-plan raise
+    with _pytest.raises(Exception, match="link_prediction: node degree"):
+        link_prediction(df2, k=5, max_degree=2).collect()
+    with _pytest.raises(ValueError, match="k must be"):
+        link_prediction(df, k=0)
+    with _pytest.raises(ValueError, match="unknown column"):
+        link_prediction(df, src="nope")
