@@ -77,6 +77,8 @@ __all__ = [
     "fd_check",
     "ks_exact",
     "rank_sum_u",
+    "presence_bitmap",
+    "spearman_rho",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -1745,5 +1747,187 @@ def rank_sum_u(
                 / (F.lit(2) * F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("effect"),
+        )
+    )
+
+
+def presence_bitmap(
+    df: DataFrame,
+    key_cols: list,
+    slot_col: str,
+    n_slots: int,
+) -> DataFrame:
+    """Per-key presence bitmap: one BIGINT whose bit ``s`` is set iff
+    the key had at least one row in slot ``s`` — the roaring-bitmap-
+    style coverage fingerprint (hours-of-day seen, weekdays active,
+    shard coverage) that joins, diffs (XOR), and rolls up (OR) as a
+    single integer instead of a distinct-set shuffle.  ``bit_or`` is
+    associative and commutative, so the aggregate map-side combines
+    and the mask is bit-identical on any engine and partitioning.
+
+    ``n_slots`` ≤ 63: bit 63 is the sign bit and DuckDB raises on
+    ``1 << 63``, so masks stay non-negative cross-engine.  A null or
+    out-of-range slot routes to an in-plan ``raise_error`` (a silently
+    wrong mask is worse than a loud failure — the engine's guard
+    discipline).
+
+    Returns ``key_cols…, mask, slots_active, n_rows``.
+
+    Scale (100 TB): ONE keyed aggregate, three map-side-combinable
+    terms; nothing else.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (profiling/sketch family).
+    """
+    if not key_cols:
+        raise ValueError("presence_bitmap: key_cols must be non-empty")
+    for c in list(key_cols) + [slot_col]:
+        if c not in df.columns:
+            raise ValueError(f"presence_bitmap: unknown column {c!r}")
+    if not 1 <= int(n_slots) <= 63:
+        raise ValueError("presence_bitmap: n_slots must be in [1, 63]")
+    s = F.col(slot_col).cast("long")
+    ok = s.isNotNull() & (s >= 0) & (s < int(n_slots))
+    bit = F.when(ok, F.expr(f"shiftleft(1L, cast({slot_col} as int))")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"presence_bitmap: slot outside [0, {int(n_slots)}): "
+                ),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    return (
+        df.select(*key_cols, bit.alias("_bit"))
+        .groupBy(*key_cols)
+        .agg(
+            F.expr("bit_or(_bit)").cast("long").alias("mask"),
+            F.expr("bit_count(bit_or(_bit))").cast("long").alias(
+                "slots_active"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    coarse_width: int = 4096,
+) -> DataFrame:
+    """Spearman rank correlation over two INTEGER-valued columns — the
+    monotone-dependence probe that completes the nonparametric family
+    (:func:`ks_exact` shape, :func:`rank_sum_u` location, Pearson in
+    ``corr_matrix`` linear).  Ties use the midrank convention kept
+    integer by DOUBLING (``dr(v) = 2·|{<v}| + c(v) + 1``), so every
+    moment is an exact integer in decimal(38,0); the single closed-form
+    division happens once, on an IEEE expression tree mirrored verbatim
+    by the SQL twin (decimal→double is round-to-nearest on both
+    engines), then truncates to 6-dp fixed point via ``floor``.
+
+    Returns one row: ``n, n_distinct_x, n_distinct_y, rho_6dp``
+    (``rho_6dp`` is NULL when either column is constant).
+
+    Scale (100 TB): per column, a per-distinct-value count (map-side
+    combined) and the TWO-LEVEL cumulative scan (bucketed local window
+    + broadcast bucket offsets — never a global single-reducer
+    window), one value-keyed join back per column, ONE final moment
+    aggregate.  Identical shape to ``ks_exact``/``rank_sum_u``.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (profiling/statistics family).
+    """
+    if coarse_width < 1:
+        raise ValueError("spearman_rho: coarse_width must be >= 1")
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"spearman_rho: unknown column {c!r}")
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def doubled_midranks(col: str) -> DataFrame:
+        per_v = (
+            base.groupBy(F.col(col).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_bkt", F.expr(f"_v div {int(coarse_width)}"))
+        )
+        w_loc = (
+            Window.partitionBy("_bkt")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = per_v.withColumn(
+            "_lb", F.coalesce(F.sum("_c").over(w_loc), F.lit(0))
+        )
+        totals = per_v.groupBy("_bkt").agg(F.sum("_c").alias("_t"))
+        w_off = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            F.col("_bkt").alias("_ob"),
+            F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+        )
+        return (
+            local.join(F.broadcast(offsets), F.col("_bkt") == F.col("_ob"))
+            .select(
+                "_v",
+                (
+                    F.lit(2) * (F.col("_off") + F.col("_lb"))
+                    + F.col("_c")
+                    + F.lit(1)
+                ).alias("_dr"),
+            )
+        )
+
+    dec = "decimal(38,0)"
+    rx = doubled_midranks("_x").select(
+        F.col("_v").alias("_vx"), F.col("_dr").alias("_drx")
+    )
+    ry = doubled_midranks("_y").select(
+        F.col("_v").alias("_vy"), F.col("_dr").alias("_dry")
+    )
+    j = (
+        base.join(rx, F.col("_x") == F.col("_vx"))
+        .join(ry, F.col("_y") == F.col("_vy"))
+        .select(
+            F.col("_drx").cast(dec).alias("_a"),
+            F.col("_dry").cast(dec).alias("_b"),
+        )
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum("_a").cast(dec).alias("_sx"),
+        F.sum("_b").cast(dec).alias("_sy"),
+        F.sum(F.col("_a") * F.col("_a")).cast(dec).alias("_sxx"),
+        F.sum(F.col("_b") * F.col("_b")).cast(dec).alias("_syy"),
+        F.sum(F.col("_a") * F.col("_b")).cast(dec).alias("_sxy"),
+    )
+    ndx = rx.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_x"))
+    ndy = ry.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_y"))
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(
+            num.cast("double")
+            * F.lit(1000000.0)
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        ),
+    ).cast("long")
+    return (
+        m.crossJoin(F.broadcast(ndx))
+        .crossJoin(F.broadcast(ndy))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            "n_distinct_x",
+            "n_distinct_y",
+            rho.alias("rho_6dp"),
         )
     )

@@ -10926,6 +10926,117 @@ FROM ranked WHERE rnk <= {_LINKPRED_K}
 """
 
 
+def q_events_hour_bitmap(spark, sf_dir):
+    """Hour-of-day presence bitmap per (day, type)
+    (``profiling.presence_bitmap``): 24 hourly presence bits OR-ed
+    into one BIGINT mask + its popcount — the coverage fingerprint
+    that replaces a distinct-hour shuffle with a single associative
+    integer aggregate (map-side combined, bit-identical on any
+    partitioning).  Hour ids come from integer epoch-µs arithmetic,
+    never a float floor."""
+    from pynomaly_spark.profiling import presence_bitmap
+
+    e = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .alias("day"),
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) % 86400000000)"
+                " div 3600000000"
+            ).alias("hr"),
+            "event_type",
+        )
+    )
+    return presence_bitmap(e, ["day", "event_type"], "hr", n_slots=24)
+
+
+SQL_EVENTS_HOUR_BITMAP = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+         event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT day, event_type,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(hr AS INT)) AS BIGINT)
+         AS mask,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(hr AS INT)))
+            AS BIGINT) AS slots_active,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM e GROUP BY day, event_type
+"""
+
+
+def q_lineitem_spearman(spark, sf_dir):
+    """Spearman rank correlation (``profiling.spearman_rho``) between
+    order width (lineitem count) and order value (exact cents total)
+    on the per-order collapsed frame — the monotone-dependence probe
+    completing the KS/MWU/Pearson nonparametric family.  Midranks stay
+    integer by doubling; the two-level scan ranks each measure; the
+    one closed-form division is a mirrored IEEE tree truncated to 6-dp
+    fixed point."""
+    from pynomaly_spark.profiling import spearman_rho
+
+    per_order = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).cast("long").alias("cents"),
+        )
+    )
+    return spearman_rho(per_order, "n_lines", "cents")
+
+
+SQL_LINEITEM_SPEARMAN = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), ranked AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY x)
+              + count(*) OVER (PARTITION BY x) - 1
+              AS DECIMAL(38,0)) AS a,
+         CAST(2 * rank() OVER (ORDER BY y)
+              + count(*) OVER (PARTITION BY y) - 1
+              AS DECIMAL(38,0)) AS b
+  FROM per_order
+), m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(a) AS sx, sum(b) AS sy,
+         sum(a*a) AS sxx, sum(b*b) AS syy, sum(a*b) AS sxy
+  FROM ranked
+), nd AS (
+  SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_distinct_x,
+         CAST(count(DISTINCT y) AS BIGINT) AS n_distinct_y
+  FROM per_order
+)
+SELECT CAST(m.n AS BIGINT) AS n, nd.n_distinct_x, nd.n_distinct_y,
+       CASE WHEN (m.n*m.sxx - m.sx*m.sx) > 0
+             AND (m.n*m.syy - m.sy*m.sy) > 0
+            THEN CAST(FLOOR(CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+                            * 1000000.0
+                            / SQRT(CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE)
+                                   * CAST(m.n*m.syy - m.sy*m.sy
+                                          AS DOUBLE)))
+                      AS BIGINT)
+            ELSE NULL END AS rho_6dp
+FROM m, nd
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11105,6 +11216,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_survival": q_customer_survival,
     "events_attribution": q_events_attribution,
     "part_link_prediction": q_part_link_prediction,
+    "events_hour_bitmap": q_events_hour_bitmap,
+    "lineitem_spearman": q_lineitem_spearman,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11298,6 +11411,8 @@ ORACLES: Dict[str, str] = {
     "customer_survival": SQL_CUSTOMER_SURVIVAL,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "part_link_prediction": SQL_PART_LINK_PREDICTION,
+    "events_hour_bitmap": SQL_EVENTS_HOUR_BITMAP,
+    "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
