@@ -11037,6 +11037,159 @@ FROM m, nd
 """
 
 
+_MRL_DIM = 16
+_MRL_K = 5
+_MRL_NQ = 20
+
+
+def q_emb_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation quality gate: recall@5 (and top-1
+    agreement) of cosine top-k computed on the FIRST 16 dimensions
+    against the full 64-dim baseline — the eval a pipeline runs before
+    shipping truncated embeddings to cut index cost 4×.  Both paths
+    rank by the 6-dp-rounded cosine with an id tiebreak (the engine's
+    rank_round device), so ranks — and therefore the recall counts —
+    are integer-decided cross-engine.  Scale shape: the 20-query side
+    broadcasts; scoring is JVM zip_with/aggregate; per-query top-k is
+    the salted two-phase device (small-input bypass here)."""
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+
+    def topk(prefix_dim):
+        vec = (
+            F.slice(F.col("embedding"), 1, prefix_dim)
+            if prefix_dim
+            else F.col("embedding")
+        )
+        side = emb.select("vec_id", vec.alias("v"))
+        q = side.where(F.col("vec_id") < _MRL_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        pairs = side.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        )
+        dot = F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nq = F.sqrt(
+            F.aggregate(
+                F.transform("qv", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        nv = F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        scored = pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (nq * nv)).alias("_cos"),
+        )
+        from pynomaly_spark.similarity import two_phase_topk
+
+        return two_phase_topk(
+            scored,
+            ["query_id"],
+            [F.round(F.col("_cos"), 6).desc(), F.col("neighbor_id").asc()],
+            _MRL_K,
+            phase1=False,
+        ).select("query_id", "rnk", "neighbor_id")
+
+    full = topk(None)
+    trunc = topk(_MRL_DIM)
+    hits = (
+        full.join(
+            trunc.select("query_id", "neighbor_id"),
+            on=["query_id", "neighbor_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    top1 = (
+        full.where(F.col("rnk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("_f1"))
+        .join(
+            trunc.where(F.col("rnk") == 1).select(
+                "query_id", F.col("neighbor_id").alias("_t1")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            (F.col("_f1") == F.col("_t1")).cast("long").alias("top1_match"),
+        )
+    )
+    base = full.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .join(top1, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(_MRL_K)),
+                6,
+            ).alias("recall_at_5"),
+            F.coalesce(F.col("top1_match"), F.lit(0))
+            .cast("long")
+            .alias("top1_match"),
+        )
+    )
+
+
+SQL_EMB_MRL_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {_MRL_NQ}),
+full_rnk AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, e.embedding), 6)
+                      DESC, e.vec_id ASC) AS rnk
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+  WHERE rnk <= {_MRL_K}
+), trunc_rnk AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(
+                        q.qv[1:{_MRL_DIM}],
+                        e.embedding[1:{_MRL_DIM}]), 6)
+                      DESC, e.vec_id ASC) AS rnk
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+  WHERE rnk <= {_MRL_K}
+), hits AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM full_rnk f JOIN trunc_rnk t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY 1
+), top1 AS (
+  SELECT f.query_id,
+         CAST(CASE WHEN f.neighbor_id = t.neighbor_id THEN 1 ELSE 0 END
+              AS BIGINT) AS top1_match
+  FROM full_rnk f JOIN trunc_rnk t ON t.query_id = f.query_id
+  WHERE f.rnk = 1 AND t.rnk = 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(h.hits, 0) / {float(_MRL_K)}, 6) AS recall_at_5,
+       CAST(coalesce(t.top1_match, 0) AS BIGINT) AS top1_match
+FROM (SELECT DISTINCT query_id FROM full_rnk) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+LEFT JOIN top1 t ON t.query_id = q.query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11218,6 +11371,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_link_prediction": q_part_link_prediction,
     "events_hour_bitmap": q_events_hour_bitmap,
     "lineitem_spearman": q_lineitem_spearman,
+    "emb_mrl_recall": q_emb_mrl_recall,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11413,6 +11567,7 @@ ORACLES: Dict[str, str] = {
     "part_link_prediction": SQL_PART_LINK_PREDICTION,
     "events_hour_bitmap": SQL_EVENTS_HOUR_BITMAP,
     "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
+    "emb_mrl_recall": SQL_EMB_MRL_RECALL,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
