@@ -11190,6 +11190,102 @@ LEFT JOIN top1 t ON t.query_id = q.query_id
 """
 
 
+def q_lineitem_pchart(spark, sf_dir):
+    """Shewhart p-chart (``profiling.p_chart``) over the weekly
+    return-flag proportion — SPC monitoring of a violation rate.  The
+    out-of-control verdict is INTEGER-decided (cross-multiplied
+    decimal(38,0), no sqrt/float anywhere), k = 2 binomial sigmas —
+    probed on this data the way seasonal_outliers was: k = 3 flags
+    ZERO weeks at either sf (uniform synthetic rates), k = 2 flags
+    15-16, so the gate is exercised non-degenerately."""
+    from pynomaly_spark.profiling import p_chart
+
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_shipdate").isNotNull() & F.col("l_returnflag").isNotNull()
+        )
+        .select(
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp))"
+                " div 604800000000"
+            ).alias("wk"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+        )
+    )
+    return p_chart(li, "wk", "ret", k_num=2, k_den=1)
+
+
+SQL_LINEITEM_PCHART = """
+WITH w AS (
+  SELECT epoch_us(l_shipdate) // 604800000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(hits) AS BIGINT) AS tr
+  FROM w
+)
+SELECT bucket, n, hits,
+       CAST((hits * 1000000) // n AS BIGINT) AS rate_6dp,
+       CAST(CASE WHEN
+             (CAST(hits AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))
+              - CAST(tr AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+             * (CAST(hits AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))
+                - CAST(tr AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+             > CAST(4 AS DECIMAL(38,0)) * CAST(tr AS DECIMAL(38,0))
+               * (CAST(tn AS DECIMAL(38,0)) - CAST(tr AS DECIMAL(38,0)))
+               * CAST(n AS DECIMAL(38,0))
+           THEN 1 ELSE 0 END AS BIGINT) AS flag,
+       CAST((tr * 1000000) // tn AS BIGINT) AS pooled_rate_6dp
+FROM w, tot
+"""
+
+
+def q_events_markov_acc(spark, sf_dir):
+    """Top-1 next-event predictor accuracy
+    (``sequences.markov_accuracy``): the first-order Markov argmax
+    evaluated against its OWN transition matrix — correct/total per
+    previous state fall straight out of the aggregated cells, so the
+    eval costs zero extra passes over the events.  Accuracy near the
+    1/|types| chance rate (as here, ~0.21 over 5 uniform synthetic
+    types) is exactly the signal the gate exists to surface."""
+    from pynomaly_spark.sequences import markov_accuracy
+
+    return markov_accuracy(
+        _tbl(spark, sf_dir, "events"), "user_id", "ts", "event_type"
+    )
+
+
+SQL_EVENTS_MARKOV_ACC = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), tc AS (
+  SELECT event_type AS prev_state, nxt AS curr_state,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT prev_state, curr_state, n_pair,
+         CAST(sum(n_pair) OVER (PARTITION BY prev_state) AS BIGINT)
+           AS n_prev,
+         row_number() OVER (PARTITION BY prev_state
+                            ORDER BY n_pair DESC, curr_state ASC) AS rn
+  FROM tc
+)
+SELECT prev_state, curr_state AS predicted, n_pair AS correct,
+       n_prev AS total,
+       CAST((n_pair * 1000000) // n_prev AS BIGINT) AS acc_6dp
+FROM tot WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11372,6 +11468,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hour_bitmap": q_events_hour_bitmap,
     "lineitem_spearman": q_lineitem_spearman,
     "emb_mrl_recall": q_emb_mrl_recall,
+    "lineitem_pchart": q_lineitem_pchart,
+    "events_markov_acc": q_events_markov_acc,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11568,6 +11666,8 @@ ORACLES: Dict[str, str] = {
     "events_hour_bitmap": SQL_EVENTS_HOUR_BITMAP,
     "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
     "emb_mrl_recall": SQL_EMB_MRL_RECALL,
+    "lineitem_pchart": SQL_LINEITEM_PCHART,
+    "events_markov_acc": SQL_EVENTS_MARKOV_ACC,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

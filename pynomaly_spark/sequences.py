@@ -47,6 +47,7 @@ __all__ = [
     "acf",
     "cooccurrence_pairs",
     "linear_attribution",
+    "markov_accuracy",
 ]
 
 
@@ -533,3 +534,49 @@ def linear_attribution(
     return attributed.select(
         "touch_type", "touches", "purchases", "attributed_cents"
     ).unionByName(untouched)
+
+
+def markov_accuracy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-1 next-state predictor accuracy of the first-order Markov
+    model — the eval that tells a pipeline whether sequence context
+    carries signal (accuracy ≈ the majority-class rate means it does
+    not).  In-sample by construction: the predictor is the argmax row
+    of :func:`transition_counts`, and because that matrix already
+    aggregates every adjacent pair, its own cells ARE the evaluation —
+    ``correct = n_pair(prev, argmax)``, ``total = n_prev`` — so the
+    whole eval costs ZERO extra passes over the events.
+
+    Returns ``prev_state, predicted, correct, total, acc_6dp`` with the
+    accuracy in truncating 6-dp fixed point (``div`` — integer-decided
+    cross-engine).  Argmax ties break ``(n_pair DESC, curr ASC)``.
+
+    Scale (100 TB): exactly :func:`transition_counts`' cost (one
+    entity-keyed lag shuffle + one ≤|S|²-row aggregate); the argmax
+    window runs on the collapsed control-plane frame only.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (sequence-analytics family).
+    """
+    tc = transition_counts(df, key_col, ts_col, state_col, tiebreak_col)
+    w = Window.partitionBy("prev_state").orderBy(
+        F.col("n_pair").desc(), F.col("curr_state").asc()
+    )
+    return (
+        tc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "prev_state",
+            F.col("curr_state").alias("predicted"),
+            F.col("n_pair").cast("long").alias("correct"),
+            F.col("n_prev").cast("long").alias("total"),
+            F.expr("(n_pair * 1000000L) div n_prev")
+            .cast("long")
+            .alias("acc_6dp"),
+        )
+    )
