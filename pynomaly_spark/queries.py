@@ -11286,6 +11286,60 @@ FROM tot WHERE rn = 1
 """
 
 
+def q_doc_w1_drift(spark, sf_dir):
+    """Grid Wasserstein-1 drift (``psi.histogram_w1``): the earth-mover
+    distance between each lang's text-length CDF and the pooled corpus
+    CDF on the same 32-edge grid as ``doc_ks_drift`` — the third drift
+    lens (PSI = density ratios, KS = largest gap, W1 = integrated
+    gap).  Fully INTEGER-decided: cross-multiplied cumulative counts,
+    one final truncating decimal ``div`` — bit-identical cross-engine
+    with no IEEE mirroring needed at all."""
+    from pynomaly_spark.psi import histogram_w1
+
+    d = _doc(spark, sf_dir).select(
+        "lang", F.length("text").alias("text_len")
+    )
+    return histogram_w1(
+        d, "text_len", "lang", n_bins=_KS_BINS, bin_width=_KS_WIDTH
+    )
+
+
+def _w1_sql(n_bins: int = _KS_BINS, width: float = _KS_WIDTH) -> str:
+    last = n_bins - 1
+    cum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bin <= {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i in range(n_bins)
+    )
+    num = "\n           + ".join(
+        f"ABS(CAST(p.c{i} AS HUGEINT) * g.c{last}"
+        f" - CAST(g.c{i} AS HUGEINT) * p.c{last})"
+        for i in range(n_bins)
+    )
+    return f"""
+WITH obs AS (
+  SELECT lang,
+         greatest(0, least({last},
+           CAST(floor(CAST(length(text) AS DOUBLE) / {width}) AS INT)))
+           AS bin
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT lang,
+         {cum}
+  FROM obs GROUP BY lang
+), g AS (
+  SELECT {cum}
+  FROM obs
+)
+SELECT p.lang, CAST(p.c{last} AS BIGINT) AS n_rows,
+       CAST({num} AS BIGINT) AS w1_num,
+       CAST((({num}) * 1000000)
+            // (CAST(p.c{last} AS HUGEINT) * g.c{last}) AS BIGINT)
+         AS w1_bins_6dp
+FROM p, g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11470,6 +11524,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_mrl_recall": q_emb_mrl_recall,
     "lineitem_pchart": q_lineitem_pchart,
     "events_markov_acc": q_events_markov_acc,
+    "doc_w1_drift": q_doc_w1_drift,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11668,6 +11723,7 @@ ORACLES: Dict[str, str] = {
     "emb_mrl_recall": SQL_EMB_MRL_RECALL,
     "lineitem_pchart": SQL_LINEITEM_PCHART,
     "events_markov_acc": SQL_EVENTS_MARKOV_ACC,
+    "doc_w1_drift": _w1_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

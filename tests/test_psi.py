@@ -154,3 +154,34 @@ class TestHistogramKs:
             histogram_ks(df, "x", "part", n_bins=1)
         with pytest.raises(ValueError):
             histogram_ks(df, "x", "part", bin_width=0)
+
+
+def test_histogram_w1_integer_exact(spark):
+    """Hand value: partition a = [5, 25] (bins 0,1), b = [45, 45]
+    (bin 2, twice), pooled = all four.  With n_bins=4, width=20:
+    cum_a = [1,2,2,2], cum_b = [0,0,2,2], pooled = [1,2,4,4].
+    a: |1*4-1*2| + |2*4-2*2| + |2*4-4*2| + 0 = 2+4+0+0 = 6
+    b: |0*4-1*2| + |0*4-2*2| + |2*4-4*2| + 0 = 2+4+0+0 = 6
+    w1_bins_6dp = (6*1e6) div (2*4) = 750000 (0.75 bin widths)."""
+    from pynomaly_spark.psi import histogram_w1
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 25.0), ("b", 45.0), ("b", 45.0)],
+        "part string, v double",
+    )
+    out = {
+        r["part"]: r.asDict()
+        for r in histogram_w1(df, "v", "part", n_bins=4, bin_width=20.0).collect()
+    }
+    assert out["a"]["w1_num"] == 6 and out["b"]["w1_num"] == 6
+    assert out["a"]["w1_bins_6dp"] == 750000
+    assert out["a"]["n_rows"] == 2
+    # identical distribution -> exactly zero (integer, not epsilon)
+    same = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "part string, v double"
+    )
+    outs = histogram_w1(same, "v", "part", n_bins=4, bin_width=20.0).collect()
+    assert all(r["w1_num"] == 0 and r["w1_bins_6dp"] == 0 for r in outs)
+    with _pytest.raises(ValueError, match="n_bins"):
+        histogram_w1(df, "v", "part", n_bins=1)
