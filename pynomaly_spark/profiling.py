@@ -80,6 +80,7 @@ __all__ = [
     "presence_bitmap",
     "spearman_rho",
     "p_chart",
+    "fd_repair",
 ]
 
 _KMV_BITS = 48  # md5-prefix hash width: 12 hex chars = 48 bits, exact in
@@ -2010,3 +2011,80 @@ def p_chart(
         .cast("long")
         .alias("pooled_rate_6dp"),
     )
+
+
+def fd_repair(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_cols: Sequence[str],
+    max_suggestions: int = 1000,
+) -> DataFrame:
+    """Repair suggestions for :func:`fd_check` violations: for every
+    lhs key mapping to >1 distinct rhs, the MAJORITY rhs (most rows;
+    ties break on the lexicographically smallest rendered rhs) plus
+    its vote share — the deterministic survivorship rule a cleaning
+    pipeline applies (or routes to review when confidence is low).
+
+    Returns per violating key: ``lhs…, suggested_rhs, votes, n_rows,
+    n_distinct_rhs, confidence_6dp`` (``votes·10⁶ div n_rows``,
+    truncating — integer-decided).  Capped at ``max_suggestions`` by
+    ``(n_distinct_rhs DESC, votes ASC, lhs ASC)`` via the salted
+    two-phase top-k — the most ambiguous keys first, exactly the ones
+    a human reviews.
+
+    The majority pick is ``min_by`` over the struct ``(−count,
+    rendered_rhs)`` — the ``dedup.golden_records`` survivorship
+    device: one aggregate, NO window over the key (a hot key's
+    variants would funnel through one task).
+
+    Scale (100 TB): identical shape to ``fd_check`` — one (lhs, rhs)
+    collapsed aggregate (map-side combine eats agreeing duplicates) +
+    one lhs aggregate on the collapsed frame + the capped top-k.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (constraint-repair family).
+    """
+    lhs, rhs = list(lhs_cols), list(rhs_cols)
+    missing = [c for c in lhs + rhs if c not in df.columns]
+    if missing:
+        raise ValueError(f"fd_repair: unknown columns {missing}")
+    if not lhs or not rhs:
+        raise ValueError("fd_repair: lhs and rhs must be non-empty")
+    base = df
+    for c in lhs:
+        base = base.where(F.col(c).isNotNull())
+    pairs = base.groupBy(*lhs, *rhs).agg(
+        F.count(F.lit(1)).cast("long").alias("_pair_n")
+    )
+    rhs_str = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in rhs]
+    )
+    sel = F.struct((-F.col("_pair_n")).alias("_neg"), rhs_str.alias("_s"))
+    per_key = (
+        pairs.withColumn("_rhs_s", rhs_str)
+        .groupBy(*lhs)
+        .agg(
+            F.min_by(F.col("_rhs_s"), sel).alias("suggested_rhs"),
+            F.min_by(F.col("_pair_n"), sel).cast("long").alias("votes"),
+            F.sum("_pair_n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_rhs"),
+        )
+        .where(F.col("n_distinct_rhs") > 1)
+        .withColumn(
+            "confidence_6dp",
+            F.expr("(votes * 1000000L) div n_rows").cast("long"),
+        )
+    )
+    from .similarity import two_phase_topk
+
+    return two_phase_topk(
+        per_key,
+        [],
+        [
+            F.col("n_distinct_rhs").desc(),
+            F.col("votes").asc(),
+            *[F.col(c).asc() for c in lhs],
+        ],
+        max_suggestions,
+        rank_col="_fr_rn",
+    ).drop("_fr_rn")

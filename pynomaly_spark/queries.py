@@ -11340,6 +11340,51 @@ FROM p, g
 """
 
 
+def q_lineitem_fd_repair(spark, sf_dir):
+    """Repair suggestions (``profiling.fd_repair``) for the
+    ``l_partkey → l_suppkey`` FD that ``lineitem_fd`` reports broken:
+    per violating part, the majority supplier (min_by over
+    ``(−count, rhs)`` — the golden-records survivorship device, NO
+    per-key window) with its integer-decided vote confidence; capped
+    at the most ambiguous keys via the salted two-phase top-k."""
+    from pynomaly_spark.profiling import fd_repair
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return fd_repair(
+        li, ["l_partkey"], ["l_suppkey"], max_suggestions=_FD_CAP
+    )
+
+
+SQL_LINEITEM_FD_REPAIR = f"""
+WITH pairs AS (
+  SELECT l_partkey, CAST(l_suppkey AS VARCHAR) AS rhs_s,
+         CAST(count(*) AS BIGINT) AS pn
+  FROM lineitem WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2
+), picked AS (
+  SELECT l_partkey, rhs_s, pn,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY pn DESC, rhs_s ASC) AS rn,
+         CAST(sum(pn) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_rows,
+         CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+           AS n_distinct_rhs
+  FROM pairs
+), per_key AS (
+  SELECT l_partkey, rhs_s AS suggested_rhs, pn AS votes, n_rows,
+         n_distinct_rhs,
+         CAST((pn * 1000000) // n_rows AS BIGINT) AS confidence_6dp
+  FROM picked WHERE rn = 1 AND n_distinct_rhs > 1
+), capped AS (
+  SELECT *, row_number() OVER (ORDER BY n_distinct_rhs DESC, votes ASC,
+                               l_partkey ASC) AS crn
+  FROM per_key
+)
+SELECT l_partkey, suggested_rhs, votes, n_rows, n_distinct_rhs,
+       confidence_6dp
+FROM capped WHERE crn <= {_FD_CAP}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11525,6 +11570,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pchart": q_lineitem_pchart,
     "events_markov_acc": q_events_markov_acc,
     "doc_w1_drift": q_doc_w1_drift,
+    "lineitem_fd_repair": q_lineitem_fd_repair,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11724,6 +11770,7 @@ ORACLES: Dict[str, str] = {
     "lineitem_pchart": SQL_LINEITEM_PCHART,
     "events_markov_acc": SQL_EVENTS_MARKOV_ACC,
     "doc_w1_drift": _w1_sql(),
+    "lineitem_fd_repair": SQL_LINEITEM_FD_REPAIR,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

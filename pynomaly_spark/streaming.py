@@ -58,6 +58,7 @@ __all__ = [
     "streaming_ols_moments",
     "streaming_hll",
     "streaming_qhist",
+    "streaming_bitmap",
 ]
 
 
@@ -759,3 +760,31 @@ def streaming_qhist(
         .groupBy(*group_cols, "qbin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def streaming_bitmap(
+    stream_df: DataFrame,
+    key_cols,
+    slot_col: str,
+    n_slots: int,
+) -> DataFrame:
+    """Continuously-maintained presence bitmap per key — the streaming
+    analog of :func:`pynomaly_spark.profiling.presence_bitmap`
+    (identical output columns; the batch operator over the landed
+    history is the parity oracle).
+
+    ``bit_or`` is what makes the bitmap the canonical streaming
+    coverage monitor: each micro-batch's masks merge into the state by
+    OR, re-seeing a slot is a no-op (idempotent — exactly-once NOT
+    required for mask correctness), and the state is ONE BIGINT per
+    key regardless of stream length.  No watermark — coverage is a
+    total-history aggregate (there is no "too late" presence).  Run in
+    update/complete mode; diff two snapshots with XOR to see coverage
+    gained between checkpoints.
+
+    (``n_rows`` in the shared output is an exact add-merged count and
+    does need effectively-once delivery — the masks do not.)
+    """
+    from .profiling import presence_bitmap
+
+    return presence_bitmap(stream_df, list(key_cols), slot_col, n_slots)

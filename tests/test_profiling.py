@@ -693,3 +693,32 @@ def test_rank_sum_u_matches_literal_python_with_ties(spark):
     hi = spark.createDataFrame([(100,), (101,)], "v long")
     assert rank_sum_u(hi, b, "v").collect()[0]["effect"] == 1.0
     assert rank_sum_u(a, a, "v").collect()[0]["effect"] == 0.5
+
+
+def test_fd_repair_majority_and_tiebreak(spark):
+    """Majority rhs wins; equal counts break on the smaller rendered
+    rhs; clean keys emit nothing; confidence is truncating 6-dp."""
+    from pynomaly_spark.profiling import fd_repair
+    import pytest as _pytest
+
+    rows = (
+        # key 1: supplier 9 x2, supplier 5 x1 -> suggest 9, conf 2/3
+        [(1, 9)] * 2 + [(1, 5)]
+        # key 2: tie 1-1 -> smaller rendered rhs ("3") wins
+        + [(2, 3), (2, 7)]
+        # key 3: clean (single rhs) -> absent
+        + [(3, 4)] * 3
+    )
+    df = spark.createDataFrame(rows, "k long, s long")
+    out = {
+        r["k"]: r.asDict()
+        for r in fd_repair(df, ["k"], ["s"]).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["suggested_rhs"] == "9" and out[1]["votes"] == 2
+    assert out[1]["n_rows"] == 3 and out[1]["confidence_6dp"] == 666666
+    assert out[2]["suggested_rhs"] == "3" and out[2]["votes"] == 1
+    with _pytest.raises(ValueError, match="unknown columns"):
+        fd_repair(df, ["k"], ["nope"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        fd_repair(df, [], ["s"])

@@ -805,3 +805,46 @@ def test_streaming_qhist_matches_batch(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown columns"):
         streaming_qhist(ev, ["nope"], "cents")
+
+
+def test_streaming_bitmap_matches_batch(spark, tmp_path):
+    """Streaming presence bitmap: the complete-mode mask table over the
+    replayed stream equals profiling.presence_bitmap over the landed
+    history, mask for mask (bit_or merges across micro-batches)."""
+    from pynomaly_spark.profiling import presence_bitmap
+    from pynomaly_spark.streaming import streaming_bitmap
+    from pyspark.sql import functions as SF
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where("ts IS NOT NULL AND event_type IS NOT NULL")
+        .select(
+            "event_type",
+            SF.expr(
+                "(unix_micros(cast(ts as timestamp)) % 86400000000)"
+                " div 3600000000"
+            ).alias("hr"),
+        )
+    )
+    in_dir = str(tmp_path / "bm_in")
+    ev.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_bitmap(stream, ["event_type"], "hr", n_slots=24)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bm_masks")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM bm_masks").collect()))
+    want = sorted(
+        map(
+            tuple,
+            presence_bitmap(ev, ["event_type"], "hr", n_slots=24).collect(),
+        )
+    )
+    assert len(got) > 0 and got == want
