@@ -11385,6 +11385,176 @@ FROM capped WHERE crn <= {_FD_CAP}
 """
 
 
+_MHF_P, _MHF_B, _MHF_R = 16, 4, 4  # perms, bands, rows per band
+_MHF_MAXID = 300
+
+
+def q_doc_minhash_fidelity(spark, sf_dir):
+    """MinHash calibration audit: for every LSH candidate pair, the
+    signature-agreement estimate (``agree/P``) against the EXACT word
+    Jaccard, rolled up per agreement count — the est-vs-truth curve
+    that tells a dedup pipeline what a band match actually means
+    (monotone mean_true rising to 1.0 at agree = P on this corpus).
+    The sketch-audit sibling of ``lineitem_qhist_audit`` /
+    ``emb_ann_recall``: every sketch the engine ships gets an
+    in-engine fidelity check.  md5-keyed signatures so the twin
+    recomputes them bit-for-bit (the scale path swaps in xxhash64 —
+    same plan); truth is integer-decided 6-dp fixed point; the only
+    joins are band-bucket and candidate-keyed — never all-pairs."""
+    P, B, R = _MHF_P, _MHF_B, _MHF_R
+    w2 = (
+        _doc(spark, sf_dir)
+        .where((F.col("doc_id") < _MHF_MAXID) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sig = w2.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("w")))).alias(
+                f"h{k}"
+            )
+            for k in range(P)
+        ]
+    )
+    nb = w2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * R + r}") for r in range(R)],
+                    F.lit(f":{b}"),
+                )
+            )
+            for b in range(B)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bh"))
+    pairs = (
+        banded.join(
+            banded.select(
+                F.col("doc_id").alias("_id2"), F.col("bh").alias("_bh2")
+            ),
+            (F.col("bh") == F.col("_bh2"))
+            & (F.col("doc_id") < F.col("_id2")),
+        )
+        .select(F.col("doc_id").alias("id_a"), F.col("_id2").alias("id_b"))
+        .distinct()
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("_sb_id"),
+        *[F.col(f"h{k}").alias(f"_hb{k}") for k in range(P)],
+    )
+    agree_expr = sum(
+        (F.col(f"h{k}") == F.col(f"_hb{k}")).cast("int") for k in range(P)
+    )
+    scored = (
+        pairs.join(sig, F.col("id_a") == F.col("doc_id"))
+        .join(sig_b, F.col("id_b") == F.col("_sb_id"))
+        .select("id_a", "id_b", agree_expr.cast("long").alias("agree"))
+    )
+    wa = w2.select(F.col("doc_id").alias("_wa_id"), F.col("w").alias("_wa"))
+    wb = w2.select(F.col("doc_id").alias("_wb_id"), F.col("w").alias("_wb"))
+    inter = (
+        pairs.join(wa, F.col("id_a") == F.col("_wa_id"))
+        .join(
+            wb,
+            (F.col("id_b") == F.col("_wb_id"))
+            & (F.col("_wb") == F.col("_wa")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    na = nb.select(F.col("doc_id").alias("_na_id"), F.col("nw").alias("_na"))
+    nbb = nb.select(F.col("doc_id").alias("_nb_id"), F.col("nw").alias("_nb"))
+    per_pair = (
+        scored.join(inter, ["id_a", "id_b"], "left")
+        .join(na, F.col("id_a") == F.col("_na_id"))
+        .join(nbb, F.col("id_b") == F.col("_nb_id"))
+        .select(
+            "agree",
+            F.expr(
+                "(coalesce(_i, 0L) * 1000000L)"
+                " div (_na + _nb - coalesce(_i, 0L))"
+            ).alias("true_6dp"),
+        )
+    )
+    return per_pair.groupBy("agree").agg(
+        F.expr(f"(max(agree) * 1000000L) div {P}")
+        .cast("long")
+        .alias("est_6dp"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(true_6dp) div count(1)")
+        .cast("long")
+        .alias("mean_true_6dp"),
+        F.min("true_6dp").cast("long").alias("min_true_6dp"),
+        F.max("true_6dp").cast("long").alias("max_true_6dp"),
+    )
+
+
+def _minhash_fidelity_sql() -> str:
+    P, B, R = _MHF_P, _MHF_B, _MHF_R
+    sig_cols = ",\n    ".join(
+        f"min(md5('{k}:' || w)) AS h{k}" for k in range(P)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"h{b * R + r}" for r in range(R))
+        + f" || ':{b}') AS b{b}"
+        for b in range(B)
+    )
+    band_list = ", ".join(f"b{b}" for b in range(B))
+    agree = " + ".join(
+        f"CASE WHEN a.h{k} = bb.h{k} THEN 1 ELSE 0 END" for k in range(P)
+    )
+    return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents WHERE doc_id < {_MHF_MAXID} AND text IS NOT NULL
+), w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM w2 GROUP BY doc_id
+), nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM w2 GROUP BY 1),
+banded AS (
+  SELECT doc_id, {band_exprs} FROM sig
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM (SELECT doc_id, unnest([{band_list}]) AS bh FROM banded) x
+  JOIN (SELECT doc_id, unnest([{band_list}]) AS bh FROM banded) y
+    ON x.bh = y.bh AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT p.id_a, p.id_b, CAST({agree} AS BIGINT) AS agree
+  FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig bb ON bb.doc_id = p.id_b
+), inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM pairs p JOIN w2 wa ON wa.doc_id = p.id_a
+  JOIN w2 wb ON wb.doc_id = p.id_b AND wb.w = wa.w
+  GROUP BY 1, 2
+), per_pair AS (
+  SELECT s.agree,
+         CAST((coalesce(i.i, 0) * 1000000)
+              // (na.nw + nbb.nw - coalesce(i.i, 0)) AS BIGINT)
+           AS true_6dp
+  FROM scored s
+  LEFT JOIN inter i ON i.id_a = s.id_a AND i.id_b = s.id_b
+  JOIN nb na ON na.doc_id = s.id_a
+  JOIN nb nbb ON nbb.doc_id = s.id_b
+)
+SELECT agree, CAST((agree * 1000000) // {P} AS BIGINT) AS est_6dp,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(true_6dp) // count(*) AS BIGINT) AS mean_true_6dp,
+       CAST(min(true_6dp) AS BIGINT) AS min_true_6dp,
+       CAST(max(true_6dp) AS BIGINT) AS max_true_6dp
+FROM per_pair GROUP BY agree
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11571,6 +11741,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_acc": q_events_markov_acc,
     "doc_w1_drift": q_doc_w1_drift,
     "lineitem_fd_repair": q_lineitem_fd_repair,
+    "doc_minhash_fidelity": q_doc_minhash_fidelity,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11771,6 +11942,7 @@ ORACLES: Dict[str, str] = {
     "events_markov_acc": SQL_EVENTS_MARKOV_ACC,
     "doc_w1_drift": _w1_sql(),
     "lineitem_fd_repair": SQL_LINEITEM_FD_REPAIR,
+    "doc_minhash_fidelity": _minhash_fidelity_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,
