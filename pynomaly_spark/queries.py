@@ -11555,6 +11555,155 @@ FROM per_pair GROUP BY agree
 """
 
 
+def q_part_assortativity(spark, sf_dir):
+    """Degree assortativity (``graph.degree_assortativity``) of the
+    co-order part graph — the one-row topology fingerprint ("do hubs
+    link to hubs?") tracked across snapshots; ≈0 here, the honest
+    value for random co-occurrence.  Exact decimal moments, one
+    mirrored IEEE division, 6-dp truncation."""
+    from pynomaly_spark.graph import degree_assortativity
+
+    op = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = op.select(F.col("o"), F.col("p").alias("pa"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = x.join(
+        y, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb"))
+    ).select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return degree_assortativity(pairs)
+
+
+SQL_PART_ASSORTATIVITY = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e
+  ) t GROUP BY 1
+), de AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+), m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(y*y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy
+  FROM de
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT CAST(m.n / 2 AS BIGINT) AS n_edges, nn.n_nodes,
+       CASE WHEN (m.n*m.sxx - m.sx*m.sx) > 0
+             AND (m.n*m.syy - m.sy*m.sy) > 0
+            THEN CAST(FLOOR(CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+                            * 1000000.0
+                            / SQRT(CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE)
+                                   * CAST(m.n*m.syy - m.sy*m.sy
+                                          AS DOUBLE)))
+                      AS BIGINT)
+            ELSE NULL END AS r_6dp
+FROM m, nn
+"""
+
+
+def q_customer_gap_forecast(spark, sf_dir):
+    """Inter-order gap forecast BACKTEST: per customer (≥4 distinct
+    order days) the train-median gap predicts the held-out LAST gap;
+    one row compares the median predictor's MAE against the naive
+    last-gap predictor (median wins on this data, ~183 vs ~240 days) —
+    the minimal honest forecasting eval before anyone ships a churn
+    ETA.  Per-customer histories are small, so the sort/median is an
+    in-row array expression after ONE entity-keyed collapse; every
+    error and both MAEs are exact integers (6-dp truncating div)."""
+    act = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    days = act.groupBy("c").agg(
+        F.array_sort(F.collect_list("day")).alias("dl")
+    )
+    sp = (
+        days.where(F.size("dl") >= 4)
+        .select(
+            F.expr(
+                "zip_with(slice(dl, 2, size(dl)-1),"
+                " slice(dl, 1, size(dl)-1), (a, b) -> a - b)"
+            ).alias("gaps")
+        )
+        .select(
+            F.expr("array_sort(slice(gaps, 1, size(gaps)-1))").alias(
+                "train"
+            ),
+            F.expr("element_at(gaps, size(gaps))").alias("actual"),
+            F.expr("element_at(gaps, size(gaps)-1)").alias("naive"),
+        )
+        .select(
+            F.expr(
+                "element_at(train, cast((size(train)+1) div 2 as int))"
+            ).alias("med"),
+            "actual",
+            "naive",
+        )
+    )
+    return sp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.abs(F.col("med") - F.col("actual")))
+        .cast("long")
+        .alias("med_abs_days"),
+        F.expr(
+            "(sum(abs(med - actual)) * 1000000L) div count(1)"
+        ).cast("long").alias("mae_med_6dp"),
+        F.expr(
+            "(sum(abs(naive - actual)) * 1000000L) div count(1)"
+        ).cast("long").alias("mae_naive_6dp"),
+    )
+
+
+SQL_CUSTOMER_GAP_FORECAST = """
+WITH act AS (
+  SELECT DISTINCT o_custkey AS c,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), days AS (
+  SELECT c, list_sort(list(day)) AS dl FROM act GROUP BY c
+), g AS (
+  SELECT c, [dl[i+1] - dl[i] FOR i IN range(1, len(dl))] AS gaps
+  FROM days WHERE len(dl) >= 4
+), sp AS (
+  SELECT list_sort(gaps[1:len(gaps)-1]) AS train,
+         gaps[len(gaps)] AS actual,
+         gaps[len(gaps)-1] AS naive
+  FROM g
+), m AS (
+  SELECT train[(len(train)+1)//2] AS med, actual, naive FROM sp
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(abs(med - actual)) AS BIGINT) AS med_abs_days,
+       CAST((sum(abs(med - actual)) * 1000000) // count(*) AS BIGINT)
+         AS mae_med_6dp,
+       CAST((sum(abs(naive - actual)) * 1000000) // count(*) AS BIGINT)
+         AS mae_naive_6dp
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11742,6 +11891,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_w1_drift": q_doc_w1_drift,
     "lineitem_fd_repair": q_lineitem_fd_repair,
     "doc_minhash_fidelity": q_doc_minhash_fidelity,
+    "part_assortativity": q_part_assortativity,
+    "customer_gap_forecast": q_customer_gap_forecast,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -11943,6 +12094,8 @@ ORACLES: Dict[str, str] = {
     "doc_w1_drift": _w1_sql(),
     "lineitem_fd_repair": SQL_LINEITEM_FD_REPAIR,
     "doc_minhash_fidelity": _minhash_fidelity_sql(),
+    "part_assortativity": SQL_PART_ASSORTATIVITY,
+    "customer_gap_forecast": SQL_CUSTOMER_GAP_FORECAST,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -139,3 +139,22 @@ def test_link_prediction_square_and_guard(spark):
         link_prediction(df, k=0)
     with _pytest.raises(ValueError, match="unknown column"):
         link_prediction(df, src="nope")
+
+
+def test_degree_assortativity_star_vs_uniform(spark):
+    """A star graph is maximally disassortative: every edge joins the
+    hub (deg n-1) to a leaf (deg 1), so with >=3 leaves the endpoint
+    degrees are perfectly anti-correlated -> r = -1 exactly."""
+    from pynomaly_spark.graph import degree_assortativity
+    import pytest as _pytest
+
+    star = [("h", leaf) for leaf in ["a", "b", "c", "d"]]
+    df = spark.createDataFrame(star, "src string, dst string")
+    row = degree_assortativity(df).collect()[0]
+    assert row["n_edges"] == 4 and row["n_nodes"] == 5
+    assert row["r_6dp"] == -1000000
+    # a single edge: both endpoints degree 1 -> zero variance -> NULL
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert degree_assortativity(one).collect()[0]["r_6dp"] is None
+    with _pytest.raises(ValueError, match="unknown column"):
+        degree_assortativity(df, src="nope")

@@ -56,3 +56,30 @@ def test_km_nulls_dropped_and_unknown_column_raises(spark):
     assert [(r["t"], r["events"], r["censored"]) for r in out] == [(3, 1, 0)]
     with pytest.raises(ValueError, match="unknown column"):
         km_table(_frame(spark, rows), "nope", "ts")
+
+
+def test_gap_forecast_hand_values(spark, tmp_path):
+    """Single customer, order days [0, 3, 10, 11, 30]: gaps [3,7,1,19],
+    train sorted [1,3,7], median 3, actual 19, naive 1 -> med abs err
+    16, naive abs err 18."""
+    import datetime as dt
+
+    from pynomaly_spark.queries import QUERIES
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=d), 7, 1.0, dt.datetime(2020, 6, 1))
+        for d in [0, 3, 10, 11, 30]
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate timestamp, o_custkey long, "
+        "o_totalprice double, _pad timestamp",
+    ).drop("_pad")
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    out = QUERIES["customer_gap_forecast"](spark, sf_dir).collect()[0]
+    assert out["n_customers"] == 1
+    assert out["med_abs_days"] == 16
+    assert out["mae_med_6dp"] == 16_000_000
+    assert out["mae_naive_6dp"] == 18_000_000
