@@ -11704,6 +11704,63 @@ FROM m
 """
 
 
+def q_doc_sample_audit(spark, sf_dir):
+    """Representativeness audit (``sampling.sample_bias_audit``) of the
+    md5-threshold sample behind ``doc_sample``: per lang, the sample's
+    mean text length vs the full population's, with an INTEGER-decided
+    2-sigma verdict and a 6-dp boundary-margin ratio (≥10⁶ ⟺ flagged)
+    so the PASS state still hashes with full surface.  A hash family
+    accidentally correlated with the value fails HERE, before the
+    sample ships as "representative"."""
+    from pynomaly_spark.sampling import sample_bias_audit
+
+    d = _doc(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").alias("text_len")
+    )
+    out = sample_bias_audit(
+        d, "lang", "text_len", _SAMPLE_RATE, id_col="doc_id",
+        k_num=2, k_den=1,
+    )
+    return out.withColumnRenamed("group", "lang")
+
+
+def _sample_audit_sql(rate: float = _SAMPLE_RATE) -> str:
+    thresh = format(int(rate * (1 << 32)), "08x")
+    d = "HUGEINT"
+    diff = (
+        f"(CAST(sum_samp AS {d}) * nf - CAST(sum_full AS {d}) * ns)"
+    )
+    rhs = (
+        f"(CAST(4 AS {d}) * (CAST(nf AS {d}) * SS"
+        f" - CAST(sum_full AS {d}) * CAST(sum_full AS {d})) * ns)"
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS L,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thresh}' AS kept
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL
+), agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS nf,
+         CAST(sum(L) AS BIGINT) AS sum_full,
+         CAST(sum(CAST(L AS {d}) * CAST(L AS {d})) AS {d}) AS SS,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+         CAST(sum(CASE WHEN kept THEN L ELSE 0 END) AS BIGINT) AS sum_samp
+  FROM d GROUP BY 1
+)
+SELECT lang, nf AS n_full, ns AS n_sample,
+       CAST((sum_full * 1000000) // nf AS BIGINT) AS mean_full_6dp,
+       CAST((sum_samp * 1000000) // ns AS BIGINT) AS mean_sample_6dp,
+       CAST(CASE WHEN {rhs} > 0
+            THEN ({diff} * {diff} * 1000000) // {rhs}
+            ELSE NULL END AS BIGINT) AS ratio_6dp,
+       CAST(CASE WHEN {diff} * {diff} > {rhs} THEN 1 ELSE 0 END
+            AS BIGINT) AS flag
+FROM agg WHERE ns > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11893,6 +11950,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_fidelity": q_doc_minhash_fidelity,
     "part_assortativity": q_part_assortativity,
     "customer_gap_forecast": q_customer_gap_forecast,
+    "doc_sample_audit": q_doc_sample_audit,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12096,6 +12154,7 @@ ORACLES: Dict[str, str] = {
     "doc_minhash_fidelity": _minhash_fidelity_sql(),
     "part_assortativity": SQL_PART_ASSORTATIVITY,
     "customer_gap_forecast": SQL_CUSTOMER_GAP_FORECAST,
+    "doc_sample_audit": _sample_audit_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

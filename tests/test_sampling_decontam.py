@@ -553,3 +553,31 @@ class TestShuffleOrder:
             shuffle_order(df, "doc_id", n_buckets=65537)
         with pytest.raises(ValueError):
             shuffle_order(df, "doc_id", n_shards=-1)
+
+
+def test_sample_bias_audit_flags_planted_bias(spark):
+    """An unbiased value passes; a value CORRELATED with the sample
+    hash (planted: kept ids get 10x the value) must flag."""
+    import hashlib
+
+    from pynomaly_spark.sampling import sample_bias_audit
+    import pytest as _pytest
+
+    rate = 0.25
+    thresh = format(int(rate * (1 << 32)), "08x")
+    kept = lambda i: hashlib.md5(str(i).encode()).hexdigest()[:8] < thresh
+    # unbiased: constant-ish value independent of the hash
+    fair = [("g", i, 100 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(fair, "grp string, doc_id long, v long")
+    out = sample_bias_audit(df, "grp", "v", rate).collect()[0]
+    assert out["flag"] == 0 and out["n_sample"] > 0
+    # planted bias: kept rows carry 10x values
+    biased = [
+        ("g", i, 1000 if kept(i) else 100) for i in range(400)
+    ]
+    df2 = spark.createDataFrame(biased, "grp string, doc_id long, v long")
+    out2 = sample_bias_audit(df2, "grp", "v", rate).collect()[0]
+    assert out2["flag"] == 1 and out2["ratio_6dp"] > 1000000
+    assert out2["mean_sample_6dp"] == 1000 * 1000000
+    with _pytest.raises(ValueError, match="unknown column"):
+        sample_bias_audit(df, "grp", "nope", rate)
