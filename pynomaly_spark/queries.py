@@ -11761,6 +11761,61 @@ FROM agg WHERE ns > 0
 """
 
 
+_HAAR_LEVELS = 6
+
+
+def q_events_haar(spark, sf_dir):
+    """Haar wavelet energy spectrum (``sequences.haar_energy``) of the
+    hourly event-count series: at which dyadic time scale (2..64 h)
+    does the variance live — the screen that picks the right window
+    size for downstream detectors.  All-integer details and energies;
+    block membership computed from the hour id so the sparse collapsed
+    frame aggregates correctly with NO gap-fill spine."""
+    from pynomaly_spark.sequences import haar_energy
+
+    hourly = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return haar_energy(hourly, "hr", "n", levels=_HAAR_LEVELS).orderBy(
+        "level"
+    )
+
+
+def _haar_sql(levels: int = _HAAR_LEVELS) -> str:
+    lvls = []
+    for k in range(1, levels + 1):
+        span, half = 1 << k, 1 << (k - 1)
+        lvls.append(f"""
+SELECT CAST({k} AS BIGINT) AS level, CAST({span} AS BIGINT) AS block_span,
+       max(nb) AS n_blocks,
+       CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonzero_blocks,
+       CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS energy
+FROM (
+  SELECT (hr - t0) // {span} AS b,
+         CAST(sum(CASE WHEN ((hr - t0) // {half}) % 2 = 0
+                       THEN n ELSE -n END) AS BIGINT) AS d,
+         CAST(max((t1 - t0) // {span} + 1) AS BIGINT) AS nb
+  FROM hourly, anchor GROUP BY 1
+) l{k}""")
+    body = "\nUNION ALL".join(lvls)
+    return f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), anchor AS (
+  SELECT min(hr) AS t0, max(hr) AS t1 FROM hourly
+)
+{body}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11951,6 +12006,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_assortativity": q_part_assortativity,
     "customer_gap_forecast": q_customer_gap_forecast,
     "doc_sample_audit": q_doc_sample_audit,
+    "events_haar": q_events_haar,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12155,6 +12211,7 @@ ORACLES: Dict[str, str] = {
     "part_assortativity": SQL_PART_ASSORTATIVITY,
     "customer_gap_forecast": SQL_CUSTOMER_GAP_FORECAST,
     "doc_sample_audit": _sample_audit_sql(),
+    "events_haar": _haar_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

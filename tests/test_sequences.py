@@ -344,3 +344,28 @@ def test_cooccurrence_pairs_support_lift_and_viral_guard(spark):
         cooccurrence_pairs(df, "bk", "nope")
     with _pytest.raises(ValueError, match="min_support"):
         cooccurrence_pairs(df, "bk", "item", min_support=0)
+
+
+def test_haar_energy_hand_values(spark):
+    """Series at buckets 0..3 = [4, 0, 4, 0]:
+    level 1 (span 2): blocks (4-0)=4, (4-0)=4 -> energy 32, both nonzero
+    level 2 (span 4): one block (4+0)-(4+0)=0 -> energy 0, zero nonzero.
+    A missing bucket behaves as 0: same series with bucket 1 and 3
+    absent gives identical details."""
+    from pynomaly_spark.sequences import haar_energy
+    import pytest as _pytest
+
+    dense = spark.createDataFrame(
+        [(0, 4), (1, 0), (2, 4), (3, 0)], "t long, x long"
+    )
+    out = {r["level"]: r.asDict() for r in haar_energy(dense, "t", "x", levels=2).collect()}
+    assert out[1]["energy"] == 32 and out[1]["n_nonzero_blocks"] == 2
+    assert out[1]["n_blocks"] == 2 and out[1]["block_span"] == 2
+    assert out[2]["energy"] == 0 and out[2]["n_nonzero_blocks"] == 0
+    sparse = spark.createDataFrame([(0, 4), (2, 4)], "t long, x long")
+    out2 = {r["level"]: r["energy"] for r in haar_energy(sparse, "t", "x", levels=2).collect()}
+    assert out2 == {1: 32, 2: 0}
+    with _pytest.raises(ValueError, match="levels"):
+        haar_energy(dense, "t", "x", levels=0)
+    with _pytest.raises(ValueError, match="unknown column"):
+        haar_energy(dense, "nope", "x")
