@@ -11816,6 +11816,61 @@ WITH hourly AS (
 """
 
 
+def q_doc_readability(spark, sf_dir):
+    """Flesch readability rollup (``textops.readability``): per-lang
+    totals of the integer word/sentence/vowel-group counts plus the
+    mean score — the quality gate's readability axis.  The score is
+    EXACT rational arithmetic (Flesch's constants are rationals), so
+    even the mean is an integer ``div`` — nothing floats."""
+    from pynomaly_spark.textops import readability
+
+    d = readability(
+        _doc(spark, sf_dir).where(
+            F.col("text").isNotNull() & F.col("lang").isNotNull()
+        )
+    )
+    return (
+        d.where(F.col("flesch_6dp").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("words"),
+            F.sum("n_sentences").cast("long").alias("sentences"),
+            F.sum("n_syllable_groups").cast("long").alias(
+                "syllable_groups"
+            ),
+            F.expr("sum(flesch_6dp) div count(1)")
+            .cast("long")
+            .alias("mean_flesch_6dp"),
+        )
+    )
+
+
+SQL_DOC_READABILITY = """
+WITH d AS (
+  SELECT lang,
+    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS w,
+    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS y
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), scored AS (
+  SELECT lang, w, s, y,
+    ((206835*s*w - 1015*w*w - 84600*y*s) * 1000000)
+      // (1000*s*w) AS f6
+  FROM d WHERE w > 0 AND s > 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(s) AS BIGINT) AS sentences,
+       CAST(sum(y) AS BIGINT) AS syllable_groups,
+       CAST(sum(f6) // count(*) AS BIGINT) AS mean_flesch_6dp
+FROM scored GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12007,6 +12062,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_gap_forecast": q_customer_gap_forecast,
     "doc_sample_audit": q_doc_sample_audit,
     "events_haar": q_events_haar,
+    "doc_readability": q_doc_readability,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12212,6 +12268,7 @@ ORACLES: Dict[str, str] = {
     "customer_gap_forecast": SQL_CUSTOMER_GAP_FORECAST,
     "doc_sample_audit": _sample_audit_sql(),
     "events_haar": _haar_sql(),
+    "doc_readability": SQL_DOC_READABILITY,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

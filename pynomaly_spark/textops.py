@@ -20,6 +20,7 @@ __all__ = [
     "token_entropy",
     "collocation_pmi",
     "chi2_terms",
+    "readability",
 ]
 
 # Tokenizer charset shared by the Spark expression AND the generated
@@ -591,3 +592,54 @@ def chi2_terms(
             "chi2",
         )
     )
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row Flesch reading-ease components and score — the
+    readability gate a quality pipeline stacks beside stopword/length
+    heuristics (very low scores flag legalese/boilerplate, very high
+    flag word-soup).  Counts are integers (whitespace words,
+    ``[.!?]+``-delimited sentences, ``[aeiouy]+`` vowel groups as the
+    syllable proxy), and the score itself is EXACT rational
+    arithmetic: Flesch's constants are the rationals 206835/1000,
+    1015/1000, 846/10, so
+
+        score = (206835·s·w − 1015·w² − 84600·y·s) / (1000·s·w)
+
+    in truncating 6-dp fixed point — bit-identical cross-engine, no
+    float anywhere.  Rows with zero words or sentences are unscorable
+    and return NULL.
+
+    Returns ``df``'s columns plus ``n_words, n_sentences,
+    n_syllable_groups, flesch_6dp`` — pure map-side expressions, no
+    shuffle.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (text-quality family).
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"readability: unknown column {text_col!r}")
+    t = F.col(text_col)
+    w = F.size(
+        F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    ).cast("long")
+    s = F.size(
+        F.filter(F.split(t, r"[.!?]+"), lambda x: F.trim(x) != "")
+    ).cast("long")
+    y = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    out = df.withColumns(
+        {
+            "n_words": F.when(t.isNotNull(), w),
+            "n_sentences": F.when(t.isNotNull(), s),
+            "n_syllable_groups": F.when(t.isNotNull(), y),
+        }
+    )
+    f6 = F.expr(
+        "CASE WHEN n_words > 0 AND n_sentences > 0 THEN"
+        " ((206835 * n_sentences * n_words - 1015 * n_words * n_words"
+        "   - 84600 * n_syllable_groups * n_sentences) * 1000000)"
+        " div (1000 * n_sentences * n_words) ELSE NULL END"
+    ).cast("long")
+    return out.withColumn("flesch_6dp", f6)

@@ -722,3 +722,24 @@ def test_fd_repair_majority_and_tiebreak(spark):
         fd_repair(df, ["k"], ["nope"])
     with _pytest.raises(ValueError, match="non-empty"):
         fd_repair(df, [], ["s"])
+
+
+def test_readability_exact_rational_score(spark):
+    """'The cat sat. The dog ran!' -> w=6, s=2, vowel groups:
+    e,a,a,e,o,a = 6.  score = (206835*2*6 - 1015*36 - 84600*6*2)
+    / (1000*2*6) = (2482020 - 36540 - 1015200)/12000 = 119.190
+    -> 119190000 at 6dp.  Empty/unscorable rows yield NULL."""
+    from pynomaly_spark.textops import readability
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("The cat sat. The dog ran!",), ("",), (None,)], "text string"
+    )
+    rows = readability(df).collect()
+    scored = [r for r in rows if r["flesch_6dp"] is not None]
+    assert len(scored) == 1
+    r = scored[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllable_groups"]) == (6, 2, 6)
+    assert r["flesch_6dp"] == 119190000
+    with _pytest.raises(ValueError, match="unknown column"):
+        readability(df, "nope")
