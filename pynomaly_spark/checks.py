@@ -46,6 +46,7 @@ __all__ = [
     "Drift",
     "PsiDrift",
     "FunctionalDependency",
+    "ProportionControl",
     "CheckSuite",
     "SuiteResult",
     "run_suite",
@@ -176,6 +177,32 @@ class PsiDrift:
     @property
     def name(self) -> str:
         return f"psi_drift(len({self.column}))"
+
+
+@dataclass(frozen=True)
+class ProportionControl:
+    """Cross-partition Shewhart p-chart gate: each partition's rate of
+    rows satisfying ``predicate`` (any boolean SQL expression over the
+    staged relation) is charted against the POOLED rate; a partition
+    more than ``k = k_num/k_den`` binomial sigmas out is OUT OF
+    CONTROL and fails.  The deequ-style "compliance" check upgraded
+    from a fixed threshold to a self-calibrating control limit — no
+    magic constant to tune per corpus.
+
+    The verdict is INTEGER-DECIDED (the ``profiling.p_chart``
+    cross-multiplication — ``k_den²·(r·N − R·n)² > k_num²·R·(N−R)·n``
+    in decimal(38,0)); the reported metric value is the partition's
+    rate.  Opt-in (not in ``default()``) so the published bench suite
+    is unchanged.  Metrics-only.
+    """
+
+    predicate: str = "content IS NULL"
+    k_num: int = 3
+    k_den: int = 1
+
+    @property
+    def name(self) -> str:
+        return f"p_chart({self.predicate})"
 
 
 @dataclass(frozen=True)
@@ -491,6 +518,11 @@ def run_suite(
     # ---- 0. the single heavy-column pass ---------------------------------
     derived: dict = {}
 
+    def _pc_alias(chk) -> str:
+        return "_pc_" + hashlib.sha256(
+            chk.predicate.encode()
+        ).hexdigest()[:8]
+
     def _need(alias: str, expr) -> str:
         if alias not in derived:
             derived[alias] = expr.alias(alias)
@@ -506,6 +538,28 @@ def run_suite(
             _need(f"_card_{chk.column}", F.col(chk.column))
         elif isinstance(chk, PsiDrift):
             _need(f"_len_{chk.column}", F.length(F.col(chk.column)))
+        elif isinstance(chk, ProportionControl):
+            # predicate references RAW columns -> must run in the heavy
+            # pass (enriched drops them); validate its type against src
+            if chk.k_den <= 0 or chk.k_num < 0:
+                raise ValueError(
+                    "ProportionControl: k must be a ratio >= 0"
+                )
+            try:
+                _pc_type = src.select(
+                    F.expr(chk.predicate).alias("_pc")
+                ).schema["_pc"].dataType.simpleString()
+            except Exception as ex:  # analysis error -> config error
+                raise ValueError(
+                    f"ProportionControl: bad predicate "
+                    f"{chk.predicate!r}: {ex}"
+                ) from None
+            if _pc_type != "boolean":
+                raise ValueError(
+                    f"ProportionControl: predicate {chk.predicate!r} "
+                    f"is {_pc_type}, need boolean"
+                )
+            _need(_pc_alias(chk), F.expr(chk.predicate))
         elif isinstance(chk, RowInvariant):
             # 32-byte binary digest, not the 64-char hex string: the
             # staged table carries this column for every row, and hex
@@ -698,6 +752,59 @@ def run_suite(
                 )
 
             metric_frames.append(_fd_metric_frame)
+
+    # ---- 1d. cross-partition proportion control chart (opt-in) ----------
+    for chk in suite.checks:
+        if isinstance(chk, ProportionControl):
+            dec = "decimal(38,0)"
+            pc_per = enriched.groupBy("partition_id").agg(
+                F.count(F.lit(1)).cast("long").alias("_pc_n"),
+                F.sum(F.col(_pc_alias(chk)).cast("long"))
+                .cast("long")
+                .alias("_pc_r"),
+            )
+            pc_tot = pc_per.agg(
+                F.sum("_pc_n").cast("long").alias("_pc_tn"),
+                F.sum("_pc_r").cast("long").alias("_pc_tr"),
+            )
+            pc_diff = (
+                F.col("_pc_r").cast(dec) * F.col("_pc_tn").cast(dec)
+                - F.col("_pc_tr").cast(dec) * F.col("_pc_n").cast(dec)
+            )
+            pc_lhs = (
+                F.lit(chk.k_den * chk.k_den).cast(dec) * pc_diff * pc_diff
+            )
+            pc_rhs = (
+                F.lit(chk.k_num * chk.k_num).cast(dec)
+                * F.col("_pc_tr").cast(dec)
+                * (F.col("_pc_tn").cast(dec) - F.col("_pc_tr").cast(dec))
+                * F.col("_pc_n").cast(dec)
+            )
+            pc_flagged = pc_per.crossJoin(F.broadcast(pc_tot)).select(
+                "partition_id",
+                (F.col("_pc_r").cast("double") / F.col("_pc_n")).alias(
+                    "_pc_rate"
+                ),
+                (pc_lhs > pc_rhs).alias("_pc_out"),
+            )
+
+            def _pc_metric_frame(v=pc_flagged, chk=chk) -> DataFrame:
+                return (
+                    _universe()
+                    .join(F.broadcast(v), on="partition_id", how="left")
+                    .select(
+                        "partition_id",
+                        F.lit(chk.name).alias("check_name"),
+                        F.lit("hit_rate").alias("metric"),
+                        F.col("_pc_rate").cast("double").alias("value"),
+                        F.lit(None).cast("double").alias("threshold"),
+                        (~F.coalesce(F.col("_pc_out"), F.lit(False))).alias(
+                            "passed"
+                        ),
+                    )
+                )
+
+            metric_frames.append(_pc_metric_frame)
 
     # Partition universe for violation-count checks: aggregating only
     # violating rows leaves clean partitions with NO metric row —

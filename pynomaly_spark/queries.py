@@ -11871,6 +11871,167 @@ FROM scored GROUP BY 1
 """
 
 
+def q_doc_containment(spark, sf_dir):
+    """Asymmetric near-dup classification: symmetric Jaccard treats a
+    quote buried in a long doc and a true duplicate identically; the
+    CONTAINMENT ratios ``|A∩B|/|A|`` and ``|A∩B|/|B|`` tell them
+    apart.  Over the same md5-banded LSH candidates as
+    ``doc_minhash_fidelity``, each pair is classified — near_dup
+    (J ≥ 4/5), a_in_b / b_in_a (one-sided containment ≥ 9/10),
+    partial — with every threshold decided by integer
+    cross-multiplication (``5·i ≥ 4·u``, ``10·i ≥ 9·n``); the rollup
+    reports per-class counts and exact 6-dp mean Jaccard/containment.
+    The dedup-pipeline triage that decides DROP vs KEEP-LONGER vs
+    KEEP-BOTH."""
+    P, B, R = _MHF_P, _MHF_B, _MHF_R
+    w2 = (
+        _doc(spark, sf_dir)
+        .where((F.col("doc_id") < _MHF_MAXID) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sig = w2.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("w")))).alias(
+                f"h{k}"
+            )
+            for k in range(P)
+        ]
+    )
+    nb = w2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * R + r}") for r in range(R)],
+                    F.lit(f":{b}"),
+                )
+            )
+            for b in range(B)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bh"))
+    pairs = (
+        banded.join(
+            banded.select(
+                F.col("doc_id").alias("_id2"), F.col("bh").alias("_bh2")
+            ),
+            (F.col("bh") == F.col("_bh2"))
+            & (F.col("doc_id") < F.col("_id2")),
+        )
+        .select(F.col("doc_id").alias("id_a"), F.col("_id2").alias("id_b"))
+        .distinct()
+    )
+    wa = w2.select(F.col("doc_id").alias("_wa_id"), F.col("w").alias("_wa"))
+    wb = w2.select(F.col("doc_id").alias("_wb_id"), F.col("w").alias("_wb"))
+    inter = (
+        pairs.join(wa, F.col("id_a") == F.col("_wa_id"))
+        .join(
+            wb,
+            (F.col("id_b") == F.col("_wb_id"))
+            & (F.col("_wb") == F.col("_wa")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    na = nb.select(F.col("doc_id").alias("_na_id"), F.col("nw").alias("_na"))
+    nbb = nb.select(F.col("doc_id").alias("_nb_id"), F.col("nw").alias("_nb"))
+    per_pair = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, F.col("id_a") == F.col("_na_id"))
+        .join(nbb, F.col("id_b") == F.col("_nb_id"))
+        .select(
+            F.coalesce(F.col("_i"), F.lit(0)).alias("i"),
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_i"), F.lit(0)))
+            .alias("u"),
+        )
+    )
+    relation = (
+        F.when(F.expr("5 * i >= 4 * u"), F.lit("near_dup"))
+        .when(F.expr("10 * i >= 9 * n_a"), F.lit("a_in_b"))
+        .when(F.expr("10 * i >= 9 * n_b"), F.lit("b_in_a"))
+        .otherwise(F.lit("partial"))
+    )
+    return per_pair.select(
+        relation.alias("relation"),
+        F.expr("(i * 1000000L) div u").alias("j6"),
+        F.expr(
+            "(i * 1000000L) div least(n_a, n_b)"
+        ).alias("c6"),
+    ).groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(j6) div count(1)").cast("long").alias(
+            "mean_jaccard_6dp"
+        ),
+        F.expr("sum(c6) div count(1)").cast("long").alias(
+            "mean_cmax_6dp"
+        ),
+    )
+
+
+def _containment_sql() -> str:
+    P, B, R = _MHF_P, _MHF_B, _MHF_R
+    sig_cols = ",\n    ".join(
+        f"min(md5('{k}:' || w)) AS h{k}" for k in range(P)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"h{b * R + r}" for r in range(R))
+        + f" || ':{b}') AS b{b}"
+        for b in range(B)
+    )
+    band_list = ", ".join(f"b{b}" for b in range(B))
+    return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents WHERE doc_id < {_MHF_MAXID} AND text IS NOT NULL
+), w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM w2 GROUP BY doc_id
+), nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM w2 GROUP BY 1),
+banded AS (
+  SELECT doc_id, {band_exprs} FROM sig
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM (SELECT doc_id, unnest([{band_list}]) AS bh FROM banded) x
+  JOIN (SELECT doc_id, unnest([{band_list}]) AS bh FROM banded) y
+    ON x.bh = y.bh AND x.doc_id < y.doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM pairs p JOIN w2 wa ON wa.doc_id = p.id_a
+  JOIN w2 wb ON wb.doc_id = p.id_b AND wb.w = wa.w
+  GROUP BY 1, 2
+), per_pair AS (
+  SELECT coalesce(i.i, 0) AS i, na.nw AS n_a, nbb.nw AS n_b,
+         na.nw + nbb.nw - coalesce(i.i, 0) AS u
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN nb na ON na.doc_id = p.id_a
+  JOIN nb nbb ON nbb.doc_id = p.id_b
+), rel AS (
+  SELECT CASE WHEN 5 * i >= 4 * u THEN 'near_dup'
+              WHEN 10 * i >= 9 * n_a THEN 'a_in_b'
+              WHEN 10 * i >= 9 * n_b THEN 'b_in_a'
+              ELSE 'partial' END AS relation,
+         (i * 1000000) // u AS j6,
+         (i * 1000000) // least(n_a, n_b) AS c6
+  FROM per_pair
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(j6) // count(*) AS BIGINT) AS mean_jaccard_6dp,
+       CAST(sum(c6) // count(*) AS BIGINT) AS mean_cmax_6dp
+FROM rel GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12063,6 +12224,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_audit": q_doc_sample_audit,
     "events_haar": q_events_haar,
     "doc_readability": q_doc_readability,
+    "doc_containment": q_doc_containment,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12269,6 +12431,7 @@ ORACLES: Dict[str, str] = {
     "doc_sample_audit": _sample_audit_sql(),
     "events_haar": _haar_sql(),
     "doc_readability": SQL_DOC_READABILITY,
+    "doc_containment": _containment_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -516,3 +516,57 @@ def test_functional_dependency_check_flags_violating_partition(spark):
             CheckSuite(checks=[FunctionalDependency(("nope",), ("repo",))]),
             partition_expr=F.col("lang"),
         )
+
+
+def test_proportion_control_suite_check(spark):
+    """Opt-in ProportionControl: three partitions with null-content
+    rates 10%, 50%, 10%.  The hot partition drags the pooled rate to
+    ~23% (the PsiDrift vs-corpus caveat), putting the clean partitions
+    at 3.15 sigma and the hot one at 6.3 — so at k=4 exactly the hot
+    partition fails, integer-decided.  Bad or non-boolean predicates
+    raise."""
+    import pytest as _pytest
+
+    from pynomaly_spark.checks import (
+        CheckSuite,
+        ProportionControl,
+        run_suite,
+    )
+
+    rows = []
+    for part, null_every in (("p_lo1", 10), ("p_hot", 2), ("p_lo2", 10)):
+        for i in range(100):
+            content = None if i % null_every == 0 else "x" * 40
+            rows.append((f"r_{part}", f"f{i}.py", f"c{i}", part, content))
+    files = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    res = run_suite(
+        files,
+        CheckSuite(
+            checks=[
+                ProportionControl("content IS NULL", k_num=4, k_den=1)
+            ]
+        ),
+        partition_expr=F.col("lang"),
+    )
+    m = res.metrics.toPandas().set_index("partition_id")
+    res.unpersist()
+    assert set(m.index) == {"p_lo1", "p_hot", "p_lo2"}
+    assert (m.check_name == "p_chart(content IS NULL)").all()
+    assert not m.loc["p_hot"].passed and abs(m.loc["p_hot"].value - 0.5) < 1e-9
+    assert m.loc["p_lo1"].passed and m.loc["p_lo2"].passed
+    with _pytest.raises(ValueError, match="bad predicate"):
+        run_suite(
+            files,
+            CheckSuite(checks=[ProportionControl("nope_col IS NULL")]),
+            partition_expr=F.col("lang"),
+        )
+    with _pytest.raises(ValueError, match="need boolean"):
+        run_suite(
+            files,
+            CheckSuite(checks=[ProportionControl("length(content)")]),
+            partition_expr=F.col("lang"),
+        )
