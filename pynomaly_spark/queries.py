@@ -12032,6 +12032,110 @@ FROM rel GROUP BY 1
 """
 
 
+_CONFORM_ALLOWED = (
+    ("signup", "view"),
+    ("signup", "click"),
+    ("view", "click"),
+    ("view", "view"),
+    ("click", "purchase"),
+    ("click", "view"),
+    ("click", "click"),
+    ("purchase", "view"),
+    ("purchase", "signup"),
+    ("error", "view"),
+    ("view", "error"),
+    ("click", "error"),
+)
+
+
+def q_events_conformance(spark, sf_dir):
+    """Process-conformance audit: each user's adjacent event-type
+    transitions checked against a DECLARED protocol (the allowed-edge
+    list enters the plan as a broadcast literal relation) — the
+    state-machine DQ gate that catches instrumentation bugs (purchase
+    with no preceding click, error loops) that per-event checks cannot
+    see.  One entity-keyed lag shuffle, then a (prev, curr)-collapsed
+    aggregate joined to the tiny allowed set; output per observed
+    transition: count, allowed flag, share of its prev-state's
+    outgoing edges — all integer-decided."""
+    e = (
+        _tbl(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("_us"),
+            "event_id",
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("_us", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_state"),
+            F.col("event_type").alias("curr_state"),
+        )
+        .where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "curr_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    allowed = spark.createDataFrame(
+        list(_CONFORM_ALLOWED), "prev_state string, curr_state string"
+    ).withColumn("_ok", F.lit(1))
+    from pyspark.sql import Window as _W2
+
+    w_prev = _W2.partitionBy("prev_state")
+    return (
+        pairs.join(F.broadcast(allowed), ["prev_state", "curr_state"], "left")
+        .select(
+            "prev_state",
+            "curr_state",
+            "n",
+            F.coalesce(F.col("_ok"), F.lit(0)).cast("long").alias("allowed"),
+            F.sum("n").over(w_prev).cast("long").alias("n_prev"),
+        )
+        .withColumn(
+            "share_6dp", F.expr("(n * 1000000L) div n_prev").cast("long")
+        )
+    )
+
+
+def _conformance_sql() -> str:
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in _CONFORM_ALLOWED)
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_state
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), pairs AS (
+  SELECT prev_state, event_type AS curr_state,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_state IS NOT NULL GROUP BY 1, 2
+), allowed AS (
+  SELECT * FROM (VALUES {vals}) t(prev_state, curr_state)
+)
+SELECT p.prev_state, p.curr_state, p.n,
+       CAST(CASE WHEN a.prev_state IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS allowed,
+       CAST(sum(p.n) OVER (PARTITION BY p.prev_state) AS BIGINT)
+         AS n_prev,
+       CAST((p.n * 1000000)
+            // sum(p.n) OVER (PARTITION BY p.prev_state) AS BIGINT)
+         AS share_6dp
+FROM pairs p
+LEFT JOIN allowed a
+  ON a.prev_state = p.prev_state AND a.curr_state = p.curr_state
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12225,6 +12329,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_haar": q_events_haar,
     "doc_readability": q_doc_readability,
     "doc_containment": q_doc_containment,
+    "events_conformance": q_events_conformance,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12432,6 +12537,7 @@ ORACLES: Dict[str, str] = {
     "events_haar": _haar_sql(),
     "doc_readability": SQL_DOC_READABILITY,
     "doc_containment": _containment_sql(),
+    "events_conformance": _conformance_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

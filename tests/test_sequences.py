@@ -369,3 +369,34 @@ def test_haar_energy_hand_values(spark):
         haar_energy(dense, "t", "x", levels=0)
     with _pytest.raises(ValueError, match="unknown column"):
         haar_energy(dense, "nope", "x")
+
+
+def test_events_conformance_allowed_flags(spark):
+    """The declared protocol flags exactly the non-listed transitions;
+    shares are truncating 6-dp of the prev-state's outgoing total."""
+    import os
+
+    from pynomaly_spark.queries import QUERIES, _CONFORM_ALLOWED
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest as _pytest
+
+        _pytest.skip("testdata missing")
+    rows = QUERIES["events_conformance"](spark, sf).collect()
+    allowed = set(_CONFORM_ALLOWED)
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r["allowed"] == (
+            1 if (r["prev_state"], r["curr_state"]) in allowed else 0
+        )
+        assert r["share_6dp"] == (r["n"] * 1000000) // r["n_prev"]
+        by_prev.setdefault(r["prev_state"], 0)
+        by_prev[r["prev_state"]] += r["n"]
+    for r in rows:
+        assert r["n_prev"] == by_prev[r["prev_state"]]
+    # synthetic uniform transitions: both allowed and disallowed edges
+    # must be present or the audit is degenerate
+    assert any(r["allowed"] == 0 for r in rows)
+    assert any(r["allowed"] == 1 for r in rows)
