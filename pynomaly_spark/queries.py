@@ -12136,6 +12136,235 @@ LEFT JOIN allowed a
 """
 
 
+def q_orders_aging(spark, sf_dir):
+    """Open-order backlog aging report: for every (status, priority)
+    cell of the non-filled orders ('O'/'P'), the exact p50/p90 age in
+    days at the corpus horizon — the ops dashboard that catches a
+    priority class silently going stale.  Ages are integer days from
+    the broadcast 1-row horizon; quantiles are
+    ``profiling.weighted_quantiles`` at weight 1 (lower-quantile
+    convention, integer-decided boundary)."""
+    from pynomaly_spark.profiling import weighted_quantiles
+
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & F.col("o_orderstatus").isin("O", "P")
+    )
+    horizon = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .agg(
+            F.max(
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp))"
+                    " div 86400000000"
+                )
+            ).alias("_h")
+        )
+    )
+    aged = o.crossJoin(F.broadcast(horizon)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.col("_h")
+            - F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            )
+        ).alias("age_days"),
+        F.lit(1).cast("long").alias("_w"),
+    )
+    out = weighted_quantiles(
+        aged, ["status", "priority"], "age_days", "_w", ps=(50, 90)
+    )
+    return out.select(
+        "status",
+        "priority",
+        F.col("total_w").cast("long").alias("n_orders"),
+        F.col("wq50").cast("long").alias("p50_age_days"),
+        F.col("wq90").cast("long").alias("p90_age_days"),
+    )
+
+
+SQL_ORDERS_AGING = """
+WITH h AS (
+  SELECT max(epoch_us(o_orderdate) // 86400000000) AS hday
+  FROM orders WHERE o_orderdate IS NOT NULL
+), aged AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         hday - epoch_us(o_orderdate) // 86400000000 AS age_days
+  FROM orders, h
+  WHERE o_orderdate IS NOT NULL AND o_orderstatus IN ('O', 'P')
+), r AS (
+  SELECT status, priority, age_days,
+         sum(1) OVER (PARTITION BY status, priority
+                      ORDER BY age_days
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         count(*) OVER (PARTITION BY status, priority) AS tw
+  FROM aged
+)
+SELECT status, priority, CAST(max(tw) AS BIGINT) AS n_orders,
+       CAST(min(CASE WHEN 100 * cw >= 50 * tw THEN age_days END)
+            AS BIGINT) AS p50_age_days,
+       CAST(min(CASE WHEN 100 * cw >= 90 * tw THEN age_days END)
+            AS BIGINT) AS p90_age_days
+FROM r GROUP BY 1, 2
+"""
+
+
+_ABC_W = 100_000_000
+
+
+def q_part_abc(spark, sf_dir):
+    """ABC inventory classification: parts ranked by exact cents
+    revenue, class A = the head carrying ≤80% of cumulative revenue,
+    B to 95%, C the tail — the classic Pareto stocking policy.  The
+    global revenue-ordered cumulative sum is the TWO-LEVEL scan
+    (coarse revenue buckets → local window + broadcast suffix
+    offsets — never one reducer over all parts); every class boundary
+    is integer-decided (``5·cum ≤ 4·total``, ``20·cum ≤ 19·total``).
+    """
+    from pyspark.sql import Window
+
+    per_part = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        .withColumn("_bkt", F.expr(f"rev div {_ABC_W}"))
+    )
+    w_loc = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("rev").desc(), F.col("part").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = per_part.withColumn("_lc", F.sum("rev").over(w_loc))
+    totals = per_part.groupBy("_bkt").agg(F.sum("rev").alias("_bt"))
+    w_off = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        F.col("_bkt").alias("_ob"),
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    tot = per_part.agg(F.sum("rev").cast("long").alias("_tot"))
+    cum = (
+        local.join(F.broadcast(offsets), F.col("_bkt") == F.col("_ob"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "rev",
+            (F.col("_off") + F.col("_lc")).alias("_cum"),
+            "_tot",
+        )
+    )
+    cls = (
+        F.when(F.expr("5 * _cum <= 4 * _tot"), F.lit("A"))
+        .when(F.expr("20 * _cum <= 19 * _tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "rev", "_tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+            F.expr("(sum(rev) * 1000000L) div max(_tot)")
+            .cast("long")
+            .alias("share_6dp"),
+        )
+    )
+
+
+SQL_PART_ABC = """
+WITH per_part AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), r AS (
+  SELECT part, rev,
+         sum(rev) OVER (ORDER BY rev DESC, part ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS tot
+  FROM per_part
+), cls AS (
+  SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+              WHEN 20 * cum <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, tot
+  FROM r
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_cents,
+       CAST((sum(rev) * 1000000) // max(tot) AS BIGINT) AS share_6dp
+FROM cls GROUP BY 1
+"""
+
+
+def q_nation_hhi(spark, sf_dir):
+    """Supplier-concentration HHI per nation: the Herfindahl index
+    ``Σ share²`` of supplier revenue shares, decided entirely in
+    integers (``Σ r² · 10⁶ div (Σ r)²`` — HUGEINT/decimal cross-
+    multiplication, no float shares) — the market-structure audit
+    (10⁶ = monopoly, 10⁶/n = perfectly even).  One supplier rollup,
+    one broadcast dim join, one nation aggregate."""
+    dec = "decimal(38,0)"
+    sr = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_suppkey").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r")
+        )
+    )
+    supp = _tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    j = sr.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    return j.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("r").cast("long").alias("rev_cents"),
+        F.expr(
+            "(sum(cast(r as decimal(38,0)) * cast(r as decimal(38,0)))"
+            " * 1000000)"
+            " div (sum(cast(r as decimal(38,0)))"
+            "      * sum(cast(r as decimal(38,0))))"
+        ).cast("long").alias("hhi_6dp"),
+    )
+
+
+SQL_NATION_HHI = """
+WITH sr AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(r) AS BIGINT) AS rev_cents,
+       CAST(sum(CAST(r AS HUGEINT) * r) * 1000000
+            // (CAST(sum(r) AS HUGEINT) * sum(r)) AS BIGINT) AS hhi_6dp
+FROM sr JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12330,6 +12559,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_readability": q_doc_readability,
     "doc_containment": q_doc_containment,
     "events_conformance": q_events_conformance,
+    "orders_aging": q_orders_aging,
+    "part_abc": q_part_abc,
+    "nation_hhi": q_nation_hhi,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12538,6 +12770,9 @@ ORACLES: Dict[str, str] = {
     "doc_readability": SQL_DOC_READABILITY,
     "doc_containment": _containment_sql(),
     "events_conformance": _conformance_sql(),
+    "orders_aging": SQL_ORDERS_AGING,
+    "part_abc": SQL_PART_ABC,
+    "nation_hhi": SQL_NATION_HHI,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -743,3 +743,32 @@ def test_readability_exact_rational_score(spark):
     assert r["flesch_6dp"] == 119190000
     with _pytest.raises(ValueError, match="unknown column"):
         readability(df, "nope")
+
+
+def test_part_abc_two_level_cumulative(spark, tmp_path):
+    """Hand-built revenues 50/30/15/5 (parts 1..4): cumulative shares
+    50/80/95/100 -> classes A, A, B, C under the <=80 / <=95
+    boundaries.  The two-level scan must agree with the plain
+    cumulative regardless of bucket splits."""
+    from pynomaly_spark.queries import QUERIES
+
+    rows = [
+        (1, 1, 0.50), (1, 1, 0.00),      # part 1: 50 cents
+        (2, 2, 0.30),                    # part 2: 30
+        (3, 3, 0.15),                    # part 3: 15
+        (4, 4, 0.05),                    # part 4: 5
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+    out = {
+        r["abc_class"]: r.asDict()
+        for r in QUERIES["part_abc"](spark, sf_dir).collect()
+    }
+    assert out["A"]["n_parts"] == 2 and out["A"]["rev_cents"] == 80
+    assert out["B"]["n_parts"] == 1 and out["B"]["rev_cents"] == 15
+    assert out["C"]["n_parts"] == 1 and out["C"]["rev_cents"] == 5
+    assert out["A"]["share_6dp"] == 800000
+    assert out["B"]["share_6dp"] == 150000
