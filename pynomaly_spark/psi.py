@@ -32,6 +32,7 @@ __all__ = [
     "histogram_ks",
     "baseline_histogram",
     "histogram_w1",
+    "baseline_cumulative",
 ]
 
 
@@ -289,3 +290,35 @@ def histogram_w1(
             "w1_bins_6dp"
         ),
     )
+
+
+def baseline_cumulative(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 32,
+    bin_width: float = 20.0,
+) -> list:
+    """Pooled CUMULATIVE histogram counts as driver-side ints — the
+    FROZEN baseline for :func:`pynomaly_spark.streaming.
+    streaming_w1_drift` (the integer-exact sibling of
+    :func:`baseline_histogram`; same fit-then-stream contract).  One
+    aggregate row of ``n_bins`` cumulative counters — control-plane
+    sized, not row data.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    x = F.col(value_col).cast("double")
+    obs = df.filter(x.isNotNull() & ~F.isnan(x)).select(
+        _bin(x, n_bins, bin_width).alias("_bin")
+    )
+    row = obs.agg(
+        *[
+            F.sum(F.when(F.col("_bin") <= i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i in range(n_bins)
+        ]
+    ).first()
+    return [int(row[i] or 0) for i in range(n_bins)]

@@ -12365,6 +12365,75 @@ GROUP BY 1
 """
 
 
+def q_events_window_w1(spark, sf_dir):
+    """Windowed Wasserstein-1 drift (``streaming.streaming_w1_drift``
+    in batch mode — the SAME operator the streaming monitor runs):
+    each hourly window's value CDF against the frozen pooled
+    cumulative baseline (``psi.baseline_cumulative``), entirely in
+    integers — the monitor's verdict is bit-identical streaming vs
+    batch vs oracle, which the float PSI fold cannot promise.  The
+    baseline travels as plan literals; per-window state is 16
+    cumulative counters."""
+    from pynomaly_spark.psi import baseline_cumulative
+    from pynomaly_spark.streaming import streaming_w1_drift
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    base = baseline_cumulative(
+        ev, "value", n_bins=_WPSI_BINS, bin_width=_WPSI_WIDTH
+    )
+    out = streaming_w1_drift(
+        ev, base, value_col="value", ts_col="ts",
+        n_bins=_WPSI_BINS, bin_width=_WPSI_WIDTH,
+        window_duration="1 hour", watermark="2 hours",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "n_rows",
+        "w1_num",
+        "w1_bins_6dp",
+    )
+
+
+def _window_w1_sql(n_bins: int = _WPSI_BINS, width: float = _WPSI_WIDTH) -> str:
+    last = n_bins - 1
+    cum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bin <= {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i in range(n_bins)
+    )
+    gcum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bin <= {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS g{i}"
+        for i in range(n_bins)
+    )
+    num = "\n           + ".join(
+        f"ABS(CAST(w.c{i} AS HUGEINT) * g.g{last}"
+        f" - CAST(g.g{i} AS HUGEINT) * w.c{last})"
+        for i in range(n_bins)
+    )
+    return f"""
+WITH obs AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         greatest(0, least({last},
+           CAST(floor(CAST(value AS DOUBLE) / {width}) AS INT))) AS bin
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), w AS (
+  SELECT hour,
+         {cum}
+  FROM obs GROUP BY hour
+), g AS (
+  SELECT {gcum}
+  FROM obs
+)
+SELECT w.hour, CAST(w.c{last} AS BIGINT) AS n_rows,
+       CAST({num} AS BIGINT) AS w1_num,
+       CAST((({num}) * 1000000)
+            // (CAST(w.c{last} AS HUGEINT) * g.g{last}) AS BIGINT)
+         AS w1_bins_6dp
+FROM w, g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12562,6 +12631,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_aging": q_orders_aging,
     "part_abc": q_part_abc,
     "nation_hhi": q_nation_hhi,
+    "events_window_w1": q_events_window_w1,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12773,6 +12843,7 @@ ORACLES: Dict[str, str] = {
     "orders_aging": SQL_ORDERS_AGING,
     "part_abc": SQL_PART_ABC,
     "nation_hhi": SQL_NATION_HHI,
+    "events_window_w1": _window_w1_sql(),
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -59,6 +59,7 @@ __all__ = [
     "streaming_hll",
     "streaming_qhist",
     "streaming_bitmap",
+    "streaming_w1_drift",
 ]
 
 
@@ -788,3 +789,98 @@ def streaming_bitmap(
     from .profiling import presence_bitmap
 
     return presence_bitmap(stream_df, list(key_cols), slot_col, n_slots)
+
+
+def streaming_w1_drift(
+    stream_df: DataFrame,
+    baseline_cum: list,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    n_bins: int = 32,
+    bin_width: float = 20.0,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window grid Wasserstein-1 distance of the live stream
+    against a FROZEN cumulative baseline — the INTEGER-EXACT sibling
+    of :func:`streaming_psi_drift` (same fit-then-stream contract,
+    same bounded per-window state), built on
+    :func:`pynomaly_spark.psi.histogram_w1`'s cross-multiplied form:
+    with window cumulative counts ``c_i`` (state: ``n_bins`` counters)
+    and baseline cumulative literals ``g_i`` (total ``G``),
+
+        w1_num = Σ_i |c_i·G − g_i·n|,
+        w1_bins_6dp = (w1_num·10⁶) div (n·G)
+
+    — every quantity an exact integer, so the monitor's verdict is
+    bit-identical in streaming and batch mode on any engine (PSI's
+    float fold can't say that).  The baseline travels as plan
+    literals — no join, no broadcast.
+
+    Returns ``(window_start, window_end[, key_col], n_rows, w1_num,
+    w1_bins_6dp)``; works identically on a batch frame — the
+    batch-parity test relies on that.
+    """
+    if len(baseline_cum) != n_bins:
+        raise ValueError(
+            f"baseline_cum has {len(baseline_cum)} bins, expected {n_bins}"
+        )
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    g = [int(v) for v in baseline_cum]
+    if any(b < a for a, b in zip(g, g[1:])):
+        raise ValueError("baseline_cum must be non-decreasing")
+    big_g = g[-1]
+    if big_g <= 0:
+        raise ValueError("baseline_cum is empty (total 0)")
+
+    from .psi import _bin
+
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("double")
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = [F.window(F.col(ts_col), window_duration).alias("w")] + (
+        [F.col(key_col)] if key_col else []
+    )
+    cum_cols = [
+        F.sum(F.when(_bin(x, n_bins, bin_width) <= i, 1).otherwise(0))
+        .cast("long")
+        .alias(f"_c{i}")
+        for i in range(n_bins)
+    ]
+    agg = (
+        src.filter(x.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*cum_cols)
+    )
+    n = F.col(f"_c{n_bins - 1}")
+    num = None
+    for i in range(n_bins):
+        term = F.abs(
+            F.col(f"_c{i}").cast(dec) * F.lit(big_g).cast(dec)
+            - F.lit(g[i]).cast(dec) * n.cast(dec)
+        )
+        num = term if num is None else num + term
+    out_keys = (
+        [
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        ]
+        + ([F.col(key_col)] if key_col else [])
+    )
+    return agg.select(
+        *out_keys,
+        n.cast("long").alias("n_rows"),
+        num.cast(dec).alias("_num"),
+    ).select(
+        *[c.split(".")[-1] for c in ["window_start", "window_end"]]
+        + ([key_col] if key_col else []),
+        "n_rows",
+        F.col("_num").cast("long").alias("w1_num"),
+        F.expr(
+            f"(_num * 1000000) div (cast(n_rows as {dec})"
+            f" * cast({big_g} as {dec}))"
+        ).cast("long").alias("w1_bins_6dp"),
+    )

@@ -848,3 +848,49 @@ def test_streaming_bitmap_matches_batch(spark, tmp_path):
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_streaming_w1_drift_matches_batch(spark, tmp_path):
+    """streaming_w1_drift over a replayed stream == the same operator
+    in batch mode, row for row — the integer W1 makes the parity
+    EXACT, not approximate.  Bad baselines raise."""
+    import pytest as _pytest
+
+    from pynomaly_spark.psi import baseline_cumulative
+    from pynomaly_spark.streaming import streaming_w1_drift
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .select("ts", "value")
+    )
+    base = baseline_cumulative(ev, "value", n_bins=16, bin_width=40.0)
+    in_dir = str(tmp_path / "w1_in")
+    ev.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_w1_drift(stream, base, n_bins=16, bin_width=40.0)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("w1_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM w1_windows").collect()))
+    want = sorted(
+        map(
+            tuple,
+            streaming_w1_drift(ev, base, n_bins=16, bin_width=40.0).collect(),
+        )
+    )
+    assert len(got) > 0 and got == want
+
+    with _pytest.raises(ValueError, match="expected"):
+        streaming_w1_drift(ev, [1, 2], n_bins=16)
+    with _pytest.raises(ValueError, match="non-decreasing"):
+        streaming_w1_drift(ev, [5] * 15 + [4], n_bins=16)
+    with _pytest.raises(ValueError, match="total 0"):
+        streaming_w1_drift(ev, [0] * 16, n_bins=16)
