@@ -12434,6 +12434,67 @@ FROM w, g
 """
 
 
+_MANIFEST_SHARDS = 8
+
+
+def q_doc_shard_manifest(spark, sf_dir):
+    """Training-export integrity manifest: the corpus sharded by the
+    deterministic global order (``sampling.shuffle_order`` — shard =
+    position % n, sizes differ by ≤1), each shard summarized with an
+    ORDER-INDEPENDENT checksum (the suite's PHASE-0 device: a sum of
+    per-doc md5-prefix integers in decimal(38,0), rendered as digits)
+    plus exact row/byte counts — what a downstream trainer verifies
+    before touching a shard, and what makes a silent row drop or swap
+    between export and ingest detectable without re-reading payloads.
+    Everything is one shard-keyed aggregate after the order pass."""
+    from pynomaly_spark.sampling import shuffle_order
+
+    d = _doc(spark, sf_dir).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    ordered = shuffle_order(d, "doc_id", n_shards=_MANIFEST_SHARDS)
+    dec = "decimal(38,0)"
+    chk = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mf:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast(dec)
+    return (
+        ordered.select(
+            "shard",
+            F.length("text").cast("long").alias("_b"),
+            chk.alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_b").cast("long").alias("bytes"),
+            F.sum("_h").cast(dec).cast("string").alias("checksum"),
+        )
+    )
+
+
+SQL_DOC_SHARD_MANIFEST = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS b
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), ordered AS (
+  SELECT doc_id, b,
+         (row_number() OVER (
+            ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)),
+                     doc_id) - 1) % {_MANIFEST_SHARDS} AS shard
+  FROM d
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS bytes,
+       CAST(sum(CAST('0x' || substr(
+              md5('mf:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+            AS VARCHAR) AS checksum
+FROM ordered GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12632,6 +12693,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_abc": q_part_abc,
     "nation_hhi": q_nation_hhi,
     "events_window_w1": q_events_window_w1,
+    "doc_shard_manifest": q_doc_shard_manifest,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12844,6 +12906,7 @@ ORACLES: Dict[str, str] = {
     "part_abc": SQL_PART_ABC,
     "nation_hhi": SQL_NATION_HHI,
     "events_window_w1": _window_w1_sql(),
+    "doc_shard_manifest": SQL_DOC_SHARD_MANIFEST,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -581,3 +581,41 @@ def test_sample_bias_audit_flags_planted_bias(spark):
     assert out2["mean_sample_6dp"] == 1000 * 1000000
     with _pytest.raises(ValueError, match="unknown column"):
         sample_bias_audit(df, "grp", "nope", rate)
+
+
+def test_shard_manifest_detects_row_drop_and_swap(spark, tmp_path):
+    """The manifest's order-independent checksum changes when a row is
+    dropped or an id is swapped, and is invariant to partitioning."""
+    from pynomaly_spark.queries import QUERIES
+
+    rows = [(i, f"text {i} " * 3, "en", "s") for i in range(200)]
+    schema = "doc_id long, text string, lang string, source string"
+
+    def manifest(rs, sub):
+        d = str(tmp_path / sub)
+        spark.createDataFrame(rs, schema).coalesce(1).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        return {
+            r["shard"]: (r["n_docs"], r["bytes"], r["checksum"])
+            for r in QUERIES["doc_shard_manifest"](spark, d).collect()
+        }
+
+    base = manifest(rows, "base")
+    assert len(base) == 8 and sum(v[0] for v in base.values()) == 200
+    # shard sizes differ by at most one (round-robin contract)
+    sizes = [v[0] for v in base.values()]
+    assert max(sizes) - min(sizes) <= 1
+    # dropping a row changes at least one shard's triple
+    dropped = manifest(rows[:-1], "drop")
+    assert dropped != base
+    # swapping an id (same count, same bytes) still changes a checksum
+    swapped = manifest(
+        [(10_000 if i == 7 else i, t, l, s) for (i, t, l, s) in rows],
+        "swap",
+    )
+    assert any(
+        base[k][2] != swapped[k][2]
+        for k in base
+        if k in swapped
+    )
