@@ -12495,6 +12495,93 @@ FROM ordered GROUP BY 1
 """
 
 
+def q_customer_segment_migration(spark, sf_dir):
+    """Customer-base dynamics: frequency-quartile segment per customer
+    in the FIRST half of the timeline vs the SECOND (integer-midpoint
+    split — deterministic), as a full transition matrix including the
+    churn/acquisition edges (``absent`` rows/columns).  Quartiles come
+    from ``features.quantile_bins`` (the two-level exact global rank)
+    computed INDEPENDENTLY per half, so the matrix reads "where did
+    each quartile's customers go"; all counts integer."""
+    from pynomaly_spark.features import quantile_bins
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+        )
+    )
+    bounds = o.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    ).select(
+        F.expr("(_lo + _hi) div 2").alias("_mid")
+    )
+    halves = o.crossJoin(F.broadcast(bounds)).select(
+        "c", (F.col("day") <= F.col("_mid")).alias("_first")
+    )
+
+    def seg(first: bool) -> DataFrame:
+        freq = (
+            halves.where(F.col("_first") == first)
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+        qb = quantile_bins(freq, "f", "c", k=4, coarse_width=64)
+        return qb.select(
+            F.col("id").alias("cust"),
+            F.concat(F.lit("q"), F.col("bin").cast("string")).alias("seg"),
+        )
+
+    a = seg(True).withColumnRenamed("seg", "seg_h1")
+    b = seg(False).select(
+        F.col("cust").alias("_cust2"), F.col("seg").alias("seg_h2")
+    )
+    return (
+        a.join(b, F.col("cust") == F.col("_cust2"), "full_outer")
+        .select(
+            F.coalesce(F.col("seg_h1"), F.lit("absent")).alias("seg_h1"),
+            F.coalesce(F.col("seg_h2"), F.lit("absent")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMER_SEGMENT_MIGRATION = """
+WITH o AS (
+  SELECT o_custkey AS c, epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), mid AS (SELECT (min(day) + max(day)) // 2 AS m FROM o),
+fa AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS f
+  FROM o, mid WHERE day <= m GROUP BY c
+), fb AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS f
+  FROM o, mid WHERE day > m GROUP BY c
+), sa AS (
+  SELECT c AS cust,
+         'q' || CAST(((row_number() OVER (ORDER BY f, c) - 1) * 4)
+                     // count(*) OVER () AS VARCHAR) AS seg_h1
+  FROM fa
+), sb AS (
+  SELECT c AS cust,
+         'q' || CAST(((row_number() OVER (ORDER BY f, c) - 1) * 4)
+                     // count(*) OVER () AS VARCHAR) AS seg_h2
+  FROM fb
+)
+SELECT coalesce(sa.seg_h1, 'absent') AS seg_h1,
+       coalesce(sb.seg_h2, 'absent') AS seg_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM sa FULL OUTER JOIN sb ON sa.cust = sb.cust
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12694,6 +12781,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_hhi": q_nation_hhi,
     "events_window_w1": q_events_window_w1,
     "doc_shard_manifest": q_doc_shard_manifest,
+    "customer_segment_migration": q_customer_segment_migration,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12907,6 +12995,7 @@ ORACLES: Dict[str, str] = {
     "nation_hhi": SQL_NATION_HHI,
     "events_window_w1": _window_w1_sql(),
     "doc_shard_manifest": SQL_DOC_SHARD_MANIFEST,
+    "customer_segment_migration": SQL_CUSTOMER_SEGMENT_MIGRATION,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

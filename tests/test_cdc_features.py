@@ -436,3 +436,42 @@ def test_target_encode_loo_exact_and_smoothed(spark):
     assert sm[1] == _pytest.approx((50 + 2 * prior) / 4)
     with _pytest.raises(ValueError, match="unknown column"):
         target_encode_loo(df, "nope", "y")
+
+
+def test_segment_migration_matrix_is_total(spark, tmp_path):
+    """Every customer appears in exactly one matrix cell; row/col
+    marginals reconcile to the per-half customer counts; absent
+    edges capture churn and acquisition."""
+    import datetime as dt
+
+    from pynomaly_spark.queries import QUERIES
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    ok = 0
+    # customers 1-4 active in H1 (days 0-9); 3-6 active in H2 (90-99)
+    for c in (1, 2, 3, 4):
+        for d in range(c):
+            rows.append((ok, float(c), c, base + dt.timedelta(days=d))); ok += 1
+    for c in (3, 4, 5, 6):
+        for d in range(90, 90 + c):
+            rows.append((ok, float(c), c, base + dt.timedelta(days=d))); ok += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_custkey long, "
+        "o_orderdate timestamp"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    out = QUERIES["customer_segment_migration"](spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in out)
+    assert total == 6  # union of both halves' customers
+    churned = sum(
+        r["n_customers"] for r in out if r["seg_h2"] == "absent"
+    )
+    acquired = sum(
+        r["n_customers"] for r in out if r["seg_h1"] == "absent"
+    )
+    assert churned == 2 and acquired == 2  # 1,2 churn; 5,6 acquired
+    assert all(
+        r["seg_h1"] != "absent" or r["seg_h2"] != "absent" for r in out
+    )
