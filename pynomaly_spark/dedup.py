@@ -45,6 +45,7 @@ __all__ = [
     "linkage_scores",
     "corpus_overlap",
     "golden_records",
+    "winnow_fingerprints",
 ]
 
 
@@ -1413,4 +1414,70 @@ def golden_records(
         F.expr("min_by(_id, struct(-_sc, _id))").alias("survivor_id"),
         F.max("_sc").cast("long").alias("survivor_score"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "row_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character ``k``-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's MINIMUM — the
+    position-robust document fingerprint with the guarantee MinHash
+    does not give: ANY shared substring of length ≥ ``w + k − 1``
+    yields a shared fingerprint (every such substring contains a full
+    window, and equal windows select equal minima), so matching on
+    fingerprints is a lossless screen for long verbatim overlap —
+    clone/plagiarism/license-text detection, not just whole-doc
+    near-dup.
+
+    Variant note: the textbook algorithm breaks window ties by
+    rightmost POSITION; this implementation keeps the distinct MIN
+    VALUES per document (positions dropped), which selects the same
+    value set, is order-free, and therefore bit-identical on any
+    engine/partitioning.  Hashes are md5-prefix integers (48 bits) so
+    the oracle recomputes them exactly; swap xxhash64 at scale.
+
+    Texts shorter than one full window (but ≥ ``k``) contribute their
+    single global minimum; shorter than ``k`` contribute nothing.
+
+    Returns exploded ``(id, fp)`` rows — one per distinct selected
+    fingerprint per document.
+
+    Scale (100 TB): everything up to the explode is per-row JVM array
+    expressions (no shuffle); downstream matching joins on ``fp`` —
+    ban boilerplate prints with a bucket-size guard exactly like the
+    banded-LSH path before pairing.
+
+    Reference parity: no counterpart in /root/reference/PyNomaly —
+    engine addition (dedup/fingerprint family).
+    """
+    if k < 2 or w < 2:
+        raise ValueError("winnow_fingerprints: need k >= 2 and w >= 2")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"winnow_fingerprints: unknown column {c!r}")
+    t = F.col(text_col)
+    n_grams = F.length(t) - F.lit(k - 1)
+    hashes = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})),"
+        f" 1, 12), 16, 10) as long))"
+    )
+    wins = F.when(
+        F.expr(f"size(_h) >= {w}"),
+        F.expr(
+            f"transform(sequence(1, size(_h) - {w - 1}),"
+            f" i -> array_min(slice(_h, i, {w})))"
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_h"))))
+    return (
+        df.where(t.isNotNull() & F.col(id_col).isNotNull())
+        .where(n_grams >= 1)
+        .select(F.col(id_col).alias("id"), hashes.alias("_h"))
+        .select("id", F.explode(F.array_distinct(wins)).alias("fp"))
     )

@@ -12582,6 +12582,71 @@ GROUP BY 1, 2
 """
 
 
+_WN_K, _WN_W, _WN_MAXID, _WN_HOT, _WN_MIN = 12, 6, 400, 25, 10
+
+
+def q_doc_winnowing(spark, sf_dir):
+    """Winnowing clone detection (``dedup.winnow_fingerprints`` — the
+    MOSS local-minimum scheme): pairs of docs sharing ≥10 winnowed
+    fingerprints at k=12/w=6 — long VERBATIM overlap, the guarantee
+    MinHash's global sampling does not give (any shared substring of
+    ≥ k+w−1 chars yields a shared print).  Boilerplate prints (in >25
+    docs) are banned before pairing — the banded-LSH hot-bucket
+    discipline — so the fp join never goes quadratic on a common
+    phrase.  All counting integer; md5 prints so the twin recomputes
+    them bit-for-bit."""
+    from pynomaly_spark.dedup import winnow_fingerprints
+
+    d = _doc(spark, sf_dir).where(
+        (F.col("doc_id") < _WN_MAXID) & F.col("text").isNotNull()
+    )
+    fp = winnow_fingerprints(d, "text", "doc_id", k=_WN_K, w=_WN_W)
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    kept = fp.join(
+        counts.where(F.col("_n") <= _WN_HOT).select("fp"), "fp"
+    )
+    right = kept.select(F.col("fp").alias("_fp2"), F.col("id").alias("id_b"))
+    return (
+        kept.join(
+            right,
+            (F.col("fp") == F.col("_fp2")) & (F.col("id") < F.col("id_b")),
+        )
+        .groupBy(F.col("id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= _WN_MIN)
+    )
+
+
+SQL_DOC_WINNOWING = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {_WN_MAXID} AND text IS NOT NULL
+    AND length(text) >= {_WN_K}
+), h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - {_WN_K - 1}),
+           i -> CAST('0x' || substr(md5(substring(text, i, {_WN_K})),
+                                    1, 12) AS BIGINT)) AS hs
+  FROM d
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {_WN_W}
+              THEN list_transform(
+                     generate_series(1, len(hs) - {_WN_W - 1}),
+                     i -> list_min(hs[i:i + {_WN_W - 1}]))
+              ELSE [list_min(hs)] END AS wl
+  FROM h
+), fp AS (
+  SELECT DISTINCT doc_id AS id, unnest(wl) AS fp FROM wins
+), ok AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WN_HOT}
+), kept AS (SELECT f.id, f.fp FROM fp f JOIN ok USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= {_WN_MIN}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12782,6 +12847,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_w1": q_events_window_w1,
     "doc_shard_manifest": q_doc_shard_manifest,
     "customer_segment_migration": q_customer_segment_migration,
+    "doc_winnowing": q_doc_winnowing,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -12996,6 +13062,7 @@ ORACLES: Dict[str, str] = {
     "events_window_w1": _window_w1_sql(),
     "doc_shard_manifest": SQL_DOC_SHARD_MANIFEST,
     "customer_segment_migration": SQL_CUSTOMER_SEGMENT_MIGRATION,
+    "doc_winnowing": SQL_DOC_WINNOWING,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

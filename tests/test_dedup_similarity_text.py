@@ -1849,3 +1849,35 @@ def test_pca_power_two_recovers_two_planted_directions(spark):
     assert abs(cos(v1, w1)) > 0.98
     assert abs(cos(v2, w2)) > 0.98
     assert abs(cos(v1, v2)) < 0.02
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing contract: any shared substring of >= k+w-1 chars
+    yields a shared fingerprint; disjoint texts share nothing; short
+    texts fall back to the global minimum; sub-k texts are dropped."""
+    import pytest as _pytest
+
+    from pynomaly_spark.dedup import winnow_fingerprints
+
+    k, w = 4, 3
+    shared = "SHAREDSEGMENT"            # len 13 >= k+w-1 = 6
+    rows = [
+        (1, "aaaa" + shared + "bbbbbb"),
+        (2, "cccccc" + shared + "dddd"),
+        (3, "totally unrelated words"),
+        (4, "abc"),                      # < k -> dropped
+        (5, "abcde"),                    # 2 grams < w -> global min
+    ]
+    df = spark.createDataFrame(rows, "row_id long, content string")
+    out = winnow_fingerprints(df, "content", "row_id", k=k, w=w).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], set()).add(r["fp"])
+    assert 4 not in by
+    assert len(by[5]) == 1
+    assert by[1] & by[2], "shared substring must yield a shared print"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+    with _pytest.raises(ValueError, match="k >= 2"):
+        winnow_fingerprints(df, "content", "row_id", k=1, w=3)
+    with _pytest.raises(ValueError, match="unknown column"):
+        winnow_fingerprints(df, "nope", "row_id")
