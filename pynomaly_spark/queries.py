@@ -12647,6 +12647,93 @@ GROUP BY 1, 2 HAVING count(*) >= {_WN_MIN}
 """
 
 
+def q_lineitem_moments(spark, sf_dir):
+    """Higher-moment shape profile per return flag: skewness
+    ``m3/m2^1.5`` and kurtosis ``m4/m2²`` from EXACT n-scaled central
+    moments (``Σ(n·x − S)^k / n`` — integer for integer x, divisible
+    by n by congruence), completing the moments family beside the
+    Pearson matrix.  Kurtosis is fully INTEGER-decided (one truncating
+    decimal div — 1.8 = uniform, the honest value here); skewness
+    needs one ``pow(·, 1.5)`` and is a mirrored IEEE tree.  ONE
+    map-side-combined aggregate; nothing else."""
+    dec = "decimal(38,0)"
+    b = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_returnflag").isNotNull() & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").cast(dec).alias("x"),
+        )
+    )
+    m = b.groupBy("g").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.expr("x * x")).cast(dec).alias("s2"),
+        F.sum(F.expr("x * x * x")).cast(dec).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).cast(dec).alias("s4"),
+    )
+    c = m.select(
+        "g",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("n * s2 - s * s").alias("m2"),
+        F.expr("n * n * s3 - 3 * n * s * s2 + 2 * s * s * s").alias("m3"),
+        F.expr(
+            "n * n * n * s4 - 4 * n * n * s * s3"
+            " + 6 * n * s * s * s2 - 3 * s * s * s * s"
+        ).alias("m4"),
+    )
+    return c.select(
+        "g",
+        "n_rows",
+        F.when(
+            F.col("m2") > 0,
+            F.floor(
+                F.col("m3").cast("double")
+                * F.lit(1000000.0)
+                / F.pow(F.col("m2").cast("double"), F.lit(1.5))
+            ),
+        ).cast("long").alias("skew_6dp"),
+        F.when(
+            F.col("m2") > 0,
+            F.expr("(m4 * 1000000) div (m2 * m2)"),
+        ).cast("long").alias("kurt_6dp"),
+    )
+
+
+SQL_LINEITEM_MOMENTS = """
+WITH b AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+), m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS s,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+         CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+         CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+  FROM b GROUP BY 1
+), c AS (
+  SELECT g, n,
+         n * s2 - s * s AS m2,
+         n * n * s3 - 3 * n * s * s2 + 2 * s * s * s AS m3,
+         n * n * n * s4 - 4 * n * n * s * s3
+           + 6 * n * s * s * s2 - 3 * s * s * s * s AS m4
+  FROM m
+)
+SELECT g, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN m2 > 0
+            THEN CAST(FLOOR(CAST(m3 AS DOUBLE) * 1000000.0
+                            / POW(CAST(m2 AS DOUBLE), 1.5)) AS BIGINT)
+            ELSE NULL END AS skew_6dp,
+       CASE WHEN m2 > 0
+            THEN CAST((m4 * 1000000) // (m2 * m2) AS BIGINT)
+            ELSE NULL END AS kurt_6dp
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12848,6 +12935,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shard_manifest": q_doc_shard_manifest,
     "customer_segment_migration": q_customer_segment_migration,
     "doc_winnowing": q_doc_winnowing,
+    "lineitem_moments": q_lineitem_moments,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -13063,6 +13151,7 @@ ORACLES: Dict[str, str] = {
     "doc_shard_manifest": SQL_DOC_SHARD_MANIFEST,
     "customer_segment_migration": SQL_CUSTOMER_SEGMENT_MIGRATION,
     "doc_winnowing": SQL_DOC_WINNOWING,
+    "lineitem_moments": SQL_LINEITEM_MOMENTS,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -772,3 +772,29 @@ def test_part_abc_two_level_cumulative(spark, tmp_path):
     assert out["C"]["n_parts"] == 1 and out["C"]["rev_cents"] == 5
     assert out["A"]["share_6dp"] == 800000
     assert out["B"]["share_6dp"] == 150000
+
+
+def test_lineitem_moments_match_numpy(spark, tmp_path):
+    """Skew/kurt from the exact n-scaled central moments agree with a
+    direct numpy computation; a constant column yields NULLs."""
+    import numpy as np
+
+    from pynomaly_spark.queries import QUERIES
+
+    rng = np.random.RandomState(3)
+    xs = rng.randint(1, 50, size=300)
+    rows = [("R", int(x)) for x in xs] + [("K", 7)] * 5
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity long")
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+    out = {
+        r["g"]: r.asDict()
+        for r in QUERIES["lineitem_moments"](spark, sf_dir).collect()
+    }
+    d = xs - xs.mean()
+    m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+    want_skew = int(np.floor(m3 / m2**1.5 * 1e6))
+    want_kurt = int(m4 / m2**2 * 1e6)
+    assert abs(out["R"]["skew_6dp"] - want_skew) <= 1
+    assert abs(out["R"]["kurt_6dp"] - want_kurt) <= 1
+    assert out["K"]["skew_6dp"] is None and out["K"]["kurt_6dp"] is None
