@@ -12734,6 +12734,142 @@ FROM c
 """
 
 
+_RLIFT_MIN_N, _RLIFT_K = 20, 20
+
+
+def q_part_return_lift(spark, sf_dir):
+    """Disproportionate-return screen: parts whose return rate LIFTS
+    most above the corpus rate (exact 6-dp lift ``(r·N·10⁶) div
+    (R·n)``, support floor n ≥ 20 so one bad line can't top the
+    chart), capped to the top-20 via the salted two-phase device under
+    a total order — the "which SKUs are getting sent back" DQ
+    triage.  All ordering decisions are integer."""
+    from pynomaly_spark.similarity import two_phase_topk
+
+    dec = "decimal(38,0)"
+    per = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_partkey").isNotNull() & F.col("l_returnflag").isNotNull()
+        )
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long")
+            .alias("returns"),
+        )
+        .where(F.col("n") >= _RLIFT_MIN_N)
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("returns").cast("long").alias("_tr"),
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "part",
+        "n",
+        "returns",
+        F.expr(
+            f"(cast(returns as {dec}) * _tn * 1000000)"
+            f" div (cast(_tr as {dec}) * n)"
+        ).cast("long").alias("lift_6dp"),
+    )
+    top = two_phase_topk(
+        scored,
+        [],
+        [F.col("lift_6dp").desc(), F.col("part").asc()],
+        _RLIFT_K,
+        rank_col="rnk",
+        phase1=False,
+    )
+    return top.select(
+        F.col("rnk").cast("long").alias("rnk"), "part", "n", "returns",
+        "lift_6dp",
+    )
+
+
+SQL_PART_RETURN_LIFT = f"""
+WITH per AS (
+  SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS returns
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= {_RLIFT_MIN_N}
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(returns) AS BIGINT) AS tr
+  FROM per
+), scored AS (
+  SELECT part, n, returns,
+         CAST((CAST(returns AS HUGEINT) * tn * 1000000)
+              // (CAST(tr AS HUGEINT) * n) AS BIGINT) AS lift_6dp
+  FROM per, tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift_6dp DESC, part ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, part, n, returns, lift_6dp
+FROM ranked WHERE rnk <= {_RLIFT_K}
+"""
+
+
+def q_events_entropy(spark, sf_dir):
+    """Per-state transition entropy of the first-order Markov chain:
+    how predictable is what follows each event type
+    (0 = deterministic, ln|S| = uniform — ~1.609 here, the honest
+    value for uniform synthetic transitions).  Each ``−p·ln p`` term
+    is rounded to 6 dp BEFORE the rollup (the per-doc-round device:
+    identical doubles round identically, and the integer sum is then
+    order-independent), so the entropy hashes cross-engine despite the
+    transcendental."""
+    from pynomaly_spark.sequences import transition_counts
+
+    tc = transition_counts(
+        _tbl(spark, sf_dir, "events"), "user_id", "ts", "event_type"
+    )
+    p = F.col("n_pair").cast("double") / F.col("n_prev").cast("double")
+    term = F.round(-p * F.log(p) * F.lit(1000000.0), 0).cast("long")
+    return (
+        tc.select("prev_state", F.col("n_prev").cast("long").alias("n_prev"), term.alias("_t"))
+        .groupBy("prev_state")
+        .agg(
+            F.max("n_prev").cast("long").alias("n_prev"),
+            F.count(F.lit(1)).cast("long").alias("n_successors"),
+            F.sum("_t").cast("long").alias("entropy_6dp"),
+        )
+    )
+
+
+SQL_EVENTS_ENTROPY = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), tc AS (
+  SELECT event_type AS prev_state, nxt AS curr_state,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), probs AS (
+  SELECT prev_state, n_pair,
+         CAST(sum(n_pair) OVER (PARTITION BY prev_state) AS BIGINT)
+           AS n_prev
+  FROM tc
+), terms AS (
+  SELECT prev_state, n_prev,
+         CAST(round(-(CAST(n_pair AS DOUBLE) / n_prev)
+                    * ln(CAST(n_pair AS DOUBLE) / n_prev)
+                    * 1000000.0) AS BIGINT) AS t
+  FROM probs
+)
+SELECT prev_state, CAST(max(n_prev) AS BIGINT) AS n_prev,
+       CAST(count(*) AS BIGINT) AS n_successors,
+       CAST(sum(t) AS BIGINT) AS entropy_6dp
+FROM terms GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12936,6 +13072,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_segment_migration": q_customer_segment_migration,
     "doc_winnowing": q_doc_winnowing,
     "lineitem_moments": q_lineitem_moments,
+    "part_return_lift": q_part_return_lift,
+    "events_entropy": q_events_entropy,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -13152,6 +13290,8 @@ ORACLES: Dict[str, str] = {
     "customer_segment_migration": SQL_CUSTOMER_SEGMENT_MIGRATION,
     "doc_winnowing": SQL_DOC_WINNOWING,
     "lineitem_moments": SQL_LINEITEM_MOMENTS,
+    "part_return_lift": SQL_PART_RETURN_LIFT,
+    "events_entropy": SQL_EVENTS_ENTROPY,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -400,3 +400,42 @@ def test_events_conformance_allowed_flags(spark):
     # must be present or the audit is degenerate
     assert any(r["allowed"] == 0 for r in rows)
     assert any(r["allowed"] == 1 for r in rows)
+
+
+def test_events_entropy_deterministic_and_uniform_limits(spark, tmp_path):
+    """A deterministic successor gives entropy 0; a perfectly uniform
+    2-way split gives round(ln 2 * 1e6) = 693147."""
+    import datetime as dt
+
+    from pynomaly_spark.queries import QUERIES
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    ev = 0
+    # user 1: a->b four times (deterministic)
+    for i in range(4):
+        rows.append((ev, base + dt.timedelta(hours=ev), 1, "a", None)); ev += 1
+        rows.append((ev, base + dt.timedelta(hours=ev), 1, "b", None)); ev += 1
+    # user 2: c->x, c->y alternating (x/y always return to c) ->
+    # uniform 2-way split from c, disjoint from user 1's states
+    for i in range(4):
+        rows.append((ev, base + dt.timedelta(hours=ev), 2, "c", None)); ev += 1
+        rows.append(
+            (ev, base + dt.timedelta(hours=ev), 2, "x" if i % 2 else "y", None)
+        ); ev += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["prev_state"]: r.asDict()
+        for r in QUERIES["events_entropy"](spark, sf_dir).collect()
+    }
+    assert out["a"]["entropy_6dp"] == 0 and out["a"]["n_successors"] == 1
+    # per-TERM 6-dp rounding (the operator's cross-engine contract):
+    # 2 * round(-0.5*ln(0.5)*1e6) = 2 * 346574 = 693148, one ulp above
+    # round(ln(2)*1e6) = 693147
+    assert out["c"]["entropy_6dp"] == 693148
+    assert out["c"]["n_successors"] == 2
