@@ -12870,6 +12870,57 @@ FROM terms GROUP BY 1
 """
 
 
+def q_events_fano(spark, sf_dir):
+    """Burstiness screen: the Fano dispersion index ``var/mean`` of
+    each event type's daily counts, decided entirely in integers via
+    the cross-multiplied form ``(n·Σx² − S²)·10⁶ div (n·S)`` —
+    Poisson arrivals sit at 10⁶, bursty bots above, throttled/metered
+    feeds below.  Days with zero events are excluded (observed-day
+    convention — on this data every day is active so the choice is
+    moot; gap-fill with the dense-spine device if the tail matters).
+    Two map-side-combined aggregates, nothing else."""
+    dec = "decimal(38,0)"
+    daily = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .alias("_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_x"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").cast("long").alias("n_events"),
+        F.expr(
+            f"((count(1) * sum(cast(_x as {dec}) * cast(_x as {dec}))"
+            f"  - cast(sum(_x) as {dec}) * cast(sum(_x) as {dec}))"
+            f" * 1000000)"
+            f" div (count(1) * cast(sum(_x) as {dec}))"
+        ).cast("long").alias("fano_6dp"),
+    )
+
+
+SQL_EVENTS_FANO = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days, s AS n_events,
+       CAST(((n * s2 - CAST(s AS HUGEINT) * s) * 1000000)
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS fano_6dp
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13074,6 +13125,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_moments": q_lineitem_moments,
     "part_return_lift": q_part_return_lift,
     "events_entropy": q_events_entropy,
+    "events_fano": q_events_fano,
     "customer_returns": q_customer_returns,
     "part_promo_share": q_part_promo_share,
     "part_small_qty_revenue": q_part_small_qty_revenue,
@@ -13292,6 +13344,7 @@ ORACLES: Dict[str, str] = {
     "lineitem_moments": SQL_LINEITEM_MOMENTS,
     "part_return_lift": SQL_PART_RETURN_LIFT,
     "events_entropy": SQL_EVENTS_ENTROPY,
+    "events_fano": SQL_EVENTS_FANO,
     "customer_returns": SQL_CUSTOMER_RETURNS,
     "part_promo_share": SQL_PART_PROMO_SHARE,
     "part_small_qty_revenue": SQL_PART_SMALL_QTY_REVENUE,

@@ -798,3 +798,34 @@ def test_lineitem_moments_match_numpy(spark, tmp_path):
     assert abs(out["R"]["skew_6dp"] - want_skew) <= 1
     assert abs(out["R"]["kurt_6dp"] - want_kurt) <= 1
     assert out["K"]["skew_6dp"] is None and out["K"]["kurt_6dp"] is None
+
+
+def test_events_fano_hand_values(spark, tmp_path):
+    """Constant daily counts -> Fano 0; counts [1, 3] -> var 1,
+    mean 2 -> 500000 at 6 dp (population variance, truncating)."""
+    import datetime as dt
+
+    from pynomaly_spark.queries import QUERIES
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    ev = 0
+    for d in range(4):          # 'flat': 2 events every day
+        for _ in range(2):
+            rows.append((ev, base + dt.timedelta(days=d), 1, "flat", None)); ev += 1
+    for d, k in ((0, 1), (1, 3)):  # 'burst': 1 then 3
+        for _ in range(k):
+            rows.append((ev, base + dt.timedelta(days=d), 1, "burst", None)); ev += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["events_fano"](spark, sf_dir).collect()
+    }
+    assert out["flat"]["fano_6dp"] == 0 and out["flat"]["n_days"] == 4
+    assert out["burst"]["fano_6dp"] == 500000
+    assert out["burst"]["n_events"] == 4
