@@ -176,9 +176,15 @@ def loop_grouped(
                 pts = pdf[fcols].to_numpy(dtype=np.float64)
             else:
                 pts = np.stack(pdf[features_col].to_numpy())
-            res = kernel.loop_scores(
-                pts, n_neighbors=k, extent=ext, exact_tiebreak=exact_tiebreak
-            )
+            if exact_tiebreak:
+                # duplicate-collapsing (dist, id) path: O(distinct^2)
+                # instead of O(rows^2) on tie-heavy features, same
+                # outputs (kernel.loop_scores_tied docstring)
+                res = kernel.loop_scores_tied(
+                    pts, n_neighbors=k, extent=ext
+                )
+            else:
+                res = kernel.loop_scores(pts, n_neighbors=k, extent=ext)
             out = _result_frame(pid, row_ids, res)
         for c in carry:
             out[c] = pdf[c].to_numpy()

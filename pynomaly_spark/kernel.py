@@ -48,6 +48,7 @@ __all__ = [
     "knn",
     "loop_from_knn",
     "loop_scores",
+    "loop_scores_tied",
     "LoopResult",
 ]
 
@@ -352,6 +353,255 @@ def loop_scores(
     selection for tie-heavy features — see :func:`knn`."""
     d, ids = knn(points, n_neighbors, labels=labels, exact_tiebreak=exact_tiebreak)
     return loop_from_knn(d, ids, n_neighbors, extent=extent, labels=labels)
+
+
+def _tied_select_row(sq_row, avail_row, j, positions_by_vec, k):
+    """Full-width (dist, id) selection for one distinct query vector.
+
+    Reference path for rows whose boundary tie class escapes the
+    vectorized candidate window; also the ground truth the vectorized
+    path is tested against.  Returns the k selected squared distances
+    (ascending) and the distinct index each slot is drawn from.
+    """
+    full = np.argsort(sq_row, kind="stable")
+    fsq = sq_row[full]
+    fav = avail_row[full]
+    fcum = np.cumsum(fav)
+    ft = int(np.argmax(fcum >= k))
+    fb = fsq[ft]
+    fcs = int(np.searchsorted(fsq, fb, side="left"))
+    fend = int(np.searchsorted(fsq, fb, side="right"))
+    used = np.where(np.arange(len(full)) < fcs, fav, 0)
+    r = k - (int(fcum[fcs - 1]) if fcs > 0 else 0)
+    if fend - fcs == 1:
+        used[fcs] = r
+    else:
+        vecs = full[fcs:fend]
+        if (vecs == j).any():
+            # a foreign vector at EXACTLY the query's own distance 0
+            # would make the split member-dependent; unreachable for
+            # distinct float vectors (sq > 0), guarded anyway
+            raise ValueError("tied-kNN: foreign vector at zero distance")
+        merged = np.sort(
+            np.concatenate([positions_by_vec[v] for v in vecs])
+        )
+        cut = merged[r - 1]
+        for slot, v in enumerate(vecs):
+            used[fcs + slot] = int(
+                np.searchsorted(positions_by_vec[v], cut, side="right")
+            )
+    esq = np.repeat(fsq, used)
+    eidx = np.repeat(full, used)
+    return esq, eidx
+
+
+def _tied_knn_distinct(
+    uniq: np.ndarray,
+    counts: np.ndarray,
+    positions_by_vec,
+    n_neighbors: int,
+    chunk_size: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(dist, id)-contract kNN at DISTINCT-VECTOR granularity.
+
+    For every distinct vector j, returns the k selected neighbor
+    distances (``ddist``, ascending) and the distinct index each slot
+    was drawn from (``didx``) — the selection any member row of j gets
+    under the exact_tiebreak ``(squared distance, row position)``
+    order.  Identical rows tie at exactly equal distances, so the
+    (dist, id) order fills whole tie classes before ids matter;
+    per-member id detail only decides the SPLIT inside the class that
+    straddles the k-th slot, and then only when that class spans
+    several distinct vectors (exact float ties between different
+    vectors), resolved by merging the member-position lists.  The
+    split never differs between members of the same query vector
+    (their own class sits at distance 0, strictly below any other
+    class), so one row per distinct vector is exact.
+    """
+    D = uniq.shape[0]
+    k = int(n_neighbors)
+    ddist = np.empty((D, k), dtype=np.float64)
+    didx = np.empty((D, k), dtype=np.int64)
+    L = min(D, 4 * k + 8)
+    step = min(chunk_size, D)
+    for start in range(0, D, step):
+        end = min(start + step, D)
+        c = end - start
+        rows = np.arange(c)
+        # per-dimension outer diffs accumulated in dimension order —
+        # bit-identical to the row-level path's diff/einsum (einsum
+        # reduces the d axis sequentially) at a third of the memory
+        # traffic (no (c, D, d) slab)
+        sq = None
+        for dim in range(uniq.shape[1]):
+            t = np.subtract.outer(uniq[start:end, dim], uniq[:, dim])
+            t *= t
+            sq = t if sq is None else np.add(sq, t, out=sq)
+        avail = np.broadcast_to(counts, (c, D)).copy()
+        avail[rows, rows + start] -= 1  # self-exclusion (own class)
+        if L < D:
+            part = np.argpartition(sq, L - 1, axis=1)[:, :L]
+            psq = np.take_along_axis(sq, part, axis=1)
+            order = np.argsort(psq, axis=1, kind="stable")
+            cand = np.take_along_axis(part, order, axis=1)
+            csq = np.take_along_axis(psq, order, axis=1)
+        else:
+            cand = np.argsort(sq, axis=1, kind="stable")
+            csq = np.take_along_axis(sq, cand, axis=1)
+        width = cand.shape[1]
+        cavail = np.take_along_axis(avail, cand, axis=1)
+        cum = np.cumsum(cavail, axis=1)
+        # boundary slot: first candidate position where cum >= k
+        reached = cum >= k
+        ok = reached[:, -1]
+        t = np.where(ok, np.argmax(reached, axis=1), width - 1)
+        bsq = csq[rows, t]
+        # the candidate window must CONTAIN the whole boundary class;
+        # rows where ties (or zero-avail own slots) push it past the
+        # margin fall back to the full-width per-row reference path
+        complete = ok & ((L == D) | (csq[:, -1] > bsq))
+        fallback = {}
+        for i in np.where(~complete)[0]:
+            esq, eidx = _tied_select_row(
+                sq[i], avail[i], start + i, positions_by_vec, k
+            )
+            fallback[int(i)] = (esq, eidx)
+            # neutralize row i in the vectorized expansion: one fake
+            # "before the boundary" slot carrying exactly k picks
+            csq[i, 0] = 0.0
+            csq[i, 1:] = 2.0
+            cavail[i] = 0
+            cavail[i, 0] = k
+            cum[i] = np.cumsum(cavail[i])
+            cand[i] = 0
+            bsq[i] = 1.0
+        class_start = (csq < bsq[:, None]).sum(axis=1)
+        class_end = (csq <= bsq[:, None]).sum(axis=1)
+        cum_before = np.where(
+            class_start > 0, cum[rows, np.maximum(class_start - 1, 0)], 0
+        )
+        r = k - cum_before  # slots left for the boundary class
+        used = np.where(
+            np.arange(width)[None, :] < class_start[:, None],
+            cavail,
+            0,
+        )
+        multi = class_end - class_start > 1
+        single = ~multi
+        used[single, np.minimum(class_start[single], width - 1)] = r[single]
+        for i in np.where(multi)[0]:
+            # exact float distance tie between DIFFERENT distinct
+            # vectors straddling the k-th slot: the (dist, id) order
+            # interleaves their member ids — merge the id lists and
+            # count how many of the r smallest land on each vector
+            j = start + i
+            cs, ce = int(class_start[i]), int(class_end[i])
+            vecs = cand[i, cs:ce]
+            if (vecs == j).any():
+                raise ValueError(
+                    "tied-kNN: foreign vector at zero distance"
+                )
+            pos_lists = [positions_by_vec[v] for v in vecs]
+            merged = np.sort(np.concatenate(pos_lists))
+            cut = merged[int(r[i]) - 1]
+            for slot, v in enumerate(vecs):
+                used[i, cs + slot] = int(
+                    np.searchsorted(positions_by_vec[v], cut, side="right")
+                )
+        flat_used = used.ravel()
+        exp_sq = np.repeat(csq.ravel(), flat_used).reshape(c, k)
+        exp_idx = np.repeat(cand.ravel(), flat_used).reshape(c, k)
+        np.maximum(exp_sq, 0.0, out=exp_sq)
+        ddist[start:end] = np.sqrt(exp_sq)
+        didx[start:end] = exp_idx
+        for i, (esq, eidx) in fallback.items():
+            esq = np.maximum(esq, 0.0)
+            ddist[start + i] = np.sqrt(esq)
+            didx[start + i] = eidx
+    return ddist, didx
+
+
+def loop_scores_tied(
+    points: np.ndarray,
+    n_neighbors: int = 10,
+    extent: int = 3,
+) -> LoopResult:
+    """``loop_scores(..., exact_tiebreak=True)`` at distinct-vector cost.
+
+    The exact_tiebreak contract makes identical feature rows fully
+    interchangeable: every member of a distinct vector receives the
+    same neighbor-distance multiset and the same neighborhood of
+    distinct vectors, so the O(m^2) row-level pairwise pass collapses
+    to O(D^2) over the D distinct vectors with multiplicities (the
+    kernel docstring's at-scale remedy for tie-heavy features).  All
+    stages after the kNN run at row level on the expanded arrays, so
+    ssd/sigma/pdist/plof/eplof2/nplof/scores are bit-identical to the
+    row-level path; the only possible deviation is the float summation
+    order of the neighborhood EV when an exact distance tie spans
+    several distinct vectors (equal-value reordering there is absorbed
+    by callers' 6-dp rounding).  Requires position order == external id
+    order (the :func:`pynomaly_spark.drift.loop_grouped` sort) and
+    NaN-free features (falls back to the row-level path otherwise).
+    """
+    pts = _as_matrix(points)
+    n = pts.shape[0]
+    k = int(n_neighbors)
+    if n <= k:
+        raise ValueError(
+            "group size %d requires n_neighbors < group size" % n
+        )
+    if np.isnan(pts).any():
+        return loop_scores(
+            pts, n_neighbors, extent=extent, exact_tiebreak=True
+        )
+    uniq, inv, counts = np.unique(
+        pts, axis=0, return_inverse=True, return_counts=True
+    )
+    inv = np.asarray(inv).reshape(-1)
+    if len(uniq) == n:
+        # no duplicates: the distinct pass IS the row pass, but the
+        # row-level kernel keeps its chunked memory profile
+        return loop_scores(
+            pts, n_neighbors, extent=extent, exact_tiebreak=True
+        )
+    order = np.argsort(inv, kind="stable")
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    positions_by_vec = [
+        order[bounds[i]:bounds[i + 1]] for i in range(len(uniq))
+    ]
+    ddist, didx = _tied_knn_distinct(
+        uniq, counts, positions_by_vec, k
+    )
+    # expand the kNN back to rows; every downstream stage then runs the
+    # exact loop_from_knn math on per-row arrays (bit-parity)
+    d = ddist[inv]
+    ssd = np.einsum("ij,ij->i", d, d)
+    sigma = np.sqrt(ssd / float(k))
+    pdist = float(extent) * sigma
+    # neighbor EV: a neighbor's pdist is a function of its distinct
+    # vector alone, so gather at distinct level and expand
+    pdist_d = float(extent) * np.sqrt(
+        np.einsum("ij,ij->i", ddist, ddist) / float(k)
+    )
+    with np.errstate(invalid="ignore"):
+        ev = np.nanmean(pdist_d[didx], axis=1)[inv]
+    plof = _prob_outlier_factor(pdist, ev)
+    vals = plof[~np.isnan(plof)]
+    eplof2 = np.full(n, np.power(vals, 2).sum() / float(vals.size))
+    nplof = float(extent) * np.sqrt(eplof2)
+    scores = _local_outlier_probability(plof, nplof)
+    return LoopResult(
+        ssd=ssd,
+        standard_distance=sigma,
+        prob_distance=pdist,
+        prob_distance_ev=ev,
+        plof=plof,
+        eplof2=eplof2,
+        nplof=nplof,
+        scores=scores,
+        nplof_max=float(np.max(nplof)),
+        mean_prob_distance_ev=float(np.mean(ev)),
+    )
 
 
 def score_new_points(

