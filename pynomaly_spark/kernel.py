@@ -172,12 +172,17 @@ def knn(
             rows = np.arange(c)
 
             if m <= blk:
-                # one-shot fast path (the overwhelmingly common case)
-                sq32 = (
-                    sq_norms32[start:end, None]
-                    - 2.0 * chunk32 @ gp32.T
-                    + sq_norms32[None, :]
-                )
+                # one-shot fast path (the overwhelmingly common case).
+                # In-place sequence: bit-identical elementwise values to
+                # `a - 2c + b` (same op order per element) without the
+                # two (c, m) broadcast temps — the kernel is bandwidth-
+                # bound under Spark concurrency, so the saved writes are
+                # the point (round-6 profile: the temps cost more than
+                # the matmul at m=1000).
+                sq32 = chunk32 @ gp32.T
+                sq32 *= 2.0
+                np.subtract(sq_norms32[start:end, None], sq32, out=sq32)
+                sq32 += sq_norms32[None, :]
                 sq32[rows, rows + start] = np.inf  # mask self
                 if n_cand < m:
                     cand = np.argpartition(sq32, n_cand - 1, axis=1)[
@@ -191,11 +196,13 @@ def knn(
                 for b0 in range(0, m, blk):
                     b1 = min(b0 + blk, m)
                     w = b1 - b0
-                    sq32 = (
-                        sq_norms32[start:end, None]
-                        - 2.0 * chunk32 @ gp32[b0:b1].T
-                        + sq_norms32[None, b0:b1]
+                    # same in-place fusion as the one-shot path above
+                    sq32 = chunk32 @ gp32[b0:b1].T
+                    sq32 *= 2.0
+                    np.subtract(
+                        sq_norms32[start:end, None], sq32, out=sq32
                     )
+                    sq32 += sq_norms32[None, b0:b1]
                     # mask self where the diagonal crosses this block
                     lo = max(start, b0)
                     hi = min(end, b1)

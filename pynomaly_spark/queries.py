@@ -35,6 +35,26 @@ def _tbl(spark, sf_dir, name) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a few-file scan to session parallelism before CPU-heavy
+    per-row work (round 6, guide §2.5 input skew: "one huge unsplittable
+    file ... repartition immediately after the read").
+
+    The driver tables are ONE parquet file with one row group, which
+    Spark cannot split below row-group granularity, so a regex/digest
+    pass over every row runs on ONE core at local[32] regardless of
+    ``spark.sql.files.minPartitionNum``.  Same plan-time file-count
+    probe as ``q_ann_cosine_topk``'s phase1 bypass: a production-scale
+    table has thousands of files and never takes the branch.  Results
+    are unchanged — consumers are row-order independent — only a small
+    exchange of the raw rows is added, which the parallel per-row work
+    repays.
+    """
+    if len(df.inputFiles()) <= 4:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
 # --------------------------------------------------------------------------
 # column stats (checks.py V1/V10 surface on neutral tables)
 # --------------------------------------------------------------------------
@@ -239,7 +259,9 @@ GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 def q_doc_token_stats(spark, sf_dir):
-    doc = _doc(spark, sf_dir)
+    # regex split over every document: spread the single-file scan so
+    # the tokenize runs at session parallelism (see _spread)
+    doc = _spread(_doc(spark, sf_dir))
     n_tokens = F.size(F.split(F.col("text"), r"\s+")).cast("double")
     return doc.groupBy("lang").agg(
         F.round(F.avg(n_tokens), _R).alias("avg_tokens"),
@@ -1613,7 +1635,10 @@ def q_doc_drift_loop(spark, sf_dir):
     from .checks import drift_features
     from .drift import loop_grouped
 
-    doc = _doc(spark, sf_dir).where(F.col("text").isNotNull())
+    # the drift features (length + token count) are computed map-side in
+    # the scan stage, BEFORE loop_grouped's group exchange — spread the
+    # single-file scan so that per-row pass is not pinned to one core
+    doc = _spread(_doc(spark, sf_dir)).where(F.col("text").isNotNull())
     feats = doc.select(
         F.col("doc_id").alias("row_id"),
         F.col("lang").alias("partition_id"),

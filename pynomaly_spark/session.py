@@ -26,6 +26,17 @@ from pyspark.sql import SparkSession
 for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_v, "1")
 
+# glibc returns every free()d block over the mmap threshold straight to
+# the kernel, so the LoOP kernel's per-chunk MB-size numpy temps page-
+# fault on EVERY allocation (round-6 profile: 43.7 -> 28.5 ms per
+# 1000-row group just from this knob — the faults cost more than the
+# distance math).  Raising the threshold keeps those blocks on the heap
+# free list for reuse.  glibc reads the variable at process start, so
+# setting it here covers the JVM and every Python worker it spawns
+# (children inherit); results are bit-identical — only the allocator
+# changes.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 * 1024 * 1024))
+
 # Defaults chosen for a 100 TB posture scaled to local testing; every knob
 # is overridable via extra_conf.
 _ENGINE_CONF = {
@@ -41,6 +52,10 @@ _ENGINE_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
+    # cluster-mode propagation of the allocator knob above (local mode
+    # inherits it via the process env; executors on a real cluster need
+    # the explicit executorEnv)
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": str(64 * 1024 * 1024),
 }
 
 
@@ -82,6 +97,15 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.default.parallelism", str(n))
+        # Scan-parallelism floor (round 6, guide §6): the driver tables
+        # are ONE parquet file each, and a file under maxPartitionBytes
+        # scans as ONE task regardless of core count (sf1.0 lineitem =
+        # 110 MB = 6M rows decoded on one core).  minPartitionNum makes
+        # split sizing adaptive — max(openCost, bytes/N) — so multi-
+        # row-group files split to session parallelism; at production
+        # scale file counts dwarf N and this floor is a no-op.  Derived
+        # from the session's core count, never a hard-coded constant.
+        .config("spark.sql.files.minPartitionNum", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     local_dir = _default_local_dir()
