@@ -1133,7 +1133,7 @@ def prefix_jaccard_join(
             - F.expr(f"(({t_num}L * _sz) + {t_den - 1}L) div {t_den}L")
             + F.lit(1)
         )
-        .select("_id", "_tok", "_sz")
+        .select("_id", "_tok", "_sz", "_rn")
     )
     # hot-prefix-bucket guard (control-plane, bounded)
     hot = (
@@ -1149,14 +1149,47 @@ def prefix_jaccard_join(
             f"threshold or pre-shard the corpus"
         )
     a = prefix.select(
-        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")
+        F.col("_tok"),
+        F.col("_id").alias("id_a"),
+        F.col("_sz").alias("_sza"),
+        F.col("_rn").alias("_rna"),
     )
     b = prefix.select(
-        F.col("_tok"), F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")
+        F.col("_tok"),
+        F.col("_id").alias("id_b"),
+        F.col("_sz").alias("_szb"),
+        F.col("_rn").alias("_rnb"),
+    )
+    # Two LOSSLESS candidate screens from the AllPairs/PPJoin papers,
+    # applied inside the join condition so false candidates never reach
+    # the distinct or the verify explode (round 6: on a small-vocabulary
+    # near-dup-heavy corpus the prefix filter alone passed 78% of ALL
+    # pairs — 9.7M candidates / 236M verify rows at sf0.1):
+    #   * length filter — Jaccard >= t needs t_den*min(sz) >=
+    #     t_num*max(sz) (I <= min, U >= max);
+    #   * positional filter — for the FIRST shared token under the
+    #     global order, I <= 1 + min(remaining suffix lengths); a
+    #     qualifying pair needs I*(t_num+t_den) >= t_num*(sa+sb), so a
+    #     candidate generation at positions (_rna, _rnb) may be dropped
+    #     when even that upper bound fails.  Using the constant 1 for
+    #     shared-so-far is conservative for later shared tokens, and the
+    #     first-shared-token generation of a qualifying pair always
+    #     passes, so the surviving distinct pair set loses nothing.
+    # Both are exact integer comparisons — no float decides membership.
+    _len_ok = F.lit(t_den) * F.least("_sza", "_szb") >= F.lit(
+        t_num
+    ) * F.greatest("_sza", "_szb")
+    _pos_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("_sza") - F.col("_rna"), F.col("_szb") - F.col("_rnb")
+        )
+    ) * F.lit(t_num + t_den) >= F.lit(t_num) * (
+        F.col("_sza") + F.col("_szb")
     )
     cand = (
         a.join(b, "_tok")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & _len_ok & _pos_ok)
         .select("id_a", "id_b", "_sza", "_szb")
         .distinct()
     )

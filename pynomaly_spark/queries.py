@@ -27,12 +27,26 @@ _R = 6  # default rounding for float-valued metrics
 _EMB_DIM = 64
 
 
-def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+# Tables whose queries are dominated by per-row CPU (regex tokenize,
+# shingles, md5/sha digests, 64-dim HOF dot products) on a FEW-ROW
+# relation: a single-file single-row-group scan pins all of that work
+# to one task, so these readers spread to session parallelism by
+# default (see _spread below; measured round 6: emb_knn_classifier
+# 78 -> 2.2s, doc_ssjoin 74 -> 15s at sf0.1).  The big row-count
+# tables (lineitem/orders/events) are NOT spread: their queries are
+# columnar aggregates where an extra exchange of every row costs more
+# than the serial scan (measured: events_hourly 0.69 -> 1.70s), and
+# multi-row-group files already split via files.minPartitionNum.
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
 
 
 def _tbl(spark, sf_dir, name) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(df) if name in _SPREAD_TABLES else df
+
+
+def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tbl(spark, sf_dir, "documents")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -259,9 +273,7 @@ GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 def q_doc_token_stats(spark, sf_dir):
-    # regex split over every document: spread the single-file scan so
-    # the tokenize runs at session parallelism (see _spread)
-    doc = _spread(_doc(spark, sf_dir))
+    doc = _doc(spark, sf_dir)
     n_tokens = F.size(F.split(F.col("text"), r"\s+")).cast("double")
     return doc.groupBy("lang").agg(
         F.round(F.avg(n_tokens), _R).alias("avg_tokens"),
@@ -437,9 +449,10 @@ def q_ann_cosine_topk(spark, sf_dir):
     # a production-scale table has thousands of files and never takes
     # the branch).  A flat 64-term codegen dot was also tried and lost
     # to the HOF aggregate (2.4s vs 1.3s) — kept the HOF.
+    # _tbl already spreads the few-file scan (round 6 made that the
+    # embeddings-reader default); the probe only steers the phase1
+    # bypass below now
     few_files = len(emb.inputFiles()) <= 4
-    if few_files:
-        emb = emb.repartition(spark.sparkContext.defaultParallelism)
     nrm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x * x),
@@ -1635,10 +1648,7 @@ def q_doc_drift_loop(spark, sf_dir):
     from .checks import drift_features
     from .drift import loop_grouped
 
-    # the drift features (length + token count) are computed map-side in
-    # the scan stage, BEFORE loop_grouped's group exchange — spread the
-    # single-file scan so that per-row pass is not pinned to one core
-    doc = _spread(_doc(spark, sf_dir)).where(F.col("text").isNotNull())
+    doc = _doc(spark, sf_dir).where(F.col("text").isNotNull())
     feats = doc.select(
         F.col("doc_id").alias("row_id"),
         F.col("lang").alias("partition_id"),
@@ -9844,27 +9854,35 @@ def q_emb_knn_classifier(spark, sf_dir):
             ).alias("_v"),
         )
     )
-    a = emb.select(
+    # Round-6 perf rewrite, same results: the vector norm is computed
+    # ONCE per row before the N^2 pair join instead of once per pair —
+    # the old plan ran THREE 64-element HOF aggregates per pair (dot +
+    # both norms); this one runs one.  sqrt(agg(...)) over the same
+    # array yields the identical double, so _cos6 is bit-identical.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    embn = emb.select("vec_id", "label", "_v", nrm.alias("_nrm"))
+    a = embn.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
-    b = emb.select(
+    b = embn.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
     )
     pairs = (
         a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
@@ -9873,7 +9891,7 @@ def q_emb_knn_classifier(spark, sf_dir):
             "label_a",
             "id_b",
             "label_b",
-            F.round(dot / (nrm("_va") * nrm("_vb")), 6).alias("_cos6"),
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("_cos6"),
         )
     )
     topk = two_phase_topk(
