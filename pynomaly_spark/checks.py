@@ -31,7 +31,7 @@ import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .drift import loop_grouped
@@ -611,20 +611,34 @@ def run_suite(
                 (chk.name, "null_rate", col, float(chk.max_rate), "le")
             )
         elif isinstance(chk, LengthQuantiles):
-            for q in chk.quantiles:
-                col = f"_lq_{chk.column}_{int(q*100)}"
-                agg_exprs.append(
-                    F.percentile_approx(
-                        F.col(f"_len_{chk.column}"), q, 10000
-                    ).cast("double").alias(col)
-                )
+            # ONE quantile sketch per check, queried at every requested
+            # quantile (round 6): percentile_approx with a literal array
+            # builds a single QuantileSummaries over the column instead
+            # of one independent sketch PER quantile — a third of the
+            # aggregation work at identical outputs (same sketch, same
+            # query points).
+            arr_col = f"_lq_{chk.column}"
+            agg_exprs.append(
+                F.percentile_approx(
+                    F.col(f"_len_{chk.column}"),
+                    F.array(*[F.lit(float(q)) for q in chk.quantiles]),
+                    10000,
+                ).alias(arr_col)
+            )
+            for qi, q in enumerate(chk.quantiles):
                 thr = (
                     float(chk.max_p99)
                     if (chk.max_p99 is not None and q == max(chk.quantiles))
                     else None
                 )
                 stat_emitters.append(
-                    (chk.name, f"p{int(q*100)}", col, thr, "le" if thr else None)
+                    (
+                        chk.name,
+                        f"p{int(q*100)}",
+                        F.element_at(F.col(arr_col), qi + 1),
+                        thr,
+                        "le" if thr else None,
+                    )
                 )
         elif isinstance(chk, Cardinality):
             col = f"_cd_{chk.column}"
@@ -643,16 +657,19 @@ def run_suite(
         # not once per metric
         structs = []
         for name, metric, col, thr, op in stat_emitters:
+            # `col` is a stats-frame column name or a ready expression
+            # over it (the array-quantile element_at case above)
+            vexpr = col if isinstance(col, Column) else F.col(col)
             passed = (
                 F.lit(True)
                 if op is None
-                else (F.col(col).cast("double") <= F.lit(thr))
+                else (vexpr.cast("double") <= F.lit(thr))
             )
             structs.append(
                 F.struct(
                     F.lit(name).alias("check_name"),
                     F.lit(metric).alias("metric"),
-                    F.col(col).cast("double").alias("value"),
+                    vexpr.cast("double").alias("value"),
                     F.lit(thr).cast("double").alias("threshold"),
                     passed.alias("passed"),
                 )
