@@ -1118,7 +1118,18 @@ def prefix_jaccard_join(
         .distinct()
         .localCheckpoint()  # one heavy distinct, read by 3 consumers
     )
-    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    # per-set canonical signature alongside the size: md5 of the sorted
+    # token list (\x1f-separated so token boundaries cannot alias).
+    # Two sets are identical iff their signatures match (md5-collision
+    # bound — the same premise exact_dedup's digest grouping rests on);
+    # the identical-set short-circuit below turns that into candidate
+    # pruning and verification-free output rows.
+    sizes = toks.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_sz"),
+        F.md5(
+            F.concat_ws("\x1f", F.sort_array(F.collect_list("_tok")))
+        ).alias("_sig"),
+    )
     freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
     # prefix cut: rank tokens inside each set by the GLOBAL
     # (frequency, token) order; keep rank <= sz - ceil(t*sz) + 1
@@ -1133,7 +1144,7 @@ def prefix_jaccard_join(
             - F.expr(f"(({t_num}L * _sz) + {t_den - 1}L) div {t_den}L")
             + F.lit(1)
         )
-        .select("_id", "_tok", "_sz", "_rn")
+        .select("_id", "_tok", "_sz", "_rn", "_sig")
     )
     # hot-prefix-bucket guard (control-plane, bounded)
     hot = (
@@ -1153,12 +1164,14 @@ def prefix_jaccard_join(
         F.col("_id").alias("id_a"),
         F.col("_sz").alias("_sza"),
         F.col("_rn").alias("_rna"),
+        F.col("_sig").alias("_siga"),
     )
     b = prefix.select(
         F.col("_tok"),
         F.col("_id").alias("id_b"),
         F.col("_sz").alias("_szb"),
         F.col("_rn").alias("_rnb"),
+        F.col("_sig").alias("_sigb"),
     )
     # Two LOSSLESS candidate screens from the AllPairs/PPJoin papers,
     # applied inside the join condition so false candidates never reach
@@ -1187,11 +1200,40 @@ def prefix_jaccard_join(
     ) * F.lit(t_num + t_den) >= F.lit(t_num) * (
         F.col("_sza") + F.col("_szb")
     )
+    # Identical-set short-circuit (round 6, also lossless).  Per-set
+    # canonical signatures give two exact-integer-derived rules:
+    #   * equal sizes s with s*(t_den-t_num) < t_num+t_den force the
+    #     qualifying intersection bound ceil(2s*t_num/(t_num+t_den))
+    #     up to s itself — the sets must be IDENTICAL, so a signature
+    #     mismatch disqualifies the candidate before any verification
+    #     (at t=19/20 that covers every s <= 38; at high thresholds on
+    #     near-dup corpora roughly half the candidates are equal-size);
+    #   * signature equality proves I = U = s outright, so those pairs
+    #     emit jacc = 1 verification-free.
+    if t_den > t_num:
+        _ident_req = (F.col("_sza") == F.col("_szb")) & (
+            F.col("_sza") * F.lit(t_den - t_num) < F.lit(t_num + t_den)
+        )
+    else:  # threshold 1: equal-size candidates always require identity
+        _ident_req = F.col("_sza") == F.col("_szb")
+    _sig_ok = ~(_ident_req & (F.col("_siga") != F.col("_sigb")))
     cand = (
         a.join(b, "_tok")
-        .where((F.col("id_a") < F.col("id_b")) & _len_ok & _pos_ok)
-        .select("id_a", "id_b", "_sza", "_szb")
+        .where(
+            (F.col("id_a") < F.col("id_b")) & _len_ok & _pos_ok & _sig_ok
+        )
+        .select("id_a", "id_b", "_sza", "_szb", "_siga", "_sigb")
         .distinct()
+    )
+    identical = cand.where(F.col("_siga") == F.col("_sigb")).select(
+        "id_a",
+        "id_b",
+        F.col("_sza").cast("long").alias("n_inter"),
+        F.col("_sza").cast("long").alias("n_union"),
+        F.lit(1.0).alias("jacc6"),
+    )
+    toverify = cand.where(F.col("_siga") != F.col("_sigb")).select(
+        "id_a", "id_b", "_sza", "_szb"
     )
     # both verify sides descend from `toks`: rename EVERY right-side
     # column — a shared name across self-join lineage is ambiguous to
@@ -1199,7 +1241,7 @@ def prefix_jaccard_join(
     ta = toks.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_toka"))
     tb = toks.select(F.col("_id").alias("_idb"), F.col("_tok").alias("_tokb"))
     inter = (
-        cand.join(ta, "id_a")
+        toverify.join(ta, "id_a")
         .join(
             tb,
             (F.col("id_b") == F.col("_idb"))
@@ -1208,7 +1250,7 @@ def prefix_jaccard_join(
         .groupBy("id_a", "id_b", "_sza", "_szb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    verified = (
         inter.withColumn(
             "n_union", F.col("_sza") + F.col("_szb") - F.col("n_inter")
         )
@@ -1225,6 +1267,7 @@ def prefix_jaccard_join(
             ).alias("jacc6"),
         )
     )
+    return verified.unionByName(identical)
 
 
 def linkage_scores(

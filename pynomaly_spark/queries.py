@@ -7538,12 +7538,17 @@ def q_lineitem_zonebloom(spark, sf_dir):
     the query, the lineitem_zonemap discipline."""
     from pynomaly_spark.io import zone_bloom, zone_bloom_probe
 
-    base = _tbl(spark, sf_dir, "lineitem").select(
-        F.expr(
-            f"unix_micros(cast(l_shipdate as timestamp)) div {_DAY_US} "
-            f"div {_ZB_ZONE_DAYS}"
-        ).alias("zone"),
-        F.col("l_partkey").alias("pk"),
+    # zone_bloom computes k md5 bit positions per row — spread the
+    # NARROW (zone, pk) projection so ~1.8M md5s do not run inside the
+    # single-file scan's 1-6 tasks (see _spread)
+    base = _spread(
+        _tbl(spark, sf_dir, "lineitem").select(
+            F.expr(
+                f"unix_micros(cast(l_shipdate as timestamp)) div {_DAY_US} "
+                f"div {_ZB_ZONE_DAYS}"
+            ).alias("zone"),
+            F.col("l_partkey").alias("pk"),
+        )
     )
     zb = zone_bloom(base, "zone", "pk", m_bits=_ZB_M, k_hashes=_ZB_K)
     probes = spark.createDataFrame([(int(k),) for k in _ZB_KEYS], "pk long")
