@@ -105,16 +105,26 @@ def _empty_pairs(src: DataFrame, id_col: str, with_cosine: bool = False):
 
 def shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (distinct), built with transform over a
-    token sequence — all JVM expression code."""
+    token sequence — all JVM expression code.
+
+    The token array is BOUND as a lambda variable (wrapped in a
+    one-element array whose transform receives it) before the per-index
+    lambda touches it: a non-column expression referenced inside a HOF
+    lambda re-evaluates per element (the round-4 ``exploded_ngrams``
+    trap — here the regex split re-ran once per shingle index; ~2x on
+    the shingle pass, identical output)."""
     toks = F.split(F.col(text_col), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+
+    def _build(tk):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
         )
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(toks), _build), 1)
     )
 
 
