@@ -1138,23 +1138,45 @@ def run_suite(
         _fused_drift.append((chk, keyed))
 
     # ---- primer job 1: materialize all persisted mid-frames so far --------
-    # One labeled-count job populates every cache (drift scores, RI
-    # orphans, sha mismatches, uniqueness candidate hashes) BEFORE the
-    # fused output action can race them (the persist-race lesson); the
-    # branches run concurrently inside this single job, and the collect
-    # returns each frame's row count — which is exactly the input the
-    # candidate broadcast decision needs, for free.  The overlapped
-    # partition-universe collect (background thread, staged path) runs
-    # concurrently with this job and is resolved only afterwards.
+    # One CONCURRENT count action per persisted frame (drift scores, RI
+    # orphans, sha checksum sums, uniqueness candidate hashes), submitted
+    # from a small thread pool (guide §2.6), populates every cache
+    # BEFORE the fused output action can race them (the persist-race
+    # lesson) and returns each frame's row count — exactly the input the
+    # candidate broadcast decision needs, for free.  This replaces the
+    # round-4 single labeled-union job: under AQE that one job
+    # materialized its ~15 query stages mostly SEQUENTIALLY (driver
+    # re-planning between stages — round-6 event-log profile: 2.7 s of
+    # near-idle small jobs before the drift stage even launched), while
+    # independent actions overlap fully and the drift chain (the
+    # critical path) starts immediately.  Race-free: each persisted
+    # frame is counted by exactly one action and the frames do not
+    # depend on one another (they share only the staged parquet scan —
+    # or, in the non-staged path, the `enriched` cache that the
+    # synchronous universe collect has already materialized above).
+    # The overlapped partition-universe collect (background thread,
+    # staged path) runs concurrently and is resolved only afterwards.
     _frame_counts: dict = {}
     if _persisted:
-        labeled = None
-        for i, frame in enumerate(_persisted):
-            one = frame.groupBy().count().select(
-                F.lit(str(i)).alias("_k"), F.col("count").alias("_n")
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        def _prime_count(item):
+            i, frame = item
+            _p0 = time.perf_counter()
+            n = int(frame.count())
+            if os.environ.get("PYNOMALY_SUITE_TIMINGS"):
+                print(
+                    f"[suite-timing]   primer frame {i}: "
+                    f"{time.perf_counter() - _p0:.2f}s (start "
+                    f"{_p0 - _t0:.2f}s, rows {n})",
+                    file=sys.stderr,
+                )
+            return str(i), n
+
+        with _TPE(max_workers=min(8, len(_persisted))) as _pool:
+            _frame_counts = dict(
+                _pool.map(_prime_count, list(enumerate(_persisted)))
             )
-            labeled = one if labeled is None else labeled.unionByName(one)
-        _frame_counts = {r["_k"]: int(r["_n"]) for r in labeled.collect()}
     _mark("mid-frame cache primer (job 1)")
 
     # ---- deferred uniqueness: decide broadcast, build + prime dup groups --
