@@ -1180,6 +1180,7 @@ def run_suite(
     _mark("mid-frame cache primer (job 1)")
 
     # ---- deferred uniqueness: decide broadcast, build + prime dup groups --
+    _pending_uniq: List = []
     for chk, keys, cand_hashes, cand_pos in _deferred_uniq:
         if cand_hashes is not None:
             n_cand = _frame_counts[str(cand_pos)]
@@ -1192,9 +1193,43 @@ def run_suite(
             .where(F.col("_cnt") > 1)
         ).persist()
         _persisted.append(dup_groups)
-        # job 2: small — probes the (cached) candidate set only.  The
-        # count also sizes the fused join-back's bounded broadcast.
-        n_dup_groups = dup_groups.count()
+        _pending_uniq.append((chk, keys, dup_groups))
+
+    # ---- drift violator subsets (built now, counted with job 2) -----------
+    # materialize the violator subset off the hot keyed cache: the count
+    # (cheap cached scan) sizes the fused join-back's bounded broadcast
+    # — AQE cannot estimate the filter's selectivity and plans an SMJ
+    # whose probe exchange races the AQE flip (see the fused block)
+    _pending_drift: List = []
+    for j, (chk, keyed) in enumerate(_fused_drift):
+        violators = keyed.where(
+            F.col("loop_score") > chk.score_threshold
+        ).select(
+            F.col("partition_id").alias(f"_d{j}_pid"),
+            F.col("row_id").alias(f"_d{j}_rid"),
+            F.col("loop_score").alias(f"_d{j}_score"),
+        ).persist()
+        _persisted.append(violators)
+        _pending_drift.append((j, chk, violators))
+
+    # job 2: small CONCURRENT counts — dup groups probe the (cached)
+    # candidate set only, violator subsets probe the (cached) drift
+    # scores; the frames are independent, so the driver syncs once on
+    # the slowest instead of once per frame (same §2.6 overlap as the
+    # primer).  Each count also sizes its fused join-back's bounded
+    # broadcast.
+    _job2 = [f for _, _, f in _pending_uniq] + [
+        f for _, _, f in _pending_drift
+    ]
+    _job2_counts: dict = {}
+    if _job2:
+        from concurrent.futures import ThreadPoolExecutor as _TPE2
+
+        with _TPE2(max_workers=min(8, len(_job2))) as _pool2:
+            _job2_counts = dict(
+                _pool2.map(lambda f: (id(f), int(f.count())), _job2)
+            )
+    for chk, keys, dup_groups in _pending_uniq:
         metric_frames.append(
             _count_metric(
                 dup_groups.groupBy("partition_id").agg(
@@ -1204,9 +1239,9 @@ def run_suite(
                 "duplicate_rows",
             )
         )
-        _fused_uniq.append((chk, dup_groups, n_dup_groups))
-    if _deferred_uniq:
-        _mark("dup-group primer (job 2)")
+        _fused_uniq.append((chk, dup_groups, _job2_counts[id(dup_groups)]))
+    if _deferred_uniq or _pending_drift:
+        _mark("dup-group/violator primer (job 2)")
 
     # ---- deferred sha invariant: phase-0 verdict, then phases 1+2 ---------
     # Equal phase-0 checksums (the always case on a clean table) prove
@@ -1345,21 +1380,11 @@ def run_suite(
                     F.lit(None).cast("double"),
                 )
             )
-        for j, (chk, keyed) in enumerate(_fused_drift):
+        for j, chk, violators in _pending_drift:
             marker = f"_d{j}_score"
-            # materialize the violator subset off the hot keyed cache:
-            # the count (cheap cached scan) sizes the bounded broadcast
-            # — AQE cannot estimate the filter's selectivity and plans
-            # an SMJ whose probe exchange races the AQE flip (above)
-            violators = keyed.where(
-                F.col("loop_score") > chk.score_threshold
-            ).select(
-                F.col("partition_id").alias(f"_d{j}_pid"),
-                F.col("row_id").alias(f"_d{j}_rid"),
-                F.col("loop_score").alias(marker),
-            ).persist()
-            _persisted.append(violators)
-            n_viol = violators.count()
+            # violators built + counted with job 2 above (hot keyed
+            # cache); the count sizes the bounded broadcast here
+            n_viol = _job2_counts[id(violators)]
             cond = (F.col("partition_id") == F.col(f"_d{j}_pid")) & (
                 F.col("row_id") == F.col(f"_d{j}_rid")
             )
