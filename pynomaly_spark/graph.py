@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 __all__ = [
     "pagerank_fixed_point",
@@ -227,6 +228,7 @@ def link_prediction(
     dst: str = "dst",
     k: int = 20,
     max_degree: int | None = None,
+    pack_ids: bool | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction: the top-``k`` NON-adjacent node
     pairs ranked by how many neighbours they share — the classic
@@ -254,6 +256,19 @@ def link_prediction(
     ``max_degree``), candidate counting (one (x, y)-keyed aggregate
     with map-side combine), existing-edge removal (one anti-join on
     the edge key), then the two-phase top-k.  Every shuffle is keyed.
+
+    ``pack_ids`` (round 6): the candidate aggregate and the anti-join
+    can carry ONE 8-byte packed long instead of the two-column pair key
+    — half the key bytes hashed/compared across the wedge shuffle, the
+    operator's dominant cost.  ``None`` (default) packs automatically
+    for ``int`` ids, where the pack is injective over the FULL range
+    (negatives included: high word x, low word y's unsigned 32-bit
+    image).  ``True`` opts bigint ids in under a caller promise that
+    ids lie in ``[0, 2^31)`` — enforced by an IN-PLAN guard on the
+    aggregate key itself (the ``max_degree`` discipline: an
+    out-of-range id fails loudly, never corrupts).  Ordering never
+    rides on the packed value — pairs unpack exactly before the
+    ``(common, x, y)`` top-k — so the result is identical either way.
 
     Reference parity: no counterpart in /root/reference/PyNomaly —
     engine addition (graph analytics family).
@@ -301,16 +316,68 @@ def link_prediction(
         .join(apexes, "z")
     )
     right = sym.select(F.col("z").alias("_z2"), F.col("n").alias("y"))
-    cn = (
-        sym.join(
-            right,
-            (F.col("z") == F.col("_z2")) & (F.col("n") < F.col("y")),
-        )
-        .groupBy(F.col("n").alias("x"), "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    wedges = sym.join(
+        right,
+        (F.col("z") == F.col("_z2")) & (F.col("n") < F.col("y")),
     )
-    existing = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    cand = cn.join(existing, ["x", "y"], "left_anti")
+    id_t = und.schema["u"].dataType
+    use_pack = pack_ids if pack_ids is not None else isinstance(
+        id_t, IntegerType
+    )
+    if use_pack:
+        # See the docstring: one 8-byte injective pair key through the
+        # wedge aggregate + anti-join, unpacked exactly before the
+        # top-k.  int ids pack unconditionally (shiftleft never
+        # overflows for |x| < 2^31; low word is y's unsigned 32-bit
+        # image).  Explicit pack_ids=True on wider ids adds the
+        # in-plan range guard ON the pack expression itself — it IS
+        # the aggregate key, so Catalyst cannot prune it.
+        guard = pack_ids is True and not isinstance(id_t, IntegerType)
+
+        def _side(c):
+            if not guard:
+                return c.cast("long")
+            return F.when(
+                (c >= 0) & (c < F.lit(2147483648)), c.cast("long")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "link_prediction: pack_ids=True requires "
+                            "ids in [0, 2^31); got "
+                        ),
+                        c.cast("string"),
+                    )
+                ).cast("long")
+            )
+
+        def _pack(xc, yc):
+            return F.shiftleft(_side(xc), 32) + (
+                _side(yc).bitwiseAND(F.lit(4294967295))
+            )
+
+        cn = wedges.groupBy(
+            _pack(F.col("n"), F.col("y")).alias("_xy")
+        ).agg(F.count(F.lit(1)).cast("long").alias("common"))
+        existing = und.select(_pack(F.col("u"), F.col("v")).alias("_xy"))
+        lo = F.col("_xy").bitwiseAND(F.lit(4294967295))
+        cand = (
+            cn.join(existing, ["_xy"], "left_anti")
+            .select(
+                F.shiftright(F.col("_xy"), 32).cast(id_t).alias("x"),
+                F.when(lo >= F.lit(2147483648), lo - F.lit(4294967296))
+                .otherwise(lo)
+                .cast(id_t)
+                .alias("y"),
+                "common",
+            )
+        )
+    else:
+        cn = wedges.groupBy(F.col("n").alias("x"), "y").agg(
+            F.count(F.lit(1)).cast("long").alias("common")
+        )
+        existing = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        cand = cn.join(existing, ["x", "y"], "left_anti")
     top = two_phase_topk(
         cand,
         [],

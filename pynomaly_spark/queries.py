@@ -10977,8 +10977,12 @@ def q_part_link_prediction(spark, sf_dir):
     pairs = x.join(
         y, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb"))
     ).select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    # pack_ids=True: p_partkey is positive and < 2^31 at any datagen
+    # scale this engine can reach (the in-plan guard raises loudly if
+    # that ever stops holding) — the wedge aggregate and anti-join then
+    # carry one 8-byte packed key instead of the two-long pair
     return link_prediction(
-        pairs, k=_LINKPRED_K, max_degree=8192
+        pairs, k=_LINKPRED_K, max_degree=8192, pack_ids=True
     ).orderBy("rnk")
 
 

@@ -141,6 +141,60 @@ def test_link_prediction_square_and_guard(spark):
         link_prediction(df, src="nope")
 
 
+def test_link_prediction_packed_int_ids(spark):
+    """Integer ids take the packed-pair-key aggregate (round 6): the
+    64-bit pack must stay injective over the FULL int range — negatives
+    and the extremes included — and unpack exactly, so the output is
+    identical to the generic (string-id) two-column path on the same
+    graph shape."""
+    from pynomaly_spark.graph import link_prediction
+
+    edges = [
+        (-5, -1), (-1, 3), (3, -5), (-5, 7), (7, 3),
+        (2147483647, -2147483648), (-2147483648, -5), (0, -1), (0, 7),
+    ]
+    df_i = spark.createDataFrame(edges, "src int, dst int")
+    out_i = [tuple(r) for r in link_prediction(df_i, k=10).collect()]
+    # same graph through the generic path via zero-padded string ids
+    # that sort like the ints (offset to non-negative, fixed width)
+    OFF = 1 << 31
+
+    def s(x):
+        return f"{x + OFF:010d}"
+
+    df_s = spark.createDataFrame(
+        [(s(a), s(b)) for a, b in edges], "src string, dst string"
+    )
+    out_s = [
+        (r[0], int(r[1]) - OFF, int(r[2]) - OFF, r[3])
+        for r in link_prediction(df_s, k=10).collect()
+    ]
+    assert out_i == out_s
+    # top pair hand-checked: -1 and 7 share {-5, 0, 3}
+    assert out_i[0] == (1, -1, 7, 3)
+
+    # pack_ids=True on bigint ids: identical rows to the auto path on
+    # the non-negative subgraph, long output dtype preserved
+    pos = [(a, b) for a, b in edges if a >= 0 and b >= 0]
+    more = [(10, 20), (20, 30), (30, 10), (10, 40), (40, 30), (0, 10)]
+    df_l = spark.createDataFrame(pos + more, "src long, dst long")
+    out_packed = [
+        tuple(r) for r in link_prediction(df_l, k=10, pack_ids=True).collect()
+    ]
+    out_plain = [tuple(r) for r in link_prediction(df_l, k=10).collect()]
+    assert out_packed == out_plain
+    assert dict(df_l.dtypes)["src"] == "bigint"
+
+    # the in-plan range guard fails loudly on an out-of-range id
+    df_big = spark.createDataFrame(
+        [(1 << 40, 2), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(Exception, match="pack_ids=True requires"):
+        link_prediction(df_big, k=5, pack_ids=True).collect()
+    # ...while the default path handles the same graph fine
+    assert len(link_prediction(df_big, k=5).collect()) >= 1
+
+
 def test_degree_assortativity_star_vs_uniform(spark):
     """A star graph is maximally disassortative: every edge joins the
     hub (deg n-1) to a leaf (deg 1), so with >=3 leaves the endpoint
