@@ -135,10 +135,59 @@ def pagerank_fixed_point(
     return pr
 
 
+def _pair_pack(id_t, guard: bool, op_name: str):
+    """Injective 64-bit (x, y) pair pack shared by the graph operators
+    (round 6): high word x, low word y's unsigned 32-bit image.  For
+    ``int`` ids it is total (negatives included; shiftleft never
+    overflows for |x| < 2^31).  With ``guard`` (bigint opt-in) each
+    side is range-checked IN PLAN — the pack is the join/aggregate key
+    itself, so Catalyst cannot prune the check and an out-of-range id
+    fails loudly instead of corrupting.  Returns ``(pack, unpack_x,
+    unpack_y)`` where the unpackers take the packed column and yield
+    exact ``id_t`` values — ordering never rides on the packed form.
+    """
+
+    def _side(c):
+        if not guard:
+            return c.cast("long")
+        return F.when(
+            (c >= 0) & (c < F.lit(2147483648)), c.cast("long")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{op_name}: pack_ids=True requires ids in "
+                        "[0, 2^31); got "
+                    ),
+                    c.cast("string"),
+                )
+            ).cast("long")
+        )
+
+    def pack(xc, yc):
+        return F.shiftleft(_side(xc), 32) + (
+            _side(yc).bitwiseAND(F.lit(4294967295))
+        )
+
+    def unpack_x(pc):
+        return F.shiftright(pc, 32).cast(id_t)
+
+    def unpack_y(pc):
+        lo = pc.bitwiseAND(F.lit(4294967295))
+        return (
+            F.when(lo >= F.lit(2147483648), lo - F.lit(4294967296))
+            .otherwise(lo)
+            .cast(id_t)
+        )
+
+    return pack, unpack_x, unpack_y
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    pack_ids: bool | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the local
     clustering / community-density signal (spam-farm detection in link
@@ -160,7 +209,9 @@ def triangle_count(
 
     Returns ``(node, n_triangles)`` for nodes in at least one
     triangle.  All arithmetic is integer counting — bit-identical on
-    any engine.
+    any engine.  ``pack_ids`` packs the closing-join pair key into one
+    8-byte long (auto for ``int`` ids; bigint ids opt in under an
+    in-plan ``[0, 2^31)`` guard) — see :func:`link_prediction`.
 
     Scale (100 TB): canonicalize (one distinct), degree (one keyed
     count), orient (two node-keyed joins against the |V|-row degree
@@ -209,8 +260,30 @@ def triangle_count(
     wedges = e1.join(e2, "apex").where(
         F.struct(F.col("k1"), F.col("w1")) < F.struct(F.col("k2"), F.col("w2"))
     )
-    closer = o.select(F.col("s").alias("w1"), F.col("d").alias("w2"))
-    tri = wedges.join(closer, ["w1", "w2"]).select("apex", "w1", "w2")
+    id_t = und.schema["u"].dataType
+    use_pack = pack_ids if pack_ids is not None else isinstance(
+        id_t, IntegerType
+    )
+    if use_pack:
+        # Packed closing-join key (round 6, same device + guard as
+        # link_prediction's pack_ids): the wedge relation — the one
+        # quadratic-ish term — shuffles one 8-byte long instead of the
+        # (w1, w2) pair; the pair unpacks exactly after the join.
+        pack, ux, uy = _pair_pack(id_t, pack_ids is True and not
+                                  isinstance(id_t, IntegerType),
+                                  "triangle_count")
+        wkey = wedges.select(
+            "apex", pack(F.col("w1"), F.col("w2")).alias("_wxy")
+        )
+        closer = o.select(pack(F.col("s"), F.col("d")).alias("_wxy"))
+        tri = wkey.join(closer, ["_wxy"]).select(
+            "apex",
+            ux(F.col("_wxy")).alias("w1"),
+            uy(F.col("_wxy")).alias("w2"),
+        )
+    else:
+        closer = o.select(F.col("s").alias("w1"), F.col("d").alias("w2"))
+        tri = wedges.join(closer, ["w1", "w2"]).select("apex", "w1", "w2")
     return (
         tri.select(
             F.explode(

@@ -6156,7 +6156,10 @@ def q_part_triangles(spark, sf_dir):
     pairs = x.join(
         y, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb"))
     ).select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    return triangle_count(pairs)
+    # pack_ids=True: p_partkey is positive and < 2^31 at any reachable
+    # datagen scale (in-plan guard raises loudly otherwise) — the
+    # closing join then carries one 8-byte packed key per wedge row
+    return triangle_count(pairs, pack_ids=True)
 
 
 SQL_PART_TRIANGLES = """

@@ -49,3 +49,28 @@ def test_skewed_hub_counts_exactly(spark):
     assert got == {0: 1, 1: 1, 2: 1}
     with pytest.raises(ValueError, match="unknown column"):
         triangle_count(_edges(spark, pairs), src="nope")
+
+
+def test_packed_closing_join_parity_and_guard(spark):
+    """pack_ids (round 6): packed closing-join key returns identical
+    counts on int ids (auto, negatives included) and on bigint ids
+    under the opt-in; the in-plan guard rejects out-of-range bigints."""
+    edges = [(-3, -1), (-1, 4), (4, -3), (4, 7), (7, -1), (-1, -3)]
+    df_i = spark.createDataFrame(edges, "src int, dst int")
+    auto = _counts(triangle_count(df_i))       # int -> packed path
+    plain = _counts(triangle_count(df_i, pack_ids=False))
+    assert auto == plain and auto  # non-empty, identical
+
+    pos = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+    df_l = spark.createDataFrame(pos, "src long, dst long")
+    assert _counts(triangle_count(df_l, pack_ids=True)) == _counts(
+        triangle_count(df_l)
+    )
+
+    df_big = spark.createDataFrame(
+        [(1 << 40, 2), (2, 3), (3, 1 << 40)], "src long, dst long"
+    )
+    with pytest.raises(Exception, match="pack_ids=True requires"):
+        triangle_count(df_big, pack_ids=True).collect()
+    # default path still counts the same triangle
+    assert _counts(triangle_count(df_big)) == {(1 << 40): 1, 2: 1, 3: 1}
