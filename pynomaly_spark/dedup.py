@@ -1144,8 +1144,23 @@ def prefix_jaccard_join(
     # prefix cut: rank tokens inside each set by the GLOBAL
     # (frequency, token) order; keep rank <= sz - ceil(t*sz) + 1
     w = Window.partitionBy("_id").orderBy("_tf", "_tok")
+    # Pin the per-set window's parallelism (round 6 event-log profile):
+    # this exchange carries BYTES-small rows (ids + short tokens, 4.6
+    # MB at sf0.1) but everything downstream fuses onto it — the freq/
+    # size attaches, the candidate self-join, the distinct, and the
+    # verify explode all plan as broadcast joins whose probe side is
+    # clustered by _id, so no later exchange exists and AQE's
+    # byte-based partition coalescing (2 tasks at sf0.1) serializes
+    # the query's entire 14 CPU-s of pair work.  A user-specified
+    # keyed repartition carries the exact distribution the window
+    # needs, costs the same bytes as the ENSURE_REQUIREMENTS exchange
+    # it replaces, and is exempt from coalescing.  Count derives from
+    # the session's parallelism, never a constant.
     prefix = (
-        toks.join(freq, "_tok")
+        toks.repartition(
+            tokens.sparkSession.sparkContext.defaultParallelism, "_id"
+        )
+        .join(freq, "_tok")
         .join(sizes, "_id")
         .withColumn("_rn", F.row_number().over(w))
         .where(
