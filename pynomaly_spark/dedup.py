@@ -1387,9 +1387,25 @@ def corpus_overlap(
         if c not in df.columns:
             raise ValueError(f"corpus_overlap: unknown column {c!r}")
     sh = shingles(text_col, shingle_n)
+    # The distinct's exchange carries BYTES-small (group, shingle) keys
+    # but the stage reading it computes num_perm md5 hashes per
+    # distinct shingle — CPU-dense per shuffled byte, so AQE's
+    # byte-based partition coalescing starves it (round-6 event-log
+    # profile at sf0.1: the 64-min md5 build ran on 5 of 32 cores,
+    # 3.5 s of the query's 5.4).  A user-specified repartition on the
+    # distinct's own keys pins the stage at session parallelism (AQE
+    # never coalesces user exchanges) and the distinct reuses it
+    # outright.  Cost: the exchange ships pre-partial-distinct rows;
+    # shingle duplication within a map partition is low (each doc's
+    # shingles are mostly unique), and at production scale — where
+    # bytes/parallelism dwarfs any floor and coalescing never bites —
+    # callers running exact=False ship only the sketch anyway.
     dist = (
         df.where(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
         .select(F.col(group_col).alias("_g"), F.explode(sh).alias("_sh"))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "_g", "_sh"
+        )
         .distinct()
     )
     sig = (
