@@ -501,8 +501,10 @@ def sample_bias_audit(
 
     — all decimal(38,0), no float.  ``ratio_6dp`` reports
     ``lhs·10⁶ div rhs`` (how close each group sits to the boundary;
-    ≥ 10⁶ ⟺ flagged) so the PASS state still carries a full-surface
-    margin, not just zeros.  Requires integer-valued ``value_col``.
+    > 10⁶ ⟺ flagged — ``flag`` uses the strict ``lhs > rhs``, so at
+    exact boundary equality ``ratio_6dp`` = 10⁶ with ``flag`` = 0) so
+    the PASS state still carries a full-surface margin, not just
+    zeros.  Requires integer-valued ``value_col``.
 
     Returns per group: ``group, n_full, n_sample, mean_full_6dp,
     mean_sample_6dp, ratio_6dp, flag``.
